@@ -1,0 +1,169 @@
+"""Content hashing: md5 doc ids, simhash, perceptual hash, minhash.
+
+Reference semantics re-expressed:
+
+- ``doc_id`` = md5 of whitespace-squashed content (worker/SpiderFrame.class.php:256-258).
+- simhash: the reference delegates to an external Flask sidecar
+  (worker/FlaskRestClient.class.php:41-53); here it is computed locally —
+  64-bit simhash over token hashes with bit-vote aggregation (Charikar 2002,
+  public algorithm).
+- phash: the graft's image analog of simhash (BASELINE.json input_hint) —
+  DCT-based 64-bit perceptual hash (mean-pool to 32×32 gray → 2-D DCT-II →
+  top-left 8×8 minus DC → median threshold), the standard public pHash recipe.
+- minhash: k-permutation MinHash via universal hashing (a*x+b mod p), for the
+  MinHash-LSH near-dup operator (extras/dedupe.py).
+
+Everything here is numpy-vectorized per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+_WS_SQUASH = re.compile(r"[\s　]+")  # includes CJK ideographic space (M14)
+_TOKEN_RE = re.compile(r"[\w一-鿿]+", re.UNICODE)
+
+_MERSENNE = (1 << 61) - 1
+
+
+def squash_ws(text: str) -> str:
+    """M14 — whitespace+U+3000 squash applied before content hashing."""
+    return _WS_SQUASH.sub("", text)
+
+
+def doc_id(content: str) -> str:
+    """D2 — md5 hex of the squashed content."""
+    return hashlib.md5(squash_ws(content).encode("utf-8", "surrogatepass")).hexdigest()
+
+
+def token_hashes(text: str) -> np.ndarray:
+    """Stable 64-bit hashes of the text's tokens (words + CJK runs)."""
+    toks = _TOKEN_RE.findall(text.lower())
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(t.encode("utf-8", "surrogatepass"), digest_size=8).digest(),
+            "little",
+        )
+    return out
+
+
+def simhash64(text: str) -> int:
+    """T8/D3 — 64-bit simhash (unsigned int returned as python int)."""
+    hs = token_hashes(text)
+    if hs.size == 0:
+        return 0
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+    votes = bits.sum(axis=0) * 2 - hs.size  # +1 per set bit, -1 per clear bit
+    sig = (votes > 0).astype(np.uint64)
+    return int((sig << np.arange(64, dtype=np.uint64)).sum())
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized hamming distance between uint64 arrays."""
+    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+    # popcount via byte view + unpackbits
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
+def simhash_bands(sig: np.ndarray, bands: int = 4) -> np.ndarray:
+    """Split 64-bit signatures into ``bands`` keys of 64/bands bits each —
+    two docs within hamming distance < bands share ≥1 band key (pigeonhole),
+    which is the groupby key for the near-dup shuffle (D3)."""
+    sig = sig.astype(np.uint64)
+    width = np.uint64(64 // bands)
+    mask = np.uint64((1 << int(width)) - 1)
+    out = np.empty((sig.size, bands), dtype=np.uint64)
+    for b in range(bands):
+        out[:, b] = (sig >> (np.uint64(b) * width)) & mask
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (images)
+
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        m = np.sqrt(2.0 / n) * np.cos((2 * i + 1) * k * np.pi / (2 * n))
+        m[0, :] = np.sqrt(1.0 / n)
+        _DCT32 = m
+    return _DCT32
+
+
+def _mean_pool(gray: np.ndarray, out: int = 32) -> np.ndarray:
+    """Resize HxW to out×out by area mean-pooling (no PIL in this container)."""
+    h, w = gray.shape
+    ys = (np.arange(out + 1) * h // out).astype(np.int64)
+    xs = (np.arange(out + 1) * w // out).astype(np.int64)
+    c = np.zeros((h + 1, w + 1), dtype=np.float64)
+    c[1:, 1:] = gray.astype(np.float64).cumsum(0).cumsum(1)
+    area = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
+    s = c[ys[1:, None], xs[None, 1:]] - c[ys[:-1, None], xs[None, 1:]] \
+        - c[ys[1:, None], xs[None, :-1]] + c[ys[:-1, None], xs[None, :-1]]
+    return s / np.maximum(area, 1)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit DCT perceptual hash of an (h, w, 3) uint8 image.
+
+    Returned as a *signed* int64-compatible python int (the images table
+    stores phash:int64 per the input_hint)."""
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    small = _mean_pool(gray, 32)
+    m = _dct_matrix(32)
+    d = m @ small @ m.T
+    block = d[:8, :8].flatten()
+    med = np.median(block[1:])  # exclude DC from the median
+    bits = (block > med).astype(np.uint64)
+    val = int((bits << np.arange(64, dtype=np.uint64)).sum())
+    return val - (1 << 64) if val >= (1 << 63) else val  # to signed int64 range
+
+
+# ---------------------------------------------------------------------------
+# MinHash
+
+def minhash_params(k: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(hs: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """k-perm MinHash of a set of 64-bit token/shingle hashes.
+
+    Uses (a*x + b) mod (2^61-1) universal hashing in uint64 arithmetic
+    (python-object fallback avoided by masking to 61 bits first)."""
+    if hs.size == 0:
+        return np.full(a.size, np.iinfo(np.uint64).max, dtype=np.uint64)
+    x = (hs & np.uint64(_MERSENNE)).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        prod = a[:, None] * x[None, :] + b[:, None]  # mod 2^64 wrap is fine for hashing
+    return prod.min(axis=1)
+
+
+def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Hashes of the text's word n-gram shingles."""
+    toks = _TOKEN_RE.findall(text.lower())
+    if len(toks) < n:
+        joined = ["\x1f".join(toks)] if toks else []
+    else:
+        joined = ["\x1f".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    out = np.empty(len(joined), dtype=np.uint64)
+    for i, s in enumerate(joined):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(s.encode("utf-8", "surrogatepass"), digest_size=8).digest(),
+            "little",
+        )
+    return out

@@ -1,0 +1,342 @@
+"""Deterministic synthetic fixtures (FIXTURES.md F1-F3) — no network, no
+external data; everything is a pure function of (size params, seed).
+
+- ``build_images``    — F1: the Lance/Parquet image+caption payload table with
+  the exact input_hint schema, ~1% phash near-dups and ~1% exact dups.
+- ``build_hostgraph`` — F3: a synthetic web (url → status/headers/body) whose
+  HTML bodies exercise the full link-form case table of the reference resolver
+  (PHPCrawlerUtils.class.php:234-328), `<img>` tags that point at F1 rows,
+  pagination JS vars (M29), CJK metadata blocks (M19-M22), redirects, 404s,
+  permanently-failing and flaky rows (retry path), and per-host robots rules.
+- ``build_seeds``     — F2: un-normalized seed URLs (mixed-case hosts, ``:80``,
+  ``../``, fragments, shuffled query params) to exercise canonicalization.
+
+``ensure_fixtures`` materializes all tables once under a /tmp cache dir keyed
+by the parameters, so tests, queries() and bench share identical inputs.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions import hashing, imagecodec
+
+_WORDS = (
+    "ray data crawl frontier arrow batch actor lance image caption phash "
+    "politeness robots shard cuckoo filter host depth priority epoch stream"
+).split()
+_CJK_CAPTIONS = ["国务院政策文件配图", "人民法院公告图片", "法律法规附件截图", "行政规章发布配图"]
+
+IMG_HOST = "img.example.test"
+
+
+# ---------------------------------------------------------------------------
+# F1 — images
+
+
+def _gen_pixels(i: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(np.uint64(seed) * np.uint64(1_000_003) + np.uint64(i))
+    sizes = (32, 48, 64, 96, 128, 256)
+    h = sizes[i % 5] if i % 37 else 256
+    w = sizes[(i // 5) % 5] if i % 41 else 256
+    base = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(base, (h + 7) // 8, axis=0), (w + 7) // 8, axis=1)[:h, :w]
+    noise = rng.integers(-6, 7, size=img.shape, dtype=np.int16)
+    return np.clip(img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+
+
+def _caption(i: int) -> str:
+    if i % 7 == 3:
+        return f"{_CJK_CAPTIONS[i % len(_CJK_CAPTIONS)]} 第{i}号"
+    ws = " ".join(_WORDS[(i + j) % len(_WORDS)] for j in range(4))
+    return f"caption {i}: {ws}"
+
+
+def build_images(n: int, seed: int = 42) -> pa.Table:
+    """F1 image+caption table. i%97==1 → near-dup of i-1 (same pixels,
+    re-encoded lossy); i%101==1 → exact byte dup of i-1 under a new id."""
+    fmts = ("png", "jpeg", "bmp")
+    ids, blobs, ws, hs, fs, caps, phs = [], [], [], [], [], [], []
+    prev_pixels: np.ndarray | None = None
+    prev_blob: bytes | None = None
+    prev_fmt = "png"
+    for i in range(n):
+        if i % 101 == 1 and prev_blob is not None:
+            blob, fmt = prev_blob, prev_fmt
+            px = imagecodec.decode(blob)
+        elif i % 97 == 1 and prev_pixels is not None:
+            px, fmt = prev_pixels, "jpeg"
+            blob = imagecodec.encode(px, fmt)
+        else:
+            px = _gen_pixels(i, seed)
+            fmt = fmts[i % 3]
+            blob = imagecodec.encode(px, fmt)
+        ids.append(f"img-{i:08d}")
+        blobs.append(blob)
+        hs.append(px.shape[0])
+        ws.append(px.shape[1])
+        fs.append(fmt)
+        caps.append(_caption(i))
+        phs.append(hashing.phash64(imagecodec.decode(blob)))
+        prev_pixels, prev_blob, prev_fmt = px, blob, fmt
+    from ..schemas import IMAGES
+
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(fs, pa.string()),
+            "caption": pa.array(caps, pa.string()),
+            "phash": pa.array(phs, pa.int64()),
+        },
+        schema=IMAGES,
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3 — hostgraph
+
+
+@dataclass
+class GraphParams:
+    n_pages: int = 2000
+    n_hosts: int = 20
+    n_images: int = 500
+    seed: int = 42
+    out_degree: int = 8
+
+
+def _host_of_page(i: int, p: GraphParams) -> int:
+    """Zipf-ish host assignment: host h owns a share ∝ 1/(h+1) of pages —
+    host 0 is hot (the skew case of SURVEY.md §4)."""
+    rng = np.random.default_rng(np.uint64(p.seed) * np.uint64(7919) + np.uint64(i))
+    weights = 1.0 / np.arange(1, p.n_hosts + 1)
+    return int(rng.choice(p.n_hosts, p=weights / weights.sum()))
+
+
+def page_url(i: int, p: GraphParams) -> str:
+    return f"http://h{_host_of_page(i, p):03d}.example.test/p/{i}.html"
+
+
+def image_url(image_id: str) -> str:
+    return f"http://{IMG_HOST}/img/{image_id}.bin"
+
+
+_LINK_FORMS = 7
+
+
+def _render_link(target_url: str, form: int, source_url: str) -> str | None:
+    """Render the target in one of the resolver case-table forms; returns the
+    href text, or None when this form can't express the target from here."""
+    from ..functions import urltools as ut
+
+    tp, sp = ut.split_url(target_url), ut.split_url(source_url)
+    if form == 0:
+        return target_url
+    if form == 1:  # mixed-case scheme/host + explicit :80 + fragment
+        return target_url.replace("http://", "HTTP://").replace(
+            str(tp["host"]), str(tp["host"]).upper() + ":80", 1
+        ) + "#sec2"
+    if form == 2:  # scheme-relative
+        return "//" + str(tp["host"]) + str(tp["path"]) + str(tp["file"])
+    if form == 3:  # rooted
+        if tp["host"] != sp["host"]:
+            return None
+        return str(tp["path"]) + str(tp["file"])
+    if form == 4:  # bare relative (same dir)
+        if tp["host"] != sp["host"] or tp["path"] != sp["path"]:
+            return None
+        return str(tp["file"])
+    if form == 5:  # ../-relative
+        if tp["host"] != sp["host"]:
+            return None
+        return "../p/" + str(tp["file"])
+    if form == 6:  # ./-relative
+        if tp["host"] != sp["host"] or tp["path"] != sp["path"]:
+            return None
+        return "./" + str(tp["file"])
+    return target_url
+
+
+_CJK_BODY = """<div class="detail">
+<p>索引号：000014349/2020-{i:05d}</p>
+<p>发文字号：国发〔20{yy:02d}〕{no}号</p>
+<p>发布日期：20{yy:02d}年{m}月{d}日</p>
+<p>成文日期：20{yy:02d}年{m}月{d}日</p>
+<p>主题分类：综合政务</p>
+<p>发文机关：国务院办公厅</p>
+<p>标  题：关于{word}工作的通知（20{yy:02d}）</p>
+<p>正文第一段：依据《中华人民共和国网络安全法》和《数据安全条例》开展{word}工作。</p>
+<p>本通知自20{yy:02d}年{m}月{d}日起施行。</p>
+</div>"""
+
+
+def build_hostgraph(p: GraphParams, images: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """Returns (pages, robots). Deterministic in p.seed.
+
+    Page kinds by index: %31==7 → 500 (permanent error), %23==5 → 404,
+    %17==3 → 301 redirect to (i+1), %29==11 → flaky (fails `1 + i%2`
+    attempts, then 200 — exercises the retry≤3 path), %5==0 → list page with
+    pagination JS, else detail page with CJK metadata + images + attachments.
+    """
+    from ..functions import urltools as ut
+
+    image_ids = images.column("image_id").to_pylist()
+    captions = images.column("caption").to_pylist()
+    n = p.n_pages
+    urls, hosts, statuses, ctypes, bodies = [], [], [], [], []
+    fails, links_col, imgs_col, locations = [], [], [], []
+    for i in range(n):
+        url = page_url(i, p)
+        sp = ut.split_url(url)
+        host = str(sp["host"])
+        rng = np.random.default_rng(np.uint64(p.seed) * np.uint64(104729) + np.uint64(i))
+        status, ctype, body, loc, fail = 200, "text/html", "", "", 0
+        gt_links: list[str] = []
+        gt_imgs: list[str] = []
+        if i % 31 == 7:
+            status, body = 500, "<html>server error</html>"
+        elif i % 23 == 5:
+            status, body = 404, "<html>not found</html>"
+        elif i % 17 == 3:
+            status, loc = 301, page_url((i + 1) % n, p)
+            gt_links = [loc]
+        else:
+            if i % 29 == 11:
+                fail = 1 + i % 2
+            targets = rng.integers(0, n, size=p.out_degree)
+            hrefs = []
+            seen_local: set[str] = set()
+            for j, t in enumerate(targets):
+                turl = page_url(int(t), p)
+                href = _render_link(turl, (i + j) % _LINK_FORMS, url) or turl
+                canon = ut.resolve(url, href)
+                hrefs.append(f'<a href="{href}">link {int(t)} text</a>')
+                if canon and canon not in seen_local:
+                    seen_local.add(canon)
+                    gt_links.append(canon)
+            # noise links the extractor must drop
+            hrefs.append('<a href="javascript:void(0)">js</a>')
+            hrefs.append('<a href="#top">top</a>')
+            hrefs.append('<a href="mailto:a@b.c">mail</a>')
+            if i % 5 == 0:
+                count = 2 + i % 3
+                body = (
+                    f"<html><head><title>列表页 {i}_index</title></head><body>"
+                    f"<script>var countPage = {count};var m_nPageIndex = 0;</script>"
+                    + "".join(hrefs)
+                    + "</body></html>"
+                )
+            else:
+                k = 1 + i % 3
+                img_tags = []
+                for j in range(k):
+                    idx = int(rng.integers(0, len(image_ids)))
+                    iid = image_ids[idx]
+                    gt_imgs.append(iid)
+                    img_tags.append(
+                        f'<img src="{image_url(iid)}" alt="{captions[idx]}">'
+                    )
+                word = _WORDS[i % len(_WORDS)]
+                cjk = _CJK_BODY.format(
+                    i=i, yy=i % 30, no=1 + i % 400, m=1 + i % 12, d=1 + i % 28, word=word
+                )
+                body = (
+                    f"<html><head><title>政策文件{i}_国务院公报</title>"
+                    '<meta charset="utf-8"><meta name="keywords" content="政策,法规">'
+                    f"</head><body>{cjk}"
+                    + "".join(img_tags)
+                    + "".join(hrefs)
+                    + "</body></html>"
+                )
+        urls.append(url)
+        hosts.append(host)
+        statuses.append(status)
+        ctypes.append(ctype)
+        bodies.append(body.encode("utf-8"))
+        fails.append(fail)
+        links_col.append(gt_links)
+        imgs_col.append(gt_imgs)
+        locations.append(loc)
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "host": pa.array(hosts, pa.string()),
+            "status": pa.array(statuses, pa.int16()),
+            "content_type": pa.array(ctypes, pa.string()),
+            "body": pa.array(bodies, pa.large_binary()),
+            "location": pa.array(locations, pa.string()),
+            "fail_attempts": pa.array(fails, pa.int16()),
+            "links": pa.array(links_col, pa.list_(pa.string())),
+            "images": pa.array(imgs_col, pa.list_(pa.string())),
+        }
+    )
+    # robots: host 0 disallows /private/, every 4th host gets a crawl delay
+    rhosts = [f"h{h:03d}.example.test" for h in range(p.n_hosts)] + [IMG_HOST]
+    delays = [(200 if h % 4 == 0 else 0) for h in range(p.n_hosts)] + [0]
+    disallow = [["/private/"] if h == 0 else [] for h in range(p.n_hosts)] + [[]]
+    robots = pa.table(
+        {
+            "host": pa.array(rhosts, pa.string()),
+            "delay_ms": pa.array(delays, pa.int32()),
+            "disallow": pa.array(disallow, pa.list_(pa.string())),
+        }
+    )
+    return pages, robots
+
+
+# ---------------------------------------------------------------------------
+# F2 — seeds
+
+
+def build_seeds(p: GraphParams, n_seeds: int = 4) -> pa.Table:
+    """Messy-on-purpose seed forms for the canonicalizer (FIXTURES.md F2)."""
+    from ..functions import urltools as ut
+
+    rows = []
+    for s in range(n_seeds):
+        i = s * 97 % p.n_pages
+        # pick a guaranteed-200 page as seed
+        while i % 31 == 7 or i % 23 == 5 or i % 17 == 3:
+            i = (i + 1) % p.n_pages
+        url = page_url(i, p)
+        sp = ut.split_url(url)
+        messy = (
+            f'HTTP://{str(sp["host"]).upper()}:80{sp["path"]}x/../{sp["file"]}#frag'
+            if s % 2
+            else url
+        )
+        rows.append({"url": messy, "depth": 0 if s == 0 else 1, "priority": 0})
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("url", pa.string()), ("depth", pa.int32()), ("priority", pa.int32())]
+    ))
+
+
+# ---------------------------------------------------------------------------
+# cache
+
+
+def ensure_fixtures(p: GraphParams | None = None, root: str = "/tmp/lcray_fixtures") -> dict[str, str]:
+    """Materialize all fixture tables once; returns name → parquet path."""
+    p = p or GraphParams()
+    key = f"p{p.n_pages}_h{p.n_hosts}_i{p.n_images}_s{p.seed}_d{p.out_degree}"
+    d = os.path.join(root, key)
+    paths = {name: os.path.join(d, f"{name}.parquet") for name in ("images", "pages", "robots", "seeds")}
+    if all(os.path.exists(v) for v in paths.values()):
+        return paths
+    os.makedirs(d, exist_ok=True)
+    images = build_images(p.n_images, p.seed)
+    pages, robots = build_hostgraph(p, images)
+    seeds = build_seeds(p)
+    pq.write_table(images, paths["images"])
+    pq.write_table(pages, paths["pages"])
+    pq.write_table(robots, paths["robots"])
+    pq.write_table(seeds, paths["seeds"])
+    return paths
