@@ -1,0 +1,268 @@
+"""Text/content extraction — CJK metadata fields, dates, doc numbers, named
+entities, plus the training-data text-analysis family (language id, quality
+score, token counting, fingerprinting).
+
+Reference semantics re-expressed (worker/ExtractContent.class.php):
+
+- DOM→text linearization + boilerplate strip (M16/M17): here a regex
+  tag-strip with block-tag newlines — the goal (text lines for the index-block
+  scanner) is preserved without a DOM lib.
+- index-block lines (M19): squashed lines matching ``^<2-8 CJK chars><：:|】]>``
+  key:value metadata shape (:525-542).
+- summary fields (M20): CJK label-synonym table → {title, author, tags,
+  index_ori_no, doc_ori_no, publish_time, t_valid, keywords} (:397-517,
+  labels :162-174).
+- date normalize (M21): ``YYYY[年-]M[月-]D[日]?`` → unix epoch (:206-221).
+- doc-number normalize (M22): ``机关〔YYYY〕N号`` → canonical form (:227-241).
+- named entities (M23): all ``《…》`` spans, uniq, order-preserving (:823-832).
+- title guess (M24): <title> split on _/- first token (:548-583).
+- t_valid sentence scan (M26): ``自YYYY年M月D日起施行`` (:607-616).
+- edit distance (M31): standard Levenshtein DP (:354-395).
+
+The text-analysis extras at the bottom are new first-class operators for the
+100 TB training-data pipeline (not in the reference): n-gram language id,
+length/punct/stopword quality scoring, whitespace+BPE-ish token counting,
+rolling-hash fingerprints.
+"""
+
+from __future__ import annotations
+
+import calendar
+import re
+
+import numpy as np
+
+_BLOCK_TAGS_RE = re.compile(r"<(?:br|/?(?:div|p|tr|ul|ol|li|h[1-6]|table))\b[^>]*>", re.IGNORECASE)
+_TD_RE = re.compile(r"</t[dh]\s*>", re.IGNORECASE)
+_TAG_RE = re.compile(r"<[^>]+>")
+_SCRIPT_STYLE_RE = re.compile(r"<(script|style)\b.*?</\1\s*>", re.IGNORECASE | re.DOTALL)
+_WS_LINE_RE = re.compile(r"[ \t　]+")
+
+# M19 — key:value metadata line: 2-8 CJK chars then a separator
+_INDEX_LINE_RE = re.compile(r"^([一-鿿][一-鿿\s　]{1,10})[：:|】\]](.*)$")
+
+# M20 — label synonym table (subset of the reference's ~40, same shape)
+_LABELS = {
+    "title": ("标题", "标 题", "名称", "信息名称"),
+    "index_ori_no": ("索引号", "索 引 号"),
+    "doc_ori_no": ("发文字号", "文号", "发文号", "文件编号"),
+    "author": ("发文机关", "发布机构", "发文单位", "制发机关"),
+    "tags": ("主题分类", "分类", "体裁分类"),
+    "publish_time": ("发布日期", "发布时间", "印发日期", "公布日期"),
+    "cwrq": ("成文日期", "成文时间"),
+    "keywords": ("主题词", "关键词"),
+    "t_valid": ("施行日期", "生效日期", "实施日期"),
+    "t_invalid": ("废止日期", "失效日期"),
+}
+_LABEL_TO_FIELD = {syn: f for f, syns in _LABELS.items() for syn in syns}
+
+_DATE_RE = re.compile(r"(\d{4})\s*[年\-/.]\s*(\d{1,2})\s*[月\-/.]\s*(\d{1,2})\s*日?")
+# M22 — 机关〔YYYY〕第N号 (any bracket family)
+_DOCNO_RE = re.compile(
+    r"([一-鿿]{2,12})\s*[\(（\[〔【]\s*(\d{4})\s*[\)）\]〕】]\s*第?\s*(\d+)\s*号"
+)
+_NEG_RE = re.compile(r"《([^《》]{1,60})》")
+_TVALID_RE = re.compile(r"自\s*(\d{4})\s*年\s*(\d{1,2})\s*月\s*(\d{1,2})\s*日\s*起\s*施行")
+
+
+def html_to_lines(html: str) -> list[str]:
+    """M16/M17 — strip boilerplate tags, linearize to squashed text lines."""
+    html = _SCRIPT_STYLE_RE.sub(" ", html)
+    html = _TD_RE.sub("|", html)
+    html = _BLOCK_TAGS_RE.sub("\n", html)
+    text = _TAG_RE.sub("", html)
+    import html as _h
+
+    text = _h.unescape(text)
+    lines = []
+    for ln in text.replace("\r", "\n").split("\n"):
+        ln = _WS_LINE_RE.sub(" ", ln).strip()
+        if ln:
+            lines.append(ln)
+    return lines
+
+
+def index_block(lines: list[str]) -> list[tuple[str, str]]:
+    """M19 — (label, value) pairs from key:value metadata lines."""
+    out = []
+    for ln in lines:
+        m = _INDEX_LINE_RE.match(ln)
+        if m:
+            out.append((m.group(1).replace(" ", "").replace("　", ""), m.group(2).strip()))
+    return out
+
+
+def parse_cjk_date(s: str) -> int:
+    """M21 — first ``YYYY年M月D日``-family date in s → unix epoch secs, else 0."""
+    m = _DATE_RE.search(s)
+    if not m:
+        return 0
+    y, mo, d = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if not (1900 <= y <= 2100 and 1 <= mo <= 12 and 1 <= d <= 31):
+        return 0
+    try:
+        return calendar.timegm((y, mo, d, 0, 0, 0))
+    except ValueError:
+        return 0
+
+
+def normalize_doc_no(s: str) -> str:
+    """M22 — canonical ``机关〔YYYY〕N号`` form, '' when absent."""
+    m = _DOCNO_RE.search(s)
+    if not m:
+        return ""
+    return f"{m.group(1)}({m.group(2)}){m.group(3)}号"
+
+
+def named_entities(text: str) -> list[str]:
+    """M23 — unique 《…》 spans in first-seen order."""
+    out, seen = [], set()
+    for m in _NEG_RE.finditer(text):
+        v = m.group(1)
+        if v not in seen:
+            seen.add(v)
+            out.append(v)
+    return out
+
+
+def t_valid_scan(text: str) -> int:
+    """M26 — ``自YYYY年M月D日起施行`` → epoch secs, else 0."""
+    m = _TVALID_RE.search(text)
+    if not m:
+        return 0
+    return parse_cjk_date(f"{m.group(1)}年{m.group(2)}月{m.group(3)}日")
+
+
+def title_guess(title_tag: str) -> str:
+    """M24 — first token of <title> split on _/-."""
+    return re.split(r"[_\-]", title_tag)[0].strip()
+
+
+def extract_summary(lines: list[str], title_tag: str = "") -> dict[str, object]:
+    """M20 — the metadata record for a detail page."""
+    fields: dict[str, object] = {
+        "title": "", "index_ori_no": "", "doc_ori_no": "", "author": "",
+        "tags": "", "keywords": "", "publish_time": 0, "t_valid": 0, "t_invalid": 0,
+    }
+    for label, value in index_block(lines):
+        f = _LABEL_TO_FIELD.get(label)
+        if f is None or not value:
+            continue
+        if f in ("publish_time", "t_valid", "t_invalid"):
+            if not fields[f]:
+                fields[f] = parse_cjk_date(value)
+        elif f == "cwrq":
+            if not fields["publish_time"]:
+                fields["publish_time"] = parse_cjk_date(value)
+        elif f == "doc_ori_no":
+            if not fields[f]:
+                fields[f] = normalize_doc_no(value) or value
+        elif not fields[f]:
+            fields[f] = value
+    if not fields["title"] and title_tag:
+        fields["title"] = title_guess(title_tag)
+    full = "\n".join(lines)
+    if not fields["doc_ori_no"]:
+        fields["doc_ori_no"] = normalize_doc_no(full)
+    if not fields["t_valid"]:
+        fields["t_valid"] = t_valid_scan(full)
+    return fields
+
+
+def edit_distance(a: str, b: str) -> int:
+    """M31 — Levenshtein distance (numpy DP rows)."""
+    if a == b:
+        return 0
+    if not a or not b:
+        return max(len(a), len(b))
+    bs = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        sub = prev[:-1] + (bs != ord(ca))  # numpy broadcast: substitution costs
+        cur = [i]
+        for j in range(1, len(b) + 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, int(sub[j - 1])))
+        prev = cur
+    return int(prev[-1])
+
+
+# ---------------------------------------------------------------------------
+# Training-data text analysis (new operators, SURVEY.md "beyond the reference")
+
+_STOPWORDS_EN = frozenset(
+    "the of and a to in is was it for on as are with be by at this that from or an".split()
+)
+_WORD_RE = re.compile(r"[a-zA-Z]+|[0-9]+|[一-鿿]")
+_BPEISH_RE = re.compile(r"\w+|[^\w\s]")
+_PUNCT_RE = re.compile(r"[^\w\s一-鿿]")
+
+
+def lang_id(text: str) -> str:
+    """n-gram/charclass heuristic language id: zh / en / other."""
+    if not text:
+        return "other"
+    sample = text[:2000]
+    n = len(sample)
+    cjk = sum("一" <= c <= "鿿" for c in sample)
+    latin = sum("a" <= c.lower() <= "z" for c in sample)
+    if cjk / n > 0.15:
+        return "zh"
+    if latin / n > 0.4:
+        words = set(w.lower() for w in re.findall(r"[a-zA-Z]+", sample))
+        return "en" if words & _STOPWORDS_EN else "other"
+    return "other"
+
+
+def quality_score(text: str) -> float:
+    """length/punct/stopword-ratio quality heuristic in [0,1]."""
+    if not text:
+        return 0.0
+    n = len(text)
+    len_score = min(n / 500.0, 1.0) * (1.0 if n < 50_000 else 0.5)
+    punct_ratio = len(_PUNCT_RE.findall(text[:5000])) / min(n, 5000)
+    punct_score = 1.0 - min(punct_ratio * 3.0, 1.0)
+    words = [w.lower() for w in re.findall(r"[a-zA-Z]+", text[:5000])]
+    if words:
+        stop_ratio = sum(w in _STOPWORDS_EN for w in words) / len(words)
+        stop_score = min(stop_ratio * 4.0, 1.0)
+    else:
+        stop_score = 0.5  # neutral for non-latin text
+    return round((len_score + punct_score + stop_score) / 3.0, 6)
+
+
+def token_count(text: str, mode: str = "ws") -> int:
+    """Token counting: ``ws`` whitespace split; ``bpe`` BPE-ish regex pieces."""
+    if not text:
+        return 0
+    if mode == "ws":
+        return len(text.split())
+    return len(_BPEISH_RE.findall(text))
+
+
+def fingerprint(text: str, window: int = 8) -> int:
+    """Document fingerprint: min rolling Karp-Rabin hash over char windows —
+    a winnowing-style stable 63-bit fingerprint."""
+    if not text:
+        return 0
+    data = text.encode("utf-8", "surrogatepass")
+    if len(data) <= window:
+        h = 0
+        for b in data:
+            h = (h * 257 + b) & 0x7FFFFFFFFFFFFFFF
+        return h
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    base = np.uint64(257)
+    mask = np.uint64(0x7FFFFFFFFFFFFFFF)
+    pw = np.uint64(1)
+    for _ in range(window - 1):
+        pw = (pw * base) & mask
+    h = np.uint64(0)
+    n = len(arr)
+    hashes = np.empty(n - window + 1, dtype=np.uint64)
+    for i in range(window):
+        h = (h * base + arr[i]) & mask
+    hashes[0] = h
+    for i in range(window, n):
+        h = ((h - arr[i - window] * pw) * base + arr[i]) & mask
+        hashes[i - window + 1] = h
+    return int(hashes.min())

@@ -1,0 +1,254 @@
+"""Frontier preparation stages: canonicalize → filter → within-round dedup →
+seen-set gate → enqueue-seq assignment.
+
+Determinism contract (SURVEY.md §2.9 / hard part (a)): the reference's
+single queue enqueues a fetched doc's surviving links immediately, FIFO, and
+pops max-priority-first FIFO-within-level (O1).  This engine reproduces that
+as, per round:
+
+1. candidates carry ``(parent_seq, link_idx)`` — the lexicographic order in
+   which the reference would have enqueued them;
+2. duplicate URLs within the round collapse to the smallest
+   ``(parent_seq, link_idx)`` (the reference's first INSERT wins, T1);
+3. the seen-set gate drops anything enqueued in an earlier round;
+4. survivors get contiguous ``enqueue_seq`` numbers in ``(parent_seq,
+   link_idx)`` order — priority does NOT affect enqueue numbering, only pop
+   order, exactly like the reference;
+5. the fetch schedule sorts on ``(priority desc, enqueue_seq asc)``.
+
+All steps are Dataset ops (map_batches / groupby / sort); the only raw-Ray
+piece is the rank assignment, which the Dataset API cannot express — it
+enumerates sorted blocks without moving them through the driver (counts only).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions import urltools as ut
+
+CANDIDATE_COLS = [
+    "url", "url_md5", "host", "link_raw", "linktext", "referer",
+    "depth", "priority", "is_redirect", "parent_seq", "link_idx",
+]
+
+
+@dataclass
+class CrawlSpec:
+    """The declarative per-site spec — the Ray shape of the reference's
+    ``$SeedConf`` + ``$ContentHandlers`` + ~30 crawler setters
+    (SURVEY.md §2.10; worker/SpiderFrame.class.php:26-28, PHPCrawler setters
+    :1190-2256)."""
+
+    max_depth: int = 3                       # O2; reference default 1
+    follow_mode: int = 1                     # 0 all, 1 same-domain, 2 same-host, 3 same-path (M8)
+    url_filter_regexes: tuple[str, ...] = () # blacklist (OR)
+    url_follow_regexes: tuple[str, ...] = () # whitelist (OR); empty = allow all
+    priority_rules: tuple[tuple[str, int], ...] = ()  # first-match regex → level
+    respect_robots: bool = True              # T5
+    request_limit: int = 0                   # 0 = unlimited (A2/O3)
+    retry_limit: int = 3
+    content_size_limit: int = 1 << 22
+    receive_rules: tuple[str, ...] = ("text/", "image/")  # M10
+    min_doc_bytes: int = 100                 # M12
+    aggressive_links: bool = False           # M4 pass 3
+    synthesize_pagination: bool = False      # M29
+    request_delay_ms: float = 0.0            # T7 politeness budget (recorded)
+    seed_hosts: tuple[str, ...] = ()         # filled from seeds at job start
+    seed_domains: tuple[str, ...] = ()
+    seed_paths: tuple[str, ...] = ()
+    seen_shards: int = 4
+    seen_capacity: int = 1 << 20
+    seen_mode: str = "both"                  # exact | cuckoo | both
+    fetch_concurrency: int = 4
+    fetch_batch_size: int = 256
+
+
+class CandidateFilter:
+    """map_batches callable: canonicalize + M8/O2 filter + priority assign.
+
+    Stateless w.r.t. the crawl but holds compiled regexes + the broadcast
+    robots rules → callable class on an actor pool isn't needed; Ray
+    re-uses the instance across batches within a task (init-per-task)."""
+
+    def __init__(self, spec: CrawlSpec, robots_ref=None):
+        import re
+
+        self.spec = spec
+        self.filter_res = [re.compile(r) for r in spec.url_filter_regexes]
+        self.follow_res = [re.compile(r) for r in spec.url_follow_regexes]
+        self.prio_res = [(re.compile(r), lvl) for r, lvl in spec.priority_rules]
+        self.robots = ray.get(robots_ref) if robots_ref is not None else {}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_candidates()
+        urls = [ut.canonicalize(u) or "" for u in t.column("url").to_pylist()]
+        linktexts = t.column("linktext").to_pylist() if "linktext" in t.column_names else [""] * len(urls)
+        depths = t.column("depth").to_pylist()
+        redirs = (
+            t.column("is_redirect").to_pylist()
+            if "is_redirect" in t.column_names
+            else [False] * len(urls)
+        )
+        keep = np.ones(len(urls), dtype=bool)
+        hosts, prios = [], []
+        for i, u in enumerate(urls):
+            if not u:
+                keep[i] = False
+                hosts.append("")
+                prios.append(0)
+                continue
+            p = ut.split_url(u)
+            host = str(p["host"])
+            hosts.append(host)
+            # depth limit (redirects don't consume depth, M9)
+            if depths[i] > self.spec.max_depth and not redirs[i]:
+                keep[i] = False
+            elif not self._follow_ok(u, host, str(p["domain"]), str(p["path"])):
+                keep[i] = False
+            elif self._blacklisted(u, linktexts[i] or ""):
+                keep[i] = False
+            elif self.robots and self._robots_blocked(host, str(p["path"]) + str(p["file"])):
+                keep[i] = False
+            prios.append(self._priority(u))
+        out = pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "url_md5": pa.array([ut.url_md5(u) if u else "" for u in urls], pa.string()),
+                "host": pa.array(hosts, pa.string()),
+                "link_raw": _col(t, "link_raw", len(urls)),
+                "linktext": pa.array([x or "" for x in linktexts], pa.string()),
+                "referer": _col(t, "referer", len(urls)),
+                "depth": pa.array(depths, pa.int32()),
+                "priority": pa.array(prios, pa.int32()),
+                "is_redirect": pa.array(redirs, pa.bool_()),
+                "parent_seq": _col(t, "parent_seq", len(urls), pa.int64(), -1),
+                "link_idx": _col(t, "link_idx", len(urls), pa.int64(), 0),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    def _follow_ok(self, url: str, host: str, domain: str, path: str) -> bool:
+        s = self.spec
+        if s.follow_mode == 0 or not s.seed_hosts:
+            return True
+        if s.follow_mode == 1:
+            return domain in s.seed_domains or host in s.seed_hosts
+        www = host[4:] if host.startswith("www.") else host
+        ok_host = any(www == (h[4:] if h.startswith("www.") else h) for h in s.seed_hosts)
+        if s.follow_mode == 2:
+            return ok_host
+        return ok_host and any(path.startswith(p) for p in s.seed_paths)
+
+    def _blacklisted(self, url: str, linktext: str) -> bool:
+        for r in self.filter_res:
+            if r.search(url) or (linktext and r.search(linktext)):
+                return True
+        if self.follow_res:
+            return not any(r.search(url) or (linktext and r.search(linktext)) for r in self.follow_res)
+        return False
+
+    def _robots_blocked(self, host: str, path: str) -> bool:
+        rules = self.robots.get(host)
+        if not rules:
+            return False
+        return any(path.startswith(p) for p in rules.get("disallow", ()))
+
+    def _priority(self, url: str) -> int:
+        for r, lvl in self.prio_res:
+            if r.search(url):
+                return lvl
+        return 0
+
+
+def _col(t: pa.Table, name: str, n: int, typ=pa.string(), default=""):
+    if name in t.column_names:
+        c = t.column(name)
+        return c.cast(typ) if c.type != typ else c
+    return pa.array([default] * n, typ)
+
+
+def _empty_candidates() -> pa.Table:
+    return pa.schema(
+        [
+            ("url", pa.string()), ("url_md5", pa.string()), ("host", pa.string()),
+            ("link_raw", pa.string()), ("linktext", pa.string()), ("referer", pa.string()),
+            ("depth", pa.int32()), ("priority", pa.int32()), ("is_redirect", pa.bool_()),
+            ("parent_seq", pa.int64()), ("link_idx", pa.int64()),
+        ]
+    ).empty_table()
+
+
+def dedup_within_round(ds: rd.Dataset) -> rd.Dataset:
+    """Collapse duplicate url_md5 to the reference's first-enqueuer —
+    smallest (parent_seq, link_idx).  Hash-partitioned groupby shuffle keyed
+    on url_md5 (D1)."""
+
+    def first_enqueuer(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["parent_seq", "link_idx"], kind="stable").head(1)
+
+    return ds.groupby("url_md5").map_groups(first_enqueuer, batch_format="pandas")
+
+
+def make_seen_gate(shards: list, k: int):
+    """A map_batches closure that scatters each batch's url_md5s to the seen
+    shard actors (T1) and keeps only first sightings.  Runs inside Ray tasks;
+    the actor mailbox serializes shard mutation."""
+    from ..state.seenset import shard_of
+
+    def gate(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        md5s = t.column("url_md5").to_pylist()
+        sh = shard_of(md5s, k)
+        mask = np.zeros(len(md5s), dtype=bool)
+        futs, idxs = [], []
+        for s in range(k):
+            idx = np.nonzero(sh == s)[0]
+            if idx.size:
+                futs.append(shards[s].check_and_add.remote([md5s[i] for i in idx]))
+                idxs.append(idx)
+        for idx, res in zip(idxs, ray.get(futs)):
+            mask[idx] = res
+        return t.filter(pa.array(mask))
+
+    return gate
+
+
+@ray.remote
+def _count_rows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@ray.remote
+def _add_seq(t: pa.Table, offset: int) -> pa.Table:
+    return t.append_column(
+        "enqueue_seq", pa.array(np.arange(offset, offset + t.num_rows), pa.int64())
+    )
+
+
+def assign_enqueue_seq(ds: rd.Dataset, start: int) -> tuple[rd.Dataset, int]:
+    """Contiguous enqueue_seq in (parent_seq, link_idx) order starting at
+    ``start``.  Sorts (range shuffle), then ranks sorted blocks in place:
+    only per-block row counts travel to the driver; block payloads stay in
+    the object store.  Returns (dataset, next_seq)."""
+    sorted_ds = ds.sort(["parent_seq", "link_idx"])
+    refs = sorted_ds.to_arrow_refs()
+    counts = ray.get([_count_rows.remote(r) for r in refs])
+    # drop zero-row blocks: empty groupby partitions can carry a degenerate
+    # (zero-column) schema that would poison the downstream sort
+    refs = [r for r, c in zip(refs, counts) if c > 0]
+    counts = [c for c in counts if c > 0]
+    if not refs:
+        return rd.from_arrow(_empty_candidates().append_column(
+            "enqueue_seq", pa.array([], pa.int64()))), start
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) + start
+    out_refs = [_add_seq.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return rd.from_arrow_refs(out_refs), start + int(sum(counts))

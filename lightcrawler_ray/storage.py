@@ -45,6 +45,7 @@ def write_dataset(ds: "ray.data.Dataset", path: str, **kwargs: Any) -> None:
     that need all-or-nothing semantics use :func:`commit_table` on a
     driver-side Arrow table, or wrap this in tmp-dir + rename themselves.
     """
+    os.makedirs(path, exist_ok=True)  # zero-row datasets write no part files
     if HAVE_LANCE and hasattr(ds, "write_lance"):  # pragma: no cover
         ds.write_lance(path, **kwargs)
     else:
@@ -52,12 +53,22 @@ def write_dataset(ds: "ray.data.Dataset", path: str, **kwargs: Any) -> None:
     mark_complete(path)
 
 
-def read_dataset(path: str, columns: list[str] | None = None, **kwargs: Any) -> "ray.data.Dataset":
-    """Read a table directory as a Ray Dataset with column pruning."""
+def read_dataset(path: str, columns: list[str] | None = None,
+                 empty_schema: pa.Schema | None = None, **kwargs: Any) -> "ray.data.Dataset":
+    """Read a table directory as a Ray Dataset with column pruning.
+
+    ``empty_schema``: schema to use for a committed zero-row table (a dir with
+    a _SUCCESS manifest but no part files)."""
     import ray.data as rd
 
     if HAVE_LANCE and os.path.isdir(path) and path.endswith(".lance"):  # pragma: no cover
         return rd.read_lance(path, columns=columns, **kwargs)
+    if (
+        os.path.isdir(path)
+        and not any(f.endswith(".parquet") for f in os.listdir(path))
+        and is_complete(path)
+    ):
+        return rd.from_arrow((empty_schema or pa.schema([])).empty_table())
     return rd.read_parquet(path, columns=columns, **kwargs)
 
 
@@ -88,6 +99,8 @@ def load_table(path: str, columns: list[str] | None = None) -> pa.Table:
         os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
     )
     if not parts:
+        if is_complete(path):  # a committed zero-row table
+            return pa.table({})
         raise FileNotFoundError(f"no table files under {path}")
     return pa.concat_tables([pq.read_table(p, columns=columns) for p in parts])
 
