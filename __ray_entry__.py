@@ -1,44 +1,371 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship training-data pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 (+ the training-data extras); ``oracle_sql()`` pairs each
+SQL-expressible query with ANSI SQL DuckDB runs on the same parquet views.
+Column names match between the Ray result and the SQL on purpose — the
+driver's value-hash compare sorts columns by name.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in lightcrawler_ray) calls ray.init()/ray.shutdown().
+
+Crawl-specific operators run on the deterministic synthetic fixtures
+(FIXTURES.md F1-F3, cached under /tmp) — they are rows-only checks (no SQL
+equivalent), with parity against the reference-semantics simulator enforced
+separately in tests/test_crawl.py.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_SW = "('the','of','and','a','to','in','is','was','it','for')"
+# the full stopword list texttools.lang_id checks against
+_SW_LANG = (
+    "('the','of','and','a','to','in','is','was','it','for','on','as','are',"
+    "'with','be','by','at','this','that','from','or','an')"
+)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: the training-data enrichment pipeline over sf0.001 documents
+    — language id, quality score, token count, simhash, fingerprint in one
+    vectorized map_batches pass, exact-dedup keep-first at the end."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lightcrawler_ray.functions import hashing, texttools
+
+    sf_dir = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+    def enrich(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        sims = []
+        for x in texts:
+            s = hashing.simhash64(x)
+            sims.append(s - (1 << 64) if s >= (1 << 63) else s)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "lang_pred": pa.array([texttools.lang_id(x) for x in texts], pa.string()),
+                "quality": pa.array([texttools.quality_score(x) for x in texts], pa.float64()),
+                "n_tokens": pa.array([texttools.token_count(x) for x in texts], pa.int64()),
+                "simhash": pa.array(sims, pa.int64()),
+                "fingerprint": pa.array([texttools.fingerprint(x) for x in texts], pa.int64()),
+                "doc_hash": pa.array([hashing.doc_id(x) for x in texts], pa.string()),
+            }
+        )
+
+    enriched = ds.map_batches(enrich, batch_format="pyarrow")
+
+    def keep_first(g):
+        return g.sort_values("doc_id").head(1)
+
+    return enriched.groupby("doc_hash").map_groups(keep_first, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# crawl fixture helpers (rows-only queries)
+
+_CRAWL_CACHE: dict[str, Any] = {}
+
+
+def _fixture_paths():
+    from lightcrawler_ray.sources import synth
+
+    p = synth.GraphParams(n_pages=300, n_hosts=6, n_images=120, out_degree=6)
+    return p, synth.ensure_fixtures(p)
+
+
+def _run_crawl_cached(sf_dir: str):
+    """One crawl per process; sf_dir only keys the cache (fixtures are the
+    deterministic synthetic web, independent of TPC-H scale)."""
+    if "job" in _CRAWL_CACHE:
+        return _CRAWL_CACHE["job"]
+    import pyarrow.parquet as pq
+
+    from lightcrawler_ray.pipelines.crawl import CrawlJob
+    from lightcrawler_ray.stages.frontier import CrawlSpec
+
+    _, paths = _fixture_paths()
+    job_dir = "/tmp/lcray_entry_job"
+    shutil.rmtree(job_dir, ignore_errors=True)
+    spec = CrawlSpec(max_depth=2, follow_mode=1, seen_shards=2, fetch_concurrency=2,
+                     fetch_batch_size=64)
+    seeds = pq.read_table(paths["seeds"])
+    job = CrawlJob(spec, seeds, paths["pages"], paths["images"], paths["robots"], job_dir)
+    job.run(max_rounds=10)
+    _CRAWL_CACHE["job"] = job
+    return job
+
+
+def _q_crawl_seen(sf_dir: str):
+    import pandas as pd
+
+    job = _run_crawl_cached(sf_dir)
+    return pd.DataFrame({"url_md5": job.seen.members()})
+
+
+def _q_crawl_order(sf_dir: str):
+    import pandas as pd
+
+    job = _run_crawl_cached(sf_dir)
+    order = job.crawl_order()
+    return pd.DataFrame({"seq": range(len(order)), "url_md5": order})
+
+
+def _q_crawl_images(sf_dir: str):
+    import pandas as pd
+
+    from lightcrawler_ray import storage
+
+    job = _run_crawl_cached(sf_dir)
+    rows = []
+    for d in sorted(os.listdir(job.job_dir)):
+        p = os.path.join(job.job_dir, d, "images")
+        if d.startswith("epoch=") and os.path.isdir(p):
+            t = storage.load_table(p)
+            if t.num_columns:
+                rows.extend(
+                    t.select(["image_id", "w", "h", "fmt", "caption", "phash"]).to_pylist()
+                )
+    return pd.DataFrame(rows, columns=["image_id", "w", "h", "fmt", "caption", "phash"])
+
+
+def _q_crawl_docs(sf_dir: str):
+    import pandas as pd
+
+    from lightcrawler_ray import storage
+
+    job = _run_crawl_cached(sf_dir)
+    rows = []
+    for d in sorted(os.listdir(job.job_dir)):
+        p = os.path.join(job.job_dir, d, "docs")
+        if d.startswith("epoch=") and os.path.isdir(p):
+            t = storage.load_table(p)
+            if t.num_columns:
+                rows.extend(
+                    t.select(["doc_id", "url", "doc_ori_no", "title", "publish_time"]).to_pylist()
+                )
+    return pd.DataFrame(rows, columns=["doc_id", "url", "doc_ori_no", "title", "publish_time"])
+
+
+def _q_canonicalize(sf_dir: str):
+    """M1-M3 over a fixed messy-URL corpus (rows-only; canonicalization is
+    not expressible in ANSI SQL)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lightcrawler_ray.functions import urltools as ut
+
+    messy = [
+        "HTTP://Example.COM:80/a/../b?z=1&a=2", "https://X.org:443/p/./q/",
+        "http://h.net/%7eu#frag", "http://h.net/a/b/../../../c",
+        "javascript:void(0)", "//no-scheme.example/x", "http://h.net/p?b&a=1",
+    ] + [f"http://host{i % 7}.example.test/d{i // 3}/../p{i}.html?y={i % 5}&x=1" for i in range(100)]
+    ds = rd.from_items([{"url": u} for u in messy])
+
+    def canon(t: pa.Table) -> pa.Table:
+        c = [ut.canonicalize(u) or "" for u in t.column("url").to_pylist()]
+        return pa.table(
+            {"url": t.column("url"), "canonical": pa.array(c, pa.string()),
+             "url_md5": pa.array([ut.url_md5(x) if x else "" for x in c], pa.string())}
+        )
+
+    return ds.map_batches(canon, batch_format="pyarrow")
+
+
+def _q_image_stats(sf_dir: str):
+    from lightcrawler_ray.extras import multimodal
+
+    _, paths = _fixture_paths()
+    return multimodal.image_stats(paths["images"])
+
+
+def _q_image_resize(sf_dir: str):
+    import pyarrow as pa
+
+    from lightcrawler_ray.extras import multimodal
+
+    _, paths = _fixture_paths()
+    ds = multimodal.image_resize(paths["images"], side=32)
+    return ds.map_batches(
+        lambda t: t.select(["image_id", "w", "h", "fmt"]), batch_format="pyarrow"
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from lightcrawler_ray import relational as rel
+    from lightcrawler_ray.extras import ann, dedupe, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / SURVEY §2 (SQL-oracled)
+        "crawl_report": rel.crawl_report,
+        "status_gate": rel.status_gate,
+        "priority_topk": rel.priority_topk,
+        "exact_dedup_first": rel.exact_dedup_first,
+        "anti_join_new": rel.anti_join_new,
+        "dim_enrich": rel.dim_enrich,
+        "pricing_summary": rel.pricing_summary,
+        "top_revenue": rel.top_revenue,
+        "union_seeds": rel.union_seeds,
+        "distinct_langs": rel.distinct_langs,
+        "tumbling_window": rel.tumbling_window,
+        "sessionize": rel.sessionize,
+        # training-data text ops (SQL-oracled)
+        "token_counts": textstats.token_counts,
+        "stopword_ratio": textstats.stopword_ratio,
+        "lang_id": textstats.lang_id,
+        # dedup family
+        "dedup_exact": rel.exact_dedup_first,
+        "ngram_jaccard_pairs": dedupe.ngram_jaccard_pairs,
+        "embedding_near_dups": dedupe.embedding_near_dups,
+        "minhash_lsh_pairs": dedupe.minhash_lsh_pairs,       # rows-only
+        "simhash_near_dups": dedupe.simhash_near_dups,       # rows-only
+        # similarity search
+        "ann_topk": ann.topk_bruteforce,
+        "ann_topk_lsh": ann.topk_lsh,                        # rows-only (approx)
+        # text extras (rows-only)
+        "quality_scores": textstats.quality_scores,
+        "fingerprints": textstats.fingerprints,
+        # crawl engine (rows-only, deterministic fixtures)
+        "crawl_canonicalize": _q_canonicalize,
+        "crawl_seen": _q_crawl_seen,
+        "crawl_order": _q_crawl_order,
+        "crawl_images": _q_crawl_images,
+        "crawl_docs": _q_crawl_docs,
+        "image_stats": _q_image_stats,
+        "image_resize": _q_image_resize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "crawl_report": (
+            "SELECT count(*) AS links_followed, sum(value) AS bytes_received, "
+            "avg(value) AS avg_ms, max(value) AS max_ms FROM events"
+        ),
+        "status_gate": (
+            "SELECT event_id, user_id, value FROM events "
+            "WHERE event_type = 'purchase' AND value > 50"
+        ),
+        "priority_topk": (
+            "SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 100"
+        ),
+        "exact_dedup_first": (
+            "SELECT md5(text) AS doc_hash, min(doc_id) AS first_doc "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "anti_join_new": (
+            "SELECT e.event_id, e.user_id FROM events e "
+            "LEFT JOIN supplier s ON e.user_id = s.s_suppkey "
+            "WHERE s.s_suppkey IS NULL"
+        ),
+        "dim_enrich": (
+            "SELECT n.n_name AS nation, count(*) AS n_customers, "
+            "sum(c.c_acctbal) AS total_bal "
+            "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "GROUP BY n.n_name"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+            "sum(l_extendedprice) AS sum_base, "
+            "sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price, "
+            "count(*) AS count_order FROM lineitem "
+            "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "top_revenue": (
+            "SELECT o_custkey, sum(o_totalprice) AS revenue FROM orders "
+            "GROUP BY o_custkey ORDER BY revenue DESC, o_custkey LIMIT 10"
+        ),
+        "union_seeds": (
+            "SELECT event_id FROM events WHERE event_type = 'purchase' AND value > 50 "
+            "UNION ALL SELECT event_id FROM events WHERE value > 90"
+        ),
+        "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "tumbling_window": (
+            "SELECT user_id, epoch_us(ts) // 3600000000 AS hour_bucket, "
+            "count(*) AS n_events, sum(value) AS sum_value "
+            "FROM events GROUP BY user_id, epoch_us(ts) // 3600000000"
+        ),
+        "sessionize": (
+            "SELECT user_id, count(*) AS n_sessions FROM ("
+            "  SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL "
+            "    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
+            ") WHERE new_s = 1 GROUP BY user_id"
+        ),
+        "token_counts": (
+            "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(string_split_regex(trim(text), '\\s+')) END AS n_tokens FROM documents"
+        ),
+        "stopword_ratio": (
+            "SELECT doc_id, "
+            f"CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN {_SW})) AS DOUBLE)"
+            " / len(string_split(lower(text), ' ')) AS stop_ratio FROM documents"
+        ),
+        "lang_id": (
+            "SELECT doc_id, CASE "
+            "WHEN CAST(len(regexp_extract_all(substring(text, 1, 2000), '[一-鿿]')) AS DOUBLE)"
+            "   / len(substring(text, 1, 2000)) > 0.15 THEN 'zh' "
+            "WHEN CAST(len(regexp_extract_all(substring(text, 1, 2000), '[a-zA-Z]')) AS DOUBLE)"
+            "   / len(substring(text, 1, 2000)) > 0.4 "
+            " AND len(list_filter(list_distinct(list_transform("
+            "       regexp_extract_all(substring(text, 1, 2000), '[a-zA-Z]+'), x -> lower(x))), "
+            f"      w -> w IN {_SW_LANG})) > 0 THEN 'en' "
+            "ELSE 'other' END AS lang_pred FROM documents"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS doc_hash, min(doc_id) AS first_doc "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "ngram_jaccard_pairs": (
+            "WITH sh AS ("
+            "  SELECT doc_id, source, list_distinct(list_transform("
+            "    range(1, greatest(len(string_split(text, ' ')) - 1, 2)),"
+            "    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]"
+            "         || ' ' || string_split(text, ' ')[i+2])) AS grams"
+            "  FROM documents) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)"
+            " / len(list_distinct(a.grams || b.grams)) AS jaccard "
+            "FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)"
+            " / len(list_distinct(a.grams || b.grams)) >= 0.2"
+        ),
+        "embedding_near_dups": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+            "FROM embeddings a JOIN embeddings b "
+            "ON a.label = b.label AND a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5) "
+            "SELECT query_id, neighbor_id, rank FROM ("
+            "  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+            "  row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "    list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id) AS rank "
+            "  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.vec_id"
+            ") WHERE rank <= 10"
+        ),
+    }
+
+
+if __name__ == "__main__":
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    out = entry()
+    print(out.count() if hasattr(out, "count") else len(out))
+    ray.shutdown()

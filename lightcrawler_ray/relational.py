@@ -1,0 +1,234 @@
+"""Relational operator pipelines over the driver testdata — the DuckDB-
+oracled face of SURVEY.md §2.
+
+Every function takes ``sf_dir`` and returns a Dataset / pandas DataFrame /
+Arrow table whose row-set matches the paired SQL in ``__ray_entry__.
+oracle_sql()`` (column names included).  Each docstring names the SURVEY
+operator(s) the pipeline exercises and the scale pattern it demonstrates
+(broadcast vs shuffle, partial aggregation, pruned reads).
+
+Ray is assumed initialised by the caller (driver contract) — nothing here
+calls ray.init().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _pq(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    # prune at the read: only requested columns leave storage
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+
+
+def crawl_report(sf_dir: str) -> pd.DataFrame:
+    """A1 — the crawler's global report (links_followed / bytes / averages) as
+    a one-row aggregate; partial-per-block then tiny final combine is what
+    ``Dataset.aggregate`` does internally."""
+    ds = _pq(sf_dir, "events", ["event_id", "value"])
+    agg = ds.aggregate(
+        Count(alias_name="links_followed"),
+        Sum("value", alias_name="bytes_received"),
+        Mean("value", alias_name="avg_ms"),
+        Max("value", alias_name="max_ms"),
+    )
+    return pd.DataFrame([agg])
+
+
+def status_gate(sf_dir: str) -> rd.Dataset:
+    """M12/M8 — vectorized predicate filter inside map_batches (the
+    status==200 && bytes>100 gate shape)."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["event_type"], "purchase"), pc.greater(t["value"], 50.0))
+        ).select(["event_id", "user_id", "value"]),
+        batch_format="pyarrow",
+    )
+
+
+def priority_topk(sf_dir: str) -> rd.Dataset:
+    """O1 — pop-order sort: (value desc, event_id asc) top 100, the frontier
+    max-priority-FIFO discipline as a distributed sort + limit."""
+    ds = _pq(sf_dir, "events", ["event_id", "value"])
+    return ds.sort(["value", "event_id"], descending=[True, False]).limit(100)
+
+
+def exact_dedup_first(sf_dir: str) -> rd.Dataset:
+    """D1/D2 — content-hash dedup keep-first: md5(text) added vectorized in
+    map_batches, then a groupby-min shuffle keyed on the hash."""
+    import hashlib
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5(x.encode()).hexdigest() for x in t.column("text").to_pylist()]
+        return pa.table({"doc_hash": pa.array(h), "doc_id": t.column("doc_id")})
+
+    return ds.map_batches(add_hash, batch_format="pyarrow").groupby("doc_hash").aggregate(
+        Min("doc_id", alias_name="first_doc")
+    )
+
+
+def anti_join_new(sf_dir: str) -> rd.Dataset:
+    """J1 — frontier∖seen anti-join: the small side (supplier keys) is
+    broadcast via ray.put once and probed per batch with searchsorted; no
+    shuffle.  (Suppliers, not customers: the customer key space covers every
+    event user at all scale factors, which would make the result empty.)"""
+    import pyarrow.parquet as pq
+
+    keys = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]).column(
+        "s_suppkey"
+    )
+    keys_ref = ray.put(np.unique(keys.to_numpy().astype(np.int64)))
+    ds = _pq(sf_dir, "events", ["event_id", "user_id"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        karr = ray.get(keys_ref)
+        uid = t.column("user_id").to_numpy()
+        idx = np.searchsorted(karr, uid)
+        idx = np.clip(idx, 0, len(karr) - 1)
+        hit = karr[idx] == uid
+        return t.filter(pa.array(~hit))
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def dim_enrich(sf_dir: str) -> rd.Dataset:
+    """J5 — dimension broadcast hash join (cause-of-action / court lookup
+    analog): nation is tiny → dict in the object store, mapped per batch;
+    aggregation is a partial sum inside map_batches before the key shuffle."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nmap_ref = ray.put(dict(zip(nation.column("n_nationkey").to_pylist(),
+                                nation.column("n_name").to_pylist())))
+    ds = _pq(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def enrich_partial(t: pa.Table) -> pa.Table:
+        nmap = ray.get(nmap_ref)
+        df = t.to_pandas()
+        df["nation"] = df["c_nationkey"].map(nmap)
+        g = df.groupby("nation", as_index=False).agg(
+            n_customers=("c_acctbal", "size"), total_bal=("c_acctbal", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = ds.map_batches(enrich_partial, batch_format="pyarrow")
+    return partial.groupby("nation").aggregate(
+        Sum("n_customers", alias_name="n_customers"), Sum("total_bal", alias_name="total_bal")
+    )
+
+
+def pricing_summary(sf_dir: str) -> rd.Dataset:
+    """A1 at TPC-H Q1 shape — pre-aggregate per batch inside map_batches
+    (partial combiner), then groupby-sum over the tiny partials: the
+    shuffle moves O(groups × blocks) rows instead of O(n)."""
+    ds = _pq(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        if t.num_rows == 0:
+            return pa.table(
+                {"l_returnflag": pa.array([], pa.string()),
+                 "l_linestatus": pa.array([], pa.string()),
+                 "sum_qty": pa.array([], pa.float64()),
+                 "sum_base": pa.array([], pa.float64()),
+                 "sum_disc_price": pa.array([], pa.float64()),
+                 "count_order": pa.array([], pa.int64())}
+            )
+        df = t.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base", alias_name="sum_base"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+
+
+def top_revenue(sf_dir: str) -> rd.Dataset:
+    """O1+A1 — aggregate then top-k: revenue per customer, top 10
+    (deterministic tie-break on the key)."""
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    agg = ds.groupby("o_custkey").aggregate(Sum("o_totalprice", alias_name="revenue"))
+    return agg.sort(["revenue", "o_custkey"], descending=[True, False]).limit(10)
+
+
+def union_seeds(sf_dir: str) -> rd.Dataset:
+    """D5 — seed-list union (duplicates preserved, as UNION ALL)."""
+    a = status_gate(sf_dir).map_batches(
+        lambda t: t.select(["event_id"]), batch_format="pyarrow"
+    )
+    b = _pq(sf_dir, "events", ["event_id", "value"]).map_batches(
+        lambda t: t.filter(pc.greater(t["value"], 90.0)).select(["event_id"]),
+        batch_format="pyarrow",
+    )
+    return a.union(b)
+
+
+def distinct_langs(sf_dir: str) -> pd.DataFrame:
+    """A5 — distinct values of one column (shuffle on the column)."""
+    vals = _pq(sf_dir, "documents", ["lang"]).unique("lang")
+    return pd.DataFrame({"lang": sorted(vals)})
+
+
+def tumbling_window(sf_dir: str) -> rd.Dataset:
+    """Streaming shape (SURVEY.md §2.9) — tumbling 1-hour window per user as
+    a derived-key groupby: bucket computed vectorized, then partial-agg +
+    final combine exactly like pricing_summary."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        secs = pc.cast(t["ts"], pa.int64())  # µs since epoch
+        hour = pc.divide(secs, 3_600_000_000)
+        return pa.table(
+            {"user_id": t["user_id"], "hour_bucket": hour, "value": t["value"]}
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby(["user_id", "hour_bucket"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+
+
+def sessionize(sf_dir: str) -> rd.Dataset:
+    """Stateful per-key ordering (map_groups): sessions split at >30 min
+    gaps; partition by user, sort by ts inside the group — the pattern for
+    every 'ordered log per key' operator."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+
+    def count_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        gaps = ts.diff().dt.total_seconds().fillna(1e18)
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int((gaps > 1800).sum())]}
+        )
+
+    return ds.groupby("user_id").map_groups(count_sessions, batch_format="pandas")
