@@ -104,6 +104,9 @@ def _run_crawl_cached(sf_dir: str):
     seeds = pq.read_table(paths["seeds"])
     job = CrawlJob(spec, seeds, paths["pages"], paths["images"], paths["robots"], job_dir)
     job.run(max_rounds=10)
+    # release the fetch workers' CPU reservations — later queries only read
+    # the job's outputs and seen shards (which are num_cpus=0)
+    job.fetch_pool.shutdown()
     _CRAWL_CACHE["job"] = job
     return job
 

@@ -1,0 +1,182 @@
+"""Benchmark harness — prints ONE JSON line with headline seconds + per-query
+timings.  ``--scaling`` runs the headline crawl at two parallelism levels in
+fresh processes (num_cpus=8 vs 32) and reports throughput scaling efficiency
+(the sandbox stand-in for the north_rule's N vs 4N node criterion).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Heavier-than-test fixture: ~45 KB detail bodies and 2-4 images per page so
+# the benchmark measures extraction/decode compute, not just scheduling.
+BENCH_GRAPH = dict(
+    n_pages=400000, n_hosts=32, n_images=20000, out_degree=12, seed=42,
+    body_repeat=120, images_per_detail=2, n_seeds=32,
+)
+
+
+def _quiet():
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray").setLevel(logging.ERROR)
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def bench_crawl(ncpu: int) -> dict:
+    """Headline: the full crawl pipeline over the 20k-page synthetic web —
+    canonicalize → dedup → seen shards → fetch+extract actor pool → image/doc
+    sinks, with per-epoch checkpointing on."""
+    import pyarrow.parquet as pq
+
+    from lightcrawler_ray.pipelines.crawl import CrawlJob
+    from lightcrawler_ray.sources import synth
+    from lightcrawler_ray.stages.frontier import CrawlSpec
+
+    p = synth.GraphParams(**BENCH_GRAPH)
+    paths = synth.ensure_fixtures(p)  # cached across runs (untimed)
+    seeds = pq.read_table(paths["seeds"])
+    job_dir = f"/tmp/lcray_bench_job_{ncpu}"
+    shutil.rmtree(job_dir, ignore_errors=True)
+    spec = CrawlSpec(
+        max_depth=4,
+        follow_mode=1,
+        seen_shards=8,
+        fetch_concurrency=max(2, ncpu // 2),
+        fetch_batch_size=256,
+        # bench bodies are heavy (~45 KB) → even mid-size rounds benefit from
+        # the pool; only the genuinely tiny head/tail rounds stay local
+        local_round_threshold=256,
+        snapshot_every=4,
+    )
+    job = CrawlJob(spec, seeds, paths["pages"], paths["images"], paths["robots"], job_dir)
+    t0 = time.perf_counter()
+    summary = job.run(max_rounds=12)
+    dt = time.perf_counter() - t0
+    job.shutdown()
+    shutil.rmtree(job_dir, ignore_errors=True)
+    return {
+        "sec": dt,
+        "urls": summary["links_followed"],
+        "urls_per_sec": summary["links_followed"] / dt,
+        "images": summary["images_written"],
+        "images_per_sec": summary["images_written"] / dt,
+        "docs": summary["documents_received"],
+    }
+
+
+def bench_queries(sf_dir: str) -> dict[str, float]:
+    """Representative operator pipelines over the driver testdata."""
+    from lightcrawler_ray import relational as rel
+    from lightcrawler_ray.extras import ann, dedupe, textstats
+
+    def consume(res):
+        import pandas as pd
+        import pyarrow as pa
+
+        if isinstance(res, (pd.DataFrame, pa.Table)):
+            return len(res)
+        return res.count()
+
+    out: dict[str, float] = {}
+    for name, fn in [
+        ("pricing_summary", rel.pricing_summary),
+        ("tumbling_window", rel.tumbling_window),
+        ("top_revenue", rel.top_revenue),
+        ("anti_join_new", rel.anti_join_new),
+        ("exact_dedup_first", rel.exact_dedup_first),
+        ("minhash_lsh_pairs", dedupe.minhash_lsh_pairs),
+        ("simhash_near_dups", dedupe.simhash_near_dups),
+        ("embedding_near_dups", dedupe.embedding_near_dups),
+        ("ann_topk", ann.topk_bruteforce),
+        ("token_counts", textstats.token_counts),
+        ("sessionize", rel.sessionize),
+    ]:
+        t0 = time.perf_counter()
+        consume(fn(sf_dir))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False, logging_level="ERROR")
+    _quiet()
+    # warm the page cache with one untimed read
+    import pyarrow.parquet as pq
+
+    for t in ("lineitem", "events", "documents", "embeddings", "orders", "supplier"):
+        pq.read_table(f"{sf_dir}/{t}.parquet")
+
+    crawl = bench_crawl(ncpu)
+    queries = bench_queries(sf_dir)
+    queries["crawl_20k"] = round(crawl["sec"], 3)
+    total = round(sum(queries.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_seconds (crawl_20k + operator suite)",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "num_cpus": ncpu,
+                "crawl_urls_per_sec": round(crawl["urls_per_sec"], 1),
+                "crawl_images_per_sec": round(crawl["images_per_sec"], 1),
+                "crawl_urls": crawl["urls"],
+                "crawl_images": crawl["images"],
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    """Same crawl job at 8 and 32 CPUs in fresh interpreters; efficiency =
+    (thr_32 / thr_8) / (32 / 8)."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    thr8 = results[8]["crawl_urls_per_sec"]
+    thr32 = results[32]["crawl_urls_per_sec"]
+    print(
+        json.dumps(
+            {
+                "urls_per_sec_8": thr8,
+                "urls_per_sec_32": thr32,
+                "images_per_sec_8": results[8]["crawl_images_per_sec"],
+                "images_per_sec_32": results[32]["crawl_images_per_sec"],
+                "crawl_sec_8": results[8]["queries"]["crawl_20k"],
+                "crawl_sec_32": results[32]["queries"]["crawl_20k"],
+                "scaling_efficiency": round((thr32 / thr8) / 4.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -13,6 +13,16 @@ Each round (epoch):
                phash band flag D3) / docs (doc_id + doc_ori_no dedup D2/D4) /
                links (next round) / fetch metrics (A1)
 
+Adaptive execution: a BFS crawl has a characteristic frontier profile — a few
+huge middle rounds flanked by tiny head/tail rounds (seed fan-out, redirect
+chains).  Distributed Dataset rounds carry a fixed scheduling cost
+(executions, shuffles, actor-pool spin-up), so rounds below
+``spec.local_round_threshold`` candidates run on the driver through the SAME
+operator code (CandidateFilter / fetcher / seen shards / dedup rules) with
+plain Arrow — identical semantics (the parity suite covers both paths), none
+of the fixed cost.  At 10^10-URL scale the big rounds are the only ones that
+matter; the threshold just stops the tail from paying cluster prices.
+
 Checkpoint per epoch: frontier, links lineage, images, docs, metrics, seen
 snapshot, then an atomic done-marker — resume restores the seen shards and
 re-enters at the first incomplete epoch (T10 / north_rule).  All per-epoch
@@ -26,23 +36,24 @@ import json
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
 from ..functions import hashing
-from ..stages.fetch import OUT_SCHEMA, SyntheticFetchExtract
-from ..stages.frontier import (
-    CandidateFilter,
-    CrawlSpec,
-    assign_enqueue_seq,
-    dedup_within_round,
-    make_seen_gate,
-)
+from ..stages.fetch import OUT_SCHEMA, SyntheticFetchExtract, load_fixture_tables
+from ..stages.frontier import CandidateFilter, CrawlSpec
 from ..state.seenset import SeenSet
 from .. import storage
+
+_LINK_COLS = ["url", "link_raw", "linktext", "referer", "depth", "is_redirect",
+              "parent_seq", "link_idx"]
+_IMG_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+             "src_url", "referer", "enqueue_seq", "url_md5"]
+_DOC_COLS = ["doc_id", "url", "doc_ori_no", "title", "author", "tags",
+             "publish_time", "t_valid", "content", "negs", "simhash",
+             "doc_lang", "doc_quality", "doc_tokens", "enqueue_seq", "url_md5"]
 
 
 def load_robots(robots_path: str) -> dict[str, dict]:
@@ -71,8 +82,6 @@ class CrawlJob:
     ):
         self.spec = spec
         self.seeds = seeds
-        self.pages_path = pages_path
-        self.images_path = images_path
         self.robots = load_robots(robots_path) if spec.respect_robots else {}
         self.job_dir = job_dir
         os.makedirs(job_dir, exist_ok=True)
@@ -80,8 +89,36 @@ class CrawlJob:
         self.content_seen = SeenSet(spec.seen_shards, spec.seen_capacity, "exact")
         self.next_seq = 0
         self.fetched = 0
+        self._pending: dict | None = None
         self._derive_seed_scope()
         self.robots_ref = ray.put(self.robots)
+        # fixture stores: loaded once, broadcast once (the production analog
+        # is the HTTP client config — per-actor state would be conn pools)
+        pages, images = load_fixture_tables(pages_path, images_path)
+        self.pages_ref = ray.put(pages)
+        self.images_ref = ray.put(images)
+        self._local_fetcher = SyntheticFetchExtract(
+            pages_ref=self.pages_ref, images_ref=self.images_ref,
+            **self._fetch_kwargs(),
+        )
+        self._local_filter = CandidateFilter(spec, self.robots_ref)
+        from ..stages.fetchpool import FetchPool
+
+        self.fetch_pool = FetchPool(
+            spec.fetch_concurrency, self.pages_ref, self.images_ref, self._fetch_kwargs()
+        )
+
+    def _fetch_kwargs(self) -> dict:
+        s = self.spec
+        return dict(
+            retry_limit=s.retry_limit,
+            content_size_limit=s.content_size_limit,
+            receive_rules=s.receive_rules,
+            min_doc_bytes=s.min_doc_bytes,
+            aggressive_links=s.aggressive_links,
+            synthesize_pagination=s.synthesize_pagination,
+            request_delay_ms=max(s.request_delay_ms, 0.0),
+        )
 
     def _derive_seed_scope(self) -> None:
         from ..functions import urltools as ut
@@ -102,7 +139,7 @@ class CrawlJob:
     def _epoch_dir(self, epoch: int) -> str:
         return os.path.join(self.job_dir, f"epoch={epoch:04d}")
 
-    def _seed_candidates(self) -> rd.Dataset:
+    def _seed_table(self) -> pa.Table:
         t = self.seeds
         n = t.num_rows
         t = t.append_column("parent_seq", pa.array([-1] * n, pa.int64()))
@@ -111,29 +148,31 @@ class CrawlJob:
         t = t.append_column("link_raw", t.column("url"))
         t = t.append_column("linktext", pa.array([""] * n, pa.string()))
         t = t.append_column("is_redirect", pa.array([False] * n, pa.bool_()))
-        return rd.from_arrow(t)
+        return t
 
     def run(self, max_rounds: int = 50) -> dict:
-        start_epoch, candidates = self._resume_point()
+        start_epoch, candidates, n_hint = self._resume_point()
         epoch = start_epoch
         while epoch < start_epoch + max_rounds:
-            n_frontier, candidates = self._round(candidates, epoch)
+            n_frontier, candidates, n_hint = self._round(candidates, epoch, n_hint)
             if n_frontier == 0:
                 break
             epoch += 1
             if self.spec.request_limit and self.fetched >= self.spec.request_limit:
                 break
+        self._drain_pending()
         return self.summary()
 
-    def _resume_point(self) -> tuple[int, rd.Dataset]:
+    def _resume_point(self) -> tuple[int, "rd.Dataset | pa.Table", int | None]:
         done = sorted(
             int(d.split("=")[1])
             for d in os.listdir(self.job_dir)
             if d.startswith("epoch=")
             and os.path.isfile(os.path.join(self.job_dir, d, "_EPOCH_DONE"))
+            and os.path.isfile(os.path.join(self.job_dir, d, "seen.npz"))
         )
         if not done:
-            return 0, self._seed_candidates()
+            return 0, self._seed_table(), self.seeds.num_rows
         last = done[-1]
         with open(os.path.join(self._epoch_dir(last), "_EPOCH_DONE")) as f:
             meta = json.load(f)
@@ -144,103 +183,295 @@ class CrawlJob:
         self.content_seen.restore(snaps["content"])
         links_dir = os.path.join(self._epoch_dir(last), "links")
         if storage.is_complete(links_dir):
-            cand = storage.read_dataset(links_dir)
+            cand = storage.read_dataset(links_dir, empty_schema=_empty_links_table().schema)
         else:
-            cand = rd.from_arrow(OUT_SCHEMA.empty_table())
-        return last + 1, cand
+            cand = _empty_links_table()
+        return last + 1, cand, meta.get("links", None)
 
     # ------------------------------------------------------------------
-    def _round(self, candidates: rd.Dataset, epoch: int) -> tuple[int, rd.Dataset]:
+    def _round(self, candidates, epoch: int, n_hint: int | None):
+        """Dispatch a round: small candidate sets run on the driver (same
+        operators, no cluster fixed costs), large ones run distributed.
+
+        ``candidates`` may be an Arrow table (seeds / local-round links), a
+        list of block ObjectRefs (the previous distributed round's link
+        tables, carried in the object store — no re-read), or a Dataset
+        (resume path)."""
         ed = self._epoch_dir(epoch)
         os.makedirs(ed, exist_ok=True)
-        spec = self.spec
+        local = n_hint is not None and n_hint <= self.spec.local_round_threshold
+        if isinstance(candidates, rd.Dataset):
+            candidates = [r for r in candidates.to_arrow_refs()]
+        if local:
+            if isinstance(candidates, list):
+                parts = [t for t in ray.get(candidates) if t.num_rows > 0]
+                candidates = pa.concat_tables(parts) if parts else _empty_links_table()
+            return self._round_local(candidates, epoch, ed)
+        if isinstance(candidates, pa.Table):
+            candidates = [ray.put(candidates)]
+        return self._round_dist(candidates, epoch, ed)
 
-        prepared = candidates.map_batches(
-            CandidateFilter(spec, self.robots_ref), batch_format="pyarrow"
-        )
-        deduped = dedup_within_round(prepared)
-        gated = deduped.map_batches(
-            make_seen_gate(self.seen.shards, self.seen.k), batch_format="pyarrow"
-        )
-        frontier, self.next_seq = assign_enqueue_seq(gated, self.next_seq)
-        # pop-order schedule; budget cap is deterministic because it follows the sort
-        frontier = frontier.sort(["priority", "enqueue_seq"], descending=[True, False])
+    # -- local (driver) fast path -------------------------------------
+    def _round_local(self, cand: pa.Table, epoch: int, ed: str):
+        spec = self.spec
+        passed = self._local_filter(cand) if cand.num_rows else cand
+        if passed.num_rows:
+            df = passed.to_pandas()
+            df = df.sort_values(["parent_seq", "link_idx"], kind="stable")
+            df = df.drop_duplicates("url_md5", keep="first")
+            new_mask = self.seen.check_and_add(df["url_md5"].tolist())
+            df = df[new_mask]
+            df = df.sort_values(["parent_seq", "link_idx"], kind="stable")
+            df["enqueue_seq"] = np.arange(self.next_seq, self.next_seq + len(df))
+            self.next_seq += len(df)
+            df = df.sort_values(["priority", "enqueue_seq"], ascending=[False, True],
+                                kind="stable")
+            if spec.request_limit:
+                df = df.head(max(0, spec.request_limit - self.fetched))
+        else:
+            df = passed.to_pandas()
+            df["enqueue_seq"] = np.array([], dtype=np.int64)
+        n_frontier = len(df)
+        if n_frontier == 0:
+            self._drain_pending()
+            self._finish_epoch(ed, links=_empty_links_table(), rows=0)
+            return 0, _empty_links_table(), 0
+        self.fetched += n_frontier
+        frontier_t = pa.Table.from_pandas(df, preserve_index=False)
+        storage.commit_table(frontier_t, os.path.join(ed, "frontier"))
+
+        frontier_cols = df[["url", "url_md5", "host", "depth", "priority",
+                            "enqueue_seq", "referer", "linktext"]]
+        if n_frontier > 64:
+            # local frontier prep, pooled fetch: the round is small enough
+            # that shuffles aren't worth it, but the fetch compute still is
+            block = ray.put(pa.Table.from_pandas(frontier_cols, preserve_index=False))
+            out_refs = self.fetch_pool.submit([block], [n_frontier], self.spec.fetch_batch_size)
+            out = pa.concat_tables(ray.get(out_refs))
+        else:
+            rows: list[dict] = []
+            for fr in frontier_cols.to_dict("records"):
+                rows.extend(self._local_fetcher._process_one(fr))
+            out = pa.Table.from_pylist(rows, schema=OUT_SCHEMA) if rows else OUT_SCHEMA.empty_table()
+        kinds = {
+            k: out.filter(pc.equal(out.column("kind"), k))
+            for k in ("fetch", "link", "image", "doc")
+        }
+        images = CrawlJob._image_rows(kinds["image"])
+        img_new = self.content_seen.check_and_add(images.column("url_md5").to_pylist())
+        images = images.filter(pa.array(img_new)) if images.num_rows else images
+        images = _flag_near_dups_local(images)
+        storage.commit_table(images, os.path.join(ed, "images"))
+
+        docs = _doc_rows(kinds["doc"])
+        doc_new = self.content_seen.check_and_add(docs.column("url_md5").to_pylist())
+        docs = docs.filter(pa.array(doc_new)) if docs.num_rows else docs
+        docs = _dedup_doc_ori_no_local(docs)
+        storage.commit_table(docs, os.path.join(ed, "docs"))
+
+        links = kinds["link"].select(_LINK_COLS)
+        metrics = _metrics_from_table(kinds["fetch"], images.num_rows, epoch)
+        storage.commit_table(metrics, os.path.join(ed, "metrics"))
+        self._drain_pending()
+        self._finish_epoch(ed, links=links, rows=n_frontier)
+        return n_frontier, links, links.num_rows
+
+    # -- distributed path ----------------------------------------------
+    def _round_dist(self, candidates: list, epoch: int, ed: str):
+        """Block-graph round: ONE Dataset execution (the rank sort — the only
+        genuine shuffle); candidate filtering runs as raw tasks over the link
+        block refs carried from the previous round, dedup+gate run as a
+        two-phase protocol against the seen shards, fetch runs on the
+        persistent worker pool, and sinks are per-block tasks.  Payload
+        blocks never pass through the driver — only boundary keys, counts
+        and the small metadata projections do."""
+        spec = self.spec
+        import time as _time
+
+        _prof = os.environ.get("LCRAY_PROFILE")
+        _t = _time.perf_counter()
+
+        def _mark(label: str) -> None:
+            nonlocal _t
+            if _prof:
+                now = _time.perf_counter()
+                print(f"    [dist] {label}: {now - _t:.2f}s", flush=True)
+                _t = now
+
+        # candidate filter as one raw task per link block (no Dataset pass)
+        refs = [
+            _filter_block.remote(r, spec, self.robots_ref) for r in candidates
+        ]
+        _mark("filter")
+
+        # two-phase dedup (D1 within-round) + seen gate (T1 cross-round):
+        # propose min (parent_seq, link_idx) per md5 to the shards, barrier,
+        # resolve winners — deterministic under any arrival order
+        ray.get([s.begin_round.remote() for s in self.seen.shards])
+        kept = _shard_dedup_gate(refs, self.seen.shards, self.seen.k)
+        _mark("dedup_gate")
+
+        # Execution 2: the rank sort (enqueue-seq order = FIFO pop order O1)
+        sorted_ds = rd.from_arrow_refs(kept).sort(["parent_seq", "link_idx"])
+        refs2 = sorted_ds.to_arrow_refs()
+        _mark("rank_sort")
+        counts = ray.get([_count_rows.remote(r) for r in refs2])
+        refs2 = [r for r, c in zip(refs2, counts) if c > 0]
+        counts = [c for c in counts if c > 0]
+        # request budget (A2): cap in seq order; with priority rules the cap
+        # must take max-priority first → fall back to a Dataset sort+limit
         if spec.request_limit:
             remaining = max(0, spec.request_limit - self.fetched)
-            frontier = frontier.limit(remaining)
-        frontier = frontier.materialize()
-        n_frontier = frontier.count()
+            if spec.priority_rules:
+                capped = (
+                    rd.from_arrow_refs(refs2)
+                    .sort(["priority", "parent_seq", "link_idx"], descending=[True, False, False])
+                    .limit(remaining)
+                    .sort(["parent_seq", "link_idx"])
+                )
+                refs2 = capped.to_arrow_refs()
+                counts = ray.get([_count_rows.remote(r) for r in refs2])
+                refs2 = [r for r, c in zip(refs2, counts) if c > 0]
+                counts = [c for c in counts if c > 0]
+            else:
+                cum, cut = 0, []
+                for c in counts:
+                    cut.append(min(c, max(0, remaining - cum)))
+                    cum += c
+                counts = cut
+        n_frontier = int(sum(counts))
         if n_frontier == 0:
-            storage.commit_table(_empty_links_table(), os.path.join(ed, "links"))
+            self._drain_pending()
+            self._finish_epoch(ed, links=_empty_links_table(), rows=0)
+            return 0, _empty_links_table(), 0
+        self.fetched += n_frontier
+
+        frontier_dir = os.path.join(ed, "frontier")
+        os.makedirs(frontier_dir, exist_ok=True)
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) + self.next_seq
+        ranked = [
+            _rank_and_write_block.remote(r, int(o), int(c), frontier_dir, i)
+            for i, (r, o, c) in enumerate(zip(refs2, offsets, counts))
+        ]
+        self.next_seq += n_frontier
+
+        # fetch+extract on the persistent pool (plasma-shared blocks)
+        out_refs = self.fetch_pool.submit(ranked, counts, spec.fetch_batch_size)
+
+        # sinks: one split task per fetch output block — writes links parts,
+        # returns small metadata projections for driver-side dedup decisions
+        links_dir = os.path.join(ed, "links")
+        os.makedirs(links_dir, exist_ok=True)
+        split_refs = [
+            _split_sink.remote(o, links_dir, i) for i, o in enumerate(out_refs)
+        ]
+        fetch_metas, img_metas, doc_metas, img_fulls, doc_fulls, link_refs = zip(*split_refs)
+        fetch_small = _concat_nonempty(ray.get(list(fetch_metas)), _FETCH_META_SCHEMA)
+        _mark("fetch+split")
+        img_meta = _concat_nonempty(ray.get(list(img_metas)), _IMG_META_SCHEMA)
+        doc_meta = _concat_nonempty(ray.get(list(doc_metas)), _DOC_META_SCHEMA)
+        # every rank task is transitively complete once the split metas landed
+        storage.mark_complete(frontier_dir)
+        storage.mark_complete(links_dir)
+        n_links = int(pc.sum(fetch_small.column("n_links")).as_py() or 0)
+
+        # content dedup verdicts (D2/D3/D4), driver-side on small columns
+        img_keep, dup_map = self._image_verdicts(img_meta)
+        doc_keep = self._doc_verdicts(doc_meta)
+
+        img_dir = os.path.join(ed, "images")
+        doc_dir = os.path.join(ed, "docs")
+        os.makedirs(img_dir, exist_ok=True)
+        os.makedirs(doc_dir, exist_ok=True)
+        keep_ref = ray.put(img_keep)
+        dup_ref = ray.put(dup_map)
+        dkeep_ref = ray.put(doc_keep)
+        # the previous epoch's deferred writes have had this whole round to
+        # finish — drain them now, BEFORE stashing ours (done markers must
+        # land in epoch order for resume correctness)
+        self._drain_pending()
+        writes = [
+            _finalize_images.remote(f, keep_ref, dup_ref, img_dir, i)
+            for i, f in enumerate(img_fulls)
+        ] + [
+            _finalize_docs.remote(f, dkeep_ref, doc_dir, i)
+            for i, f in enumerate(doc_fulls)
+        ]
+        _mark("sinks")
+
+        # seen snapshot is synchronous (it must reflect exactly this epoch);
+        # the payload writes + metrics + done marker are deferred — they
+        # overlap the next round's filter/sort/fetch and drain there.
+        # Snapshots every `snapshot_every` epochs: resume re-enters at the
+        # last snapshotted epoch and deterministically re-crawls the rest.
+        if epoch % max(1, self.spec.snapshot_every) == 0:
             _save_seen_snapshot(
                 os.path.join(ed, "seen.npz"),
                 {"seen": self.seen.snapshot(), "content": self.content_seen.snapshot()},
             )
-            _write_done(ed, {"next_seq": self.next_seq, "fetched": self.fetched, "rows": 0})
-            return 0, candidates
-        self.fetched += n_frontier
-        storage.write_dataset(frontier, os.path.join(ed, "frontier"))
-
-        out = frontier.map_batches(
-            SyntheticFetchExtract,
-            fn_constructor_kwargs=dict(
-                pages_path=self.pages_path,
-                images_path=self.images_path,
-                retry_limit=spec.retry_limit,
-                content_size_limit=spec.content_size_limit,
-                receive_rules=spec.receive_rules,
-                min_doc_bytes=spec.min_doc_bytes,
-                aggressive_links=spec.aggressive_links,
-                synthesize_pagination=spec.synthesize_pagination,
-                request_delay_ms=max(spec.request_delay_ms, 0.0),
-            ),
-            batch_format="pyarrow",
-            batch_size=spec.fetch_batch_size,
-            concurrency=spec.fetch_concurrency,
-            num_cpus=1,
-        ).materialize()
-
-        kinds = {k: out.filter(expr=f"kind == '{k}'") for k in ("fetch", "link", "image", "doc")}
-
-        # images: exact content dedup (D2) via content-seen shards, then phash
-        # near-dup flagging (D3) within the round
-        images = kinds["image"].map_batches(self._image_rows, batch_format="pyarrow")
-        images = images.map_batches(
-            make_seen_gate(self.content_seen.shards, self.content_seen.k),
-            batch_format="pyarrow",
-        ).materialize()  # the gate mutates shard state — run it exactly once
-        images = _flag_phash_near_dups(images)
-        storage.write_dataset(images, os.path.join(ed, "images"))
-
-        # docs: doc_id exact dedup (D2) + doc_ori_no unique-when-present (D4)
-        docs = kinds["doc"].map_batches(_doc_rows, batch_format="pyarrow")
-        docs = docs.map_batches(
-            make_seen_gate(self.content_seen.shards, self.content_seen.k),
-            batch_format="pyarrow",
+        self._pending = dict(
+            ed=ed, epoch=epoch, img_dir=img_dir, doc_dir=doc_dir,
+            fetch_small=fetch_small, writes=writes, n_img=len(img_fulls),
+            meta={"next_seq": self.next_seq, "fetched": self.fetched,
+                  "rows": n_frontier, "links": n_links},
         )
-        docs = _dedup_doc_ori_no(docs)
-        storage.write_dataset(docs, os.path.join(ed, "docs"))
+        return n_frontier, list(link_refs), n_links
 
-        # lineage: raw link rows (replay + next round input)
-        links = kinds["link"].map_batches(
-            lambda t: t.select(
-                ["url", "link_raw", "linktext", "referer", "depth", "is_redirect",
-                 "parent_seq", "link_idx"]
-            ),
-            batch_format="pyarrow",
+    def _image_verdicts(self, img_meta: pa.Table) -> tuple[set, dict]:
+        """Round-level exact content dedup (min enqueue_seq per content md5)
+        + cross-round content-seen gate + near-dup map.  Operates on the
+        small (seq, md5, image_id, phash) projection only."""
+        if img_meta.num_rows == 0:
+            return set(), {}
+        df = img_meta.to_pandas().sort_values("enqueue_seq", kind="stable")
+        df = df.drop_duplicates("url_md5", keep="first")
+        new = self.content_seen.check_and_add(df["url_md5"].tolist())
+        df = df[new]
+        keep = set(df["enqueue_seq"].tolist())
+        dup_map = _near_dup_map(
+            df["image_id"].tolist(),
+            df["phash"].to_numpy(dtype=np.int64),
+            df["enqueue_seq"].to_numpy(dtype=np.int64),
         )
-        storage.write_dataset(links, os.path.join(ed, "links"))
+        return keep, dup_map
 
-        # metrics (A1): per-partition partial sums → tiny global agg
-        metrics = _metrics_table(kinds["fetch"], kinds["image"], epoch)
-        storage.commit_table(metrics, os.path.join(ed, "metrics"))
+    def _doc_verdicts(self, doc_meta: pa.Table) -> set:
+        """doc_id exact dedup (D2) + doc_ori_no unique-when-present (D4)."""
+        if doc_meta.num_rows == 0:
+            return set()
+        df = doc_meta.to_pandas().sort_values("enqueue_seq", kind="stable")
+        df = df.drop_duplicates("doc_id", keep="first")
+        new = self.content_seen.check_and_add(df["doc_id"].tolist())
+        df = df[new]
+        with_no = df[df["doc_ori_no"] != ""].drop_duplicates("doc_ori_no", keep="first")
+        without = df[df["doc_ori_no"] == ""]
+        return set(with_no["enqueue_seq"]) | set(without["enqueue_seq"])
 
+    def _drain_pending(self) -> None:
+        """Complete the previous epoch's deferred sink writes: gather the
+        finalize tasks, commit metrics, drop the done marker."""
+        p = getattr(self, "_pending", None)
+        if not p:
+            return
+        self._pending = None
+        res = ray.get(p["writes"])
+        n_images = int(sum(res[: p["n_img"]]))
+        storage.mark_complete(p["img_dir"])
+        storage.mark_complete(p["doc_dir"])
+        metrics = _metrics_from_table(p["fetch_small"], n_images, p["epoch"])
+        storage.commit_table(metrics, os.path.join(p["ed"], "metrics"))
+        _write_done(p["ed"], p["meta"])
+
+    def _finish_epoch(self, ed: str, links, rows: int, n_links: int | None = None) -> None:
+        if links is not None:  # local path: links still need their checkpoint
+            storage.commit_table(links, os.path.join(ed, "links"))
+            n_links = links.num_rows
         _save_seen_snapshot(
             os.path.join(ed, "seen.npz"),
             {"seen": self.seen.snapshot(), "content": self.content_seen.snapshot()},
         )
-        _write_done(ed, {"next_seq": self.next_seq, "fetched": self.fetched, "rows": n_frontier})
-        return n_frontier, storage.read_dataset(os.path.join(ed, "links"))
+        _write_done(ed, {"next_seq": self.next_seq, "fetched": self.fetched,
+                         "rows": rows, "links": n_links})
 
     @staticmethod
     def _image_rows(t: pa.Table) -> pa.Table:
@@ -267,9 +498,11 @@ class CrawlJob:
         )
 
     def shutdown(self) -> None:
-        """Kill the seen-set shard actors (jobs hold them for their lifetime)."""
+        """Kill the seen-set shards and fetch workers (job-lifetime actors)."""
+        self._drain_pending()
         self.seen.shutdown()
         self.content_seen.shutdown()
+        self.fetch_pool.shutdown()
 
     def summary(self) -> dict:
         metrics = self.metrics()
@@ -313,7 +546,9 @@ class CrawlJob:
         for d in sorted(os.listdir(self.job_dir)):
             p = os.path.join(self.job_dir, d, "frontier")
             if d.startswith("epoch=") and os.path.isdir(p):
-                t = storage.load_table(p, columns=["url_md5", "priority", "enqueue_seq"])
+                t = storage.load_table(p)
+                if t.num_columns == 0 or t.num_rows == 0:
+                    continue
                 df = t.to_pandas().sort_values(
                     ["priority", "enqueue_seq"], ascending=[False, True], kind="stable"
                 )
@@ -322,75 +557,276 @@ class CrawlJob:
 
 
 # ---------------------------------------------------------------------------
+# block tasks for the distributed round
+
+_FETCH_META_SCHEMA = pa.schema(
+    [("status", pa.int16()), ("bytes_received", pa.int64()), ("error", pa.string()),
+     ("attempts", pa.int16()), ("fetch_ms", pa.float64()), ("n_links", pa.int64())]
+)
+_IMG_META_SCHEMA = pa.schema(
+    [("enqueue_seq", pa.int64()), ("url_md5", pa.string()),
+     ("image_id", pa.string()), ("phash", pa.int64())]
+)
+_DOC_META_SCHEMA = pa.schema(
+    [("enqueue_seq", pa.int64()), ("doc_id", pa.string()), ("doc_ori_no", pa.string())]
+)
+
+
+@ray.remote
+def _filter_block(t: pa.Table, spec: CrawlSpec, robots) -> pa.Table:
+    """CandidateFilter over one link block (raw task — regex compile per task
+    is microseconds; robots arrives auto-dereferenced)."""
+    filt = CandidateFilter.__new__(CandidateFilter)
+    import re
+
+    filt.spec = spec
+    filt.filter_res = [re.compile(r) for r in spec.url_filter_regexes]
+    filt.follow_res = [re.compile(r) for r in spec.url_follow_regexes]
+    filt.prio_res = [(re.compile(r), lvl) for r, lvl in spec.priority_rules]
+    filt.robots = robots if isinstance(robots, dict) else ray.get(robots)
+    return filt(t)
+
+
+@ray.remote
+def _extract_keys(t: pa.Table, k: int):
+    """Partition a candidate block's (md5, rank, row) keys by seen-shard.
+    Returns k parts (num_returns=k at the call site) — pure projection, no
+    blocking calls inside the worker."""
+    from ..state.seenset import shard_of
+
+    md5s = t.column("url_md5").to_pylist()
+    seq = np.asarray(t.column("parent_seq").to_numpy(zero_copy_only=False), dtype=np.int64)
+    idx = np.asarray(t.column("link_idx").to_numpy(zero_copy_only=False), dtype=np.int64)
+    sh = shard_of(md5s, k) if md5s else np.zeros(0, dtype=np.int64)
+    parts = []
+    for s in range(k):
+        rows = np.nonzero(sh == s)[0]
+        parts.append(
+            {"md5": [md5s[i] for i in rows], "seq": seq[rows], "idx": idx[rows], "row": rows}
+        )
+    return tuple(parts) if k > 1 else parts[0]
+
+
+@ray.remote
+def _apply_winners(t: pa.Table, *winner_rows: np.ndarray) -> pa.Table:
+    if t.num_rows == 0:
+        return t
+    mask = np.zeros(t.num_rows, dtype=bool)
+    for w in winner_rows:
+        if w.size:
+            mask[w] = True
+    return t.filter(pa.array(mask))
+
+
+def _shard_dedup_gate(refs: list, shards: list, k: int) -> list:
+    """Two-phase dedup+gate orchestration (driver-side): extract keys per
+    block (num_returns=k), all shards propose, barrier, all shards resolve,
+    winners filtered back into the blocks.  Only winner row-indices cross the
+    driver; no worker ever blocks on a nested ray.get."""
+    B = len(refs)
+    if B == 0:
+        return refs
+    keyrefs = [
+        _extract_keys.options(num_returns=k if k > 1 else 1).remote(r, k) for r in refs
+    ]
+    if k == 1:
+        keymat = [[kr] for kr in keyrefs]
+    else:
+        keymat = [list(kr) for kr in keyrefs]
+    ray.get([
+        shards[s].propose_parts.remote(*[keymat[b][s] for b in range(B)])
+        for s in range(k)
+    ])
+    winner_lists = ray.get([
+        shards[s].resolve_parts.remote(*[keymat[b][s] for b in range(B)])
+        for s in range(k)
+    ])
+    return [
+        _apply_winners.remote(refs[b], *[winner_lists[s][b] for s in range(k)])
+        for b in range(B)
+    ]
+
+
+@ray.remote
+def _count_rows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@ray.remote
+def _rank_and_write_block(
+    t: pa.Table, offset: int, take_n: int, frontier_dir: str, part: int
+) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    t = t.slice(0, take_n)
+    t = t.append_column("enqueue_seq", pa.array(np.arange(offset, offset + t.num_rows), pa.int64()))
+    pq.write_table(t, os.path.join(frontier_dir, f"part-{part:05d}.parquet"))
+    return t
+
+
+@ray.remote(num_returns=6)
+def _split_sink(out: pa.Table, links_dir: str, part: int):
+    """Split a fetch-output block by kind: write the links checkpoint part,
+    project the small metadata for driver-side dedup verdicts, hand back the
+    full image/doc tables for the finalize writers AND the links table itself
+    (the next round consumes the ref directly — no parquet re-read)."""
+    import pyarrow.parquet as pq
+
+    kinds = {
+        k: out.filter(pc.equal(out.column("kind"), k))
+        for k in ("fetch", "link", "image", "doc")
+    }
+    links = kinds["link"].select(_LINK_COLS)
+    if links.num_rows:
+        pq.write_table(links, os.path.join(links_dir, f"part-{part:05d}.parquet"))
+    f = kinds["fetch"]
+    fetch_meta = pa.table(
+        {
+            "status": f.column("status"),
+            "bytes_received": f.column("bytes_received"),
+            "error": f.column("error"),
+            "attempts": f.column("attempts"),
+            "fetch_ms": f.column("fetch_ms"),
+            "n_links": pa.array([links.num_rows] + [0] * max(0, f.num_rows - 1), pa.int64())
+            if f.num_rows
+            else pa.array([], pa.int64()),
+        },
+        schema=_FETCH_META_SCHEMA,
+    )
+    images = CrawlJob._image_rows(kinds["image"])
+    img_meta = images.select(["enqueue_seq", "url_md5", "image_id", "phash"]).cast(_IMG_META_SCHEMA)
+    docs = _doc_rows(kinds["doc"])
+    doc_meta = docs.select(["enqueue_seq", "doc_id", "doc_ori_no"]).cast(_DOC_META_SCHEMA)
+    return fetch_meta, img_meta, doc_meta, images, docs, links
+
+
+@ray.remote
+def _finalize_images(images: pa.Table, keep: set, dup_map: dict, out_dir: str, part: int) -> int:
+    import pyarrow.parquet as pq
+
+    if images.num_rows == 0:
+        return 0
+    seqs = images.column("enqueue_seq").to_pylist()
+    mask = pa.array([s in keep for s in seqs])
+    kept = images.filter(mask)
+    if kept.num_rows == 0:
+        return 0
+    kept = kept.append_column(
+        "near_dup_of",
+        pa.array([dup_map.get(i, "") for i in kept.column("image_id").to_pylist()], pa.string()),
+    )
+    pq.write_table(kept, os.path.join(out_dir, f"part-{part:05d}.parquet"))
+    return kept.num_rows
+
+
+@ray.remote
+def _finalize_docs(docs: pa.Table, keep: set, out_dir: str, part: int) -> int:
+    import pyarrow.parquet as pq
+
+    if docs.num_rows == 0:
+        return 0
+    seqs = docs.column("enqueue_seq").to_pylist()
+    kept = docs.filter(pa.array([s in keep for s in seqs]))
+    if kept.num_rows == 0:
+        return 0
+    pq.write_table(kept, os.path.join(out_dir, f"part-{part:05d}.parquet"))
+    return kept.num_rows
+
+
+def _concat_nonempty(tables: list[pa.Table], schema: pa.Schema) -> pa.Table:
+    parts = [t for t in tables if t.num_rows > 0]
+    return pa.concat_tables(parts) if parts else schema.empty_table()
 
 
 def _doc_rows(t: pa.Table) -> pa.Table:
-    cols = ["doc_id", "url", "doc_ori_no", "title", "author", "tags",
-            "publish_time", "t_valid", "content", "negs", "simhash", "enqueue_seq"]
-    out = t.select(cols)
+    if t.num_rows == 0:
+        t = OUT_SCHEMA.empty_table()
+    out = t.select([c for c in _DOC_COLS if c != "url_md5"])
     # content-seen gate keys on url_md5; for docs the key is doc_id (D2)
     return out.append_column("url_md5", t.column("doc_id"))
 
 
 def _dedup_doc_ori_no(ds: rd.Dataset) -> rd.Dataset:
-    """D4 — doc_ori_no unique-when-present: groupby keeps smallest seq;
-    empty doc_ori_no rows pass through untouched (nulls pass)."""
+    """D4 — doc_ori_no unique-when-present: keep-first by enqueue_seq; empty
+    doc_ori_no rows pass through untouched (nulls pass)."""
+    from ..stages.frontier import dedup_first_by_key
 
-    def first(g: pa.Table) -> pa.Table:
-        # list-typed columns (negs) don't survive pandas → stay in Arrow
-        if g.num_rows == 0 or g.column("doc_ori_no")[0].as_py() == "":
-            return g
-        order = pc.sort_indices(g, sort_keys=[("enqueue_seq", "ascending")])
-        return g.take(order[:1])
+    return dedup_first_by_key(ds, "doc_ori_no", ["enqueue_seq"], keep_empty=True)
 
-    return ds.groupby("doc_ori_no").map_groups(first, batch_format="pyarrow")
+
+def _dedup_doc_ori_no_local(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return t
+    df_meta = t.select(["doc_ori_no", "enqueue_seq"]).to_pandas()
+    df_meta["_i"] = np.arange(len(df_meta))
+    keep_idx = []
+    for no, g in df_meta.groupby("doc_ori_no", sort=False):
+        if no == "":
+            keep_idx.extend(g["_i"].tolist())
+        else:
+            keep_idx.append(int(g.sort_values("enqueue_seq", kind="stable")["_i"].iloc[0]))
+    return t.take(pa.array(sorted(keep_idx), pa.int64()))
+
+
+def _near_dup_map(ids: list, phashes: np.ndarray, seqs: np.ndarray) -> dict:
+    """Banded near-dup detection on (id, phash, seq) triples — shared by the
+    local and distributed paths (distributed runs it per band bucket)."""
+    bands = hashing.simhash_bands(phashes.view(np.uint64), 4)
+    buckets: dict[tuple, list[int]] = {}
+    for i in range(len(ids)):
+        for b in range(4):
+            buckets.setdefault((b, int(bands[i, b])), []).append(i)
+    dup: dict = {}
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        members = sorted(members, key=lambda i: seqs[i])
+        first = members[0]
+        ph = phashes.view(np.uint64)
+        d = hashing.hamming64(ph[members[1:]], np.full(len(members) - 1, ph[first], dtype=np.uint64))
+        for j, dd in enumerate(d):
+            if dd <= 8:
+                dup.setdefault(ids[members[1 + j]], ids[first])
+    return dup
+
+
+def _flag_near_dups_local(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return t.append_column("near_dup_of", pa.array([], pa.string()))
+    ids = t.column("image_id").to_pylist()
+    ph = np.array(t.column("phash").to_pylist(), dtype=np.int64)
+    seqs = np.array(t.column("enqueue_seq").to_pylist(), dtype=np.int64)
+    dup = _near_dup_map(ids, ph, seqs)
+    return t.append_column(
+        "near_dup_of", pa.array([dup.get(i, "") for i in ids], pa.string())
+    )
 
 
 def _flag_phash_near_dups(ds: rd.Dataset) -> rd.Dataset:
-    """D3 — band the 64-bit phash into 4×16-bit keys; within each band
-    bucket, rows whose hamming distance to the bucket's first row is ≤ 8 are
-    flagged near_dup_of.  Groupby shuffle on the band key only — image bytes
-    stay in their blocks (hard part (d): never shuffle blobs on hash keys)."""
+    """D3 — phash near-dup flagging: ONLY the (image_id, phash, enqueue_seq)
+    triple leaves the blocks (16 B + id per row — image bytes never move,
+    hard part (d)); the banded-bucket hamming check runs on that projection
+    and the verdict map is broadcast back into the payload blocks.
 
-    def band_rows(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"band_key": pa.array([], pa.string()),
-                             "image_id": pa.array([], pa.string()),
-                             "phash": pa.array([], pa.int64()),
-                             "enqueue_seq": pa.array([], pa.int64())})
-        ph = np.array(t.column("phash").to_pylist(), dtype=np.int64).view(np.uint64)
-        bands = hashing.simhash_bands(ph, 4)
-        n = t.num_rows
-        keys, ids, phs, seqs = [], [], [], []
-        iid = t.column("image_id").to_pylist()
-        seq = t.column("enqueue_seq").to_pylist()
-        for b in range(4):
-            for i in range(n):
-                keys.append(f"{b}:{bands[i, b]:04x}")
-                ids.append(iid[i])
-                phs.append(int(np.int64(ph[i])))
-                seqs.append(seq[i])
-        return pa.table({"band_key": pa.array(keys), "image_id": pa.array(ids),
-                         "phash": pa.array(phs, pa.int64()),
-                         "enqueue_seq": pa.array(seqs, pa.int64())})
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("enqueue_seq", kind="stable")
-        if len(g) < 2:
-            return pd.DataFrame({"image_id": [], "near_dup_of": []})
-        ph = g["phash"].to_numpy(dtype=np.int64).view(np.uint64)
-        first = ph[0]
-        d = hashing.hamming64(ph[1:], np.full(len(g) - 1, first, dtype=np.uint64))
-        dup_ids = g["image_id"].iloc[1:][d <= 8]
-        return pd.DataFrame(
-            {"image_id": dup_ids, "near_dup_of": g["image_id"].iloc[0]}
-        )
-
-    banded = ds.map_batches(band_rows, batch_format="pyarrow")
-    dups = banded.groupby("band_key").map_groups(bucket_pairs, batch_format="pandas")
-    dup_map: dict[str, str] = {}
-    for row in dups.take_all():  # near-dup verdicts are tiny (candidate pairs only)
-        dup_map.setdefault(row["image_id"], row["near_dup_of"])
+    The projection is per-round, so it is tiny relative to the payload; a
+    round so large its triple projection cannot be gathered would band-
+    partition the projection first (same _near_dup_map per partition)."""
+    triple = pa.concat_tables(
+        [t for t in ray.get(
+            ds.map_batches(
+                lambda t: t.select(["image_id", "phash", "enqueue_seq"]),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        ) if t.num_rows > 0] or [pa.table(
+            {"image_id": pa.array([], pa.string()),
+             "phash": pa.array([], pa.int64()),
+             "enqueue_seq": pa.array([], pa.int64())})]
+    )
+    dup_map = _near_dup_map(
+        triple.column("image_id").to_pylist(),
+        np.array(triple.column("phash").to_pylist(), dtype=np.int64),
+        np.array(triple.column("enqueue_seq").to_pylist(), dtype=np.int64),
+    )
     dup_ref = ray.put(dup_map)
 
     def attach(t: pa.Table) -> pa.Table:
@@ -401,44 +837,40 @@ def _flag_phash_near_dups(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(attach, batch_format="pyarrow")
 
 
-def _metrics_table(fetch_ds: rd.Dataset, image_ds: rd.Dataset, epoch: int) -> pa.Table:
-    from ray.data.aggregate import Count, Sum
-
-    f = fetch_ds.map_batches(
-        lambda t: pa.table(
-            {
-                "links": t.column("bytes_received").is_valid().cast(pa.int64()),
-                "bytes_received": t.column("bytes_received").fill_null(0),
-                "is_error": pc.cast(pc.not_equal(t.column("error"), ""), pa.int64()),
-                "retries": pc.cast(pc.subtract(t.column("attempts"), 1), pa.int64()),
-                "fetch_ms": t.column("fetch_ms").fill_null(0.0),
-                "is_doc": pc.cast(pc.equal(t.column("status"), 200), pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    agg = f.aggregate(
-        Count(alias_name="links_followed"),
-        Sum("bytes_received", alias_name="bytes_received"),
-        Sum("is_error", alias_name="errors"),
-        Sum("retries", alias_name="retries"),
-        Sum("fetch_ms", alias_name="fetch_ms_sum"),
-        Sum("is_doc", alias_name="documents_received"),
-    )
-    n_images = image_ds.count()
+def _metrics_from_table(fetch: pa.Table, n_images: int, epoch: int) -> pa.Table:
+    """A1 counters from the (small) fetch-metric columns, driver-side."""
     from ..schemas import METRICS
 
+    n = fetch.num_rows
+    if n:
+        status = fetch.column("status").to_numpy(zero_copy_only=False)
+        b = np.nan_to_num(
+            fetch.column("bytes_received").to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        err = np.array([e not in ("", None) for e in fetch.column("error").to_pylist()])
+        att = fetch.column("attempts").to_numpy(zero_copy_only=False).astype(np.int64)
+        fms = np.nan_to_num(
+            fetch.column("fetch_ms").to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        vals = dict(
+            links_followed=n, documents_received=int((status == 200).sum()),
+            bytes_received=int(b.sum()), errors=int(err.sum()),
+            retries=int((att - 1).sum()), fetch_ms_sum=float(fms.sum()),
+        )
+    else:
+        vals = dict(links_followed=0, documents_received=0, bytes_received=0,
+                    errors=0, retries=0, fetch_ms_sum=0.0)
     return pa.table(
         {
             "epoch": pa.array([epoch], pa.int32()),
             "partition": pa.array([0], pa.int32()),
-            "links_followed": pa.array([int(agg.get("links_followed") or 0)], pa.int64()),
-            "documents_received": pa.array([int(agg.get("documents_received") or 0)], pa.int64()),
-            "bytes_received": pa.array([int(agg.get("bytes_received") or 0)], pa.int64()),
-            "errors": pa.array([int(agg.get("errors") or 0)], pa.int64()),
-            "retries": pa.array([int(agg.get("retries") or 0)], pa.int64()),
-            "fetch_ms_sum": pa.array([float(agg.get("fetch_ms_sum") or 0.0)], pa.float64()),
-            "images_written": pa.array([int(n_images)], pa.int64()),
+            "links_followed": pa.array([vals["links_followed"]], pa.int64()),
+            "documents_received": pa.array([vals["documents_received"]], pa.int64()),
+            "bytes_received": pa.array([vals["bytes_received"]], pa.int64()),
+            "errors": pa.array([vals["errors"]], pa.int64()),
+            "retries": pa.array([vals["retries"]], pa.int64()),
+            "fetch_ms_sum": pa.array([vals["fetch_ms_sum"]], pa.float64()),
+            "images_written": pa.array([n_images], pa.int64()),
             "urls_enqueued": pa.array([0], pa.int64()),
             "urls_deduped": pa.array([0], pa.int64()),
         },

@@ -57,35 +57,36 @@ def _caption(i: int) -> str:
     return f"caption {i}: {ws}"
 
 
-def build_images(n: int, seed: int = 42) -> pa.Table:
-    """F1 image+caption table. i%97==1 → near-dup of i-1 (same pixels,
-    re-encoded lossy); i%101==1 → exact byte dup of i-1 under a new id."""
-    fmts = ("png", "jpeg", "bmp")
-    ids, blobs, ws, hs, fs, caps, phs = [], [], [], [], [], [], []
-    prev_pixels: np.ndarray | None = None
-    prev_blob: bytes | None = None
-    prev_fmt = "png"
-    for i in range(n):
-        if i % 101 == 1 and prev_blob is not None:
-            blob, fmt = prev_blob, prev_fmt
-            px = imagecodec.decode(blob)
-        elif i % 97 == 1 and prev_pixels is not None:
-            px, fmt = prev_pixels, "jpeg"
-            blob = imagecodec.encode(px, fmt)
-        else:
-            px = _gen_pixels(i, seed)
-            fmt = fmts[i % 3]
-            blob = imagecodec.encode(px, fmt)
-        ids.append(f"img-{i:08d}")
-        blobs.append(blob)
-        hs.append(px.shape[0])
-        ws.append(px.shape[1])
-        fs.append(fmt)
-        caps.append(_caption(i))
-        phs.append(hashing.phash64(imagecodec.decode(blob)))
-        prev_pixels, prev_blob, prev_fmt = px, blob, fmt
+def _image_rec(i: int, seed: int) -> tuple[np.ndarray, bytes, str]:
+    """(pixels, blob, fmt) for image i — pure function of (i, seed).
+    i%97==1 → near-dup of i-1 (same pixels, re-encoded lossy); i%101==1 →
+    exact byte dup of i-1.  Recursive so any index can be generated
+    independently (parallel generation produces identical rows)."""
+    if i % 101 == 1 and i > 0:
+        _, blob_prev, fmt_prev = _image_rec(i - 1, seed)
+        return imagecodec.decode(blob_prev), blob_prev, fmt_prev
+    if i % 97 == 1 and i > 0:
+        px_prev, _, _ = _image_rec(i - 1, seed)
+        return px_prev, imagecodec.encode(px_prev, "jpeg"), "jpeg"
+    px = _gen_pixels(i, seed)
+    fmt = ("png", "jpeg", "bmp")[i % 3]
+    return px, imagecodec.encode(px, fmt), fmt
+
+
+def _image_rows_range(lo: int, hi: int, seed: int) -> pa.Table:
     from ..schemas import IMAGES
 
+    ids, blobs, ws, hs, fs, caps, phs = [], [], [], [], [], [], []
+    for i in range(lo, hi):
+        px, blob, fmt = _image_rec(i, seed)
+        dec = imagecodec.decode(blob)
+        ids.append(f"img-{i:08d}")
+        blobs.append(blob)
+        hs.append(dec.shape[0])
+        ws.append(dec.shape[1])
+        fs.append(fmt)
+        caps.append(_caption(i))
+        phs.append(hashing.phash64(dec))
     return pa.table(
         {
             "image_id": pa.array(ids, pa.string()),
@@ -100,6 +101,24 @@ def build_images(n: int, seed: int = 42) -> pa.Table:
     )
 
 
+def build_images(n: int, seed: int = 42) -> pa.Table:
+    """F1 image+caption table (serial; see build_images_parallel)."""
+    return _image_rows_range(0, n, seed)
+
+
+def build_images_parallel(n: int, seed: int = 42, chunk: int = 500) -> pa.Table:
+    """Same table as build_images, generated as Ray tasks per index range —
+    used by ensure_fixtures for large fixtures when Ray is up."""
+    import ray
+
+    @ray.remote
+    def gen(lo: int, hi: int) -> pa.Table:
+        return _image_rows_range(lo, hi, seed)
+
+    refs = [gen.remote(lo, min(lo + chunk, n)) for lo in range(0, n, chunk)]
+    return pa.concat_tables(ray.get(refs))
+
+
 # ---------------------------------------------------------------------------
 # F3 — hostgraph
 
@@ -111,6 +130,9 @@ class GraphParams:
     n_images: int = 500
     seed: int = 42
     out_degree: int = 8
+    body_repeat: int = 1        # filler paragraphs per detail page (page weight)
+    images_per_detail: int = 1  # base images per detail page (payload weight)
+    n_seeds: int = 4            # seed-list size (frontier fan-out)
 
 
 def _host_of_page(i: int, p: GraphParams) -> int:
@@ -178,22 +200,17 @@ _CJK_BODY = """<div class="detail">
 </div>"""
 
 
-def build_hostgraph(p: GraphParams, images: pa.Table) -> tuple[pa.Table, pa.Table]:
-    """Returns (pages, robots). Deterministic in p.seed.
-
-    Page kinds by index: %31==7 → 500 (permanent error), %23==5 → 404,
-    %17==3 → 301 redirect to (i+1), %29==11 → flaky (fails `1 + i%2`
-    attempts, then 200 — exercises the retry≤3 path), %5==0 → list page with
-    pagination JS, else detail page with CJK metadata + images + attachments.
-    """
+def _page_rows_range(
+    lo: int, hi: int, p: GraphParams, image_ids: list[str], captions: list[str]
+) -> pa.Table:
+    """Page rows for indices [lo, hi) — pure in (p, images), so ranges can be
+    generated in parallel and concatenated into the identical table."""
     from ..functions import urltools as ut
 
-    image_ids = images.column("image_id").to_pylist()
-    captions = images.column("caption").to_pylist()
     n = p.n_pages
     urls, hosts, statuses, ctypes, bodies = [], [], [], [], []
     fails, links_col, imgs_col, locations = [], [], [], []
-    for i in range(n):
+    for i in range(lo, hi):
         url = page_url(i, p)
         sp = ut.split_url(url)
         host = str(sp["host"])
@@ -226,6 +243,12 @@ def build_hostgraph(p: GraphParams, images: pa.Table) -> tuple[pa.Table, pa.Tabl
             hrefs.append('<a href="javascript:void(0)">js</a>')
             hrefs.append('<a href="#top">top</a>')
             hrefs.append('<a href="mailto:a@b.c">mail</a>')
+            filler = "".join(
+                f"<p>正文段落{j}：依照《条例{j % 19}》第{j % 87}条落实"
+                f"{_WORDS[(i + j) % len(_WORDS)]} {_WORDS[(i * 7 + j) % len(_WORDS)]}"
+                f" {_WORDS[(i * 13 + j * 3) % len(_WORDS)]}工作要求，持续推进专项治理。</p>"
+                for j in range(p.body_repeat - 1)
+            )
             if i % 5 == 0:
                 count = 2 + i % 3
                 body = (
@@ -235,7 +258,7 @@ def build_hostgraph(p: GraphParams, images: pa.Table) -> tuple[pa.Table, pa.Tabl
                     + "</body></html>"
                 )
             else:
-                k = 1 + i % 3
+                k = p.images_per_detail + i % 3
                 img_tags = []
                 for j in range(k):
                     idx = int(rng.integers(0, len(image_ids)))
@@ -251,7 +274,7 @@ def build_hostgraph(p: GraphParams, images: pa.Table) -> tuple[pa.Table, pa.Tabl
                 body = (
                     f"<html><head><title>政策文件{i}_国务院公报</title>"
                     '<meta charset="utf-8"><meta name="keywords" content="政策,法规">'
-                    f"</head><body>{cjk}"
+                    f"</head><body>{cjk}{filler}"
                     + "".join(img_tags)
                     + "".join(hrefs)
                     + "</body></html>"
@@ -265,7 +288,7 @@ def build_hostgraph(p: GraphParams, images: pa.Table) -> tuple[pa.Table, pa.Tabl
         links_col.append(gt_links)
         imgs_col.append(gt_imgs)
         locations.append(loc)
-    pages = pa.table(
+    return pa.table(
         {
             "url": pa.array(urls, pa.string()),
             "host": pa.array(hosts, pa.string()),
@@ -278,28 +301,65 @@ def build_hostgraph(p: GraphParams, images: pa.Table) -> tuple[pa.Table, pa.Tabl
             "images": pa.array(imgs_col, pa.list_(pa.string())),
         }
     )
+
+
+def build_robots(p: GraphParams) -> pa.Table:
     # robots: host 0 disallows /private/, every 4th host gets a crawl delay
     rhosts = [f"h{h:03d}.example.test" for h in range(p.n_hosts)] + [IMG_HOST]
     delays = [(200 if h % 4 == 0 else 0) for h in range(p.n_hosts)] + [0]
     disallow = [["/private/"] if h == 0 else [] for h in range(p.n_hosts)] + [[]]
-    robots = pa.table(
+    return pa.table(
         {
             "host": pa.array(rhosts, pa.string()),
             "delay_ms": pa.array(delays, pa.int32()),
             "disallow": pa.array(disallow, pa.list_(pa.string())),
         }
     )
-    return pages, robots
+
+
+def build_hostgraph(p: GraphParams, images: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """Returns (pages, robots). Deterministic in p.seed.
+
+    Page kinds by index: %31==7 → 500 (permanent error), %23==5 → 404,
+    %17==3 → 301 redirect to (i+1), %29==11 → flaky (fails `1 + i%2`
+    attempts, then 200 — exercises the retry≤3 path), %5==0 → list page with
+    pagination JS, else detail page with CJK metadata + images + attachments.
+    """
+    image_ids = images.column("image_id").to_pylist()
+    captions = images.column("caption").to_pylist()
+    pages = _page_rows_range(0, p.n_pages, p, image_ids, captions)
+    return pages, build_robots(p)
+
+
+def build_hostgraph_parallel(p: GraphParams, images: pa.Table, chunk: int = 2000) -> tuple[pa.Table, pa.Table]:
+    """Identical tables to build_hostgraph, page ranges generated as Ray tasks."""
+    import ray
+
+    image_ids = images.column("image_id").to_pylist()
+    captions = images.column("caption").to_pylist()
+    ids_ref = ray.put(image_ids)
+    caps_ref = ray.put(captions)
+
+    @ray.remote
+    def gen(lo: int, hi: int, ids, caps) -> pa.Table:
+        return _page_rows_range(lo, hi, p, ids, caps)
+
+    refs = [
+        gen.remote(lo, min(lo + chunk, p.n_pages), ids_ref, caps_ref)
+        for lo in range(0, p.n_pages, chunk)
+    ]
+    return pa.concat_tables(ray.get(refs)), build_robots(p)
 
 
 # ---------------------------------------------------------------------------
 # F2 — seeds
 
 
-def build_seeds(p: GraphParams, n_seeds: int = 4) -> pa.Table:
+def build_seeds(p: GraphParams, n_seeds: int | None = None) -> pa.Table:
     """Messy-on-purpose seed forms for the canonicalizer (FIXTURES.md F2)."""
     from ..functions import urltools as ut
 
+    n_seeds = p.n_seeds if n_seeds is None else n_seeds
     rows = []
     for s in range(n_seeds):
         i = s * 97 % p.n_pages
@@ -326,14 +386,27 @@ def build_seeds(p: GraphParams, n_seeds: int = 4) -> pa.Table:
 def ensure_fixtures(p: GraphParams | None = None, root: str = "/tmp/lcray_fixtures") -> dict[str, str]:
     """Materialize all fixture tables once; returns name → parquet path."""
     p = p or GraphParams()
-    key = f"p{p.n_pages}_h{p.n_hosts}_i{p.n_images}_s{p.seed}_d{p.out_degree}"
+    key = (
+        f"p{p.n_pages}_h{p.n_hosts}_i{p.n_images}_s{p.seed}_d{p.out_degree}"
+        f"_b{p.body_repeat}_k{p.images_per_detail}_n{p.n_seeds}"
+    )
     d = os.path.join(root, key)
     paths = {name: os.path.join(d, f"{name}.parquet") for name in ("images", "pages", "robots", "seeds")}
     if all(os.path.exists(v) for v in paths.values()):
         return paths
     os.makedirs(d, exist_ok=True)
-    images = build_images(p.n_images, p.seed)
-    pages, robots = build_hostgraph(p, images)
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and p.n_pages * max(1, p.body_repeat) > 100_000
+    except ImportError:  # pragma: no cover
+        use_ray = False
+    if use_ray:
+        images = build_images_parallel(p.n_images, p.seed)
+        pages, robots = build_hostgraph_parallel(p, images)
+    else:
+        images = build_images(p.n_images, p.seed)
+        pages, robots = build_hostgraph(p, images)
     seeds = build_seeds(p)
     pq.write_table(images, paths["images"])
     pq.write_table(pages, paths["pages"])

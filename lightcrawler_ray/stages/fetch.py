@@ -26,7 +26,6 @@ Reference behaviors reproduced:
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 from ..functions import hashing, htmltools, imagecodec, texttools
@@ -71,6 +70,11 @@ OUT_SCHEMA = pa.schema(
         ("content", pa.large_string()),
         ("negs", pa.list_(pa.string())),
         ("simhash", pa.int64()),
+        # ingest-time text analysis (training-data enrichment, computed once
+        # here so downstream pipelines never re-read the content)
+        ("doc_lang", pa.string()),
+        ("doc_quality", pa.float64()),
+        ("doc_tokens", pa.int64()),
     ]
 )
 
@@ -83,6 +87,17 @@ def _row(**kw) -> dict:
     return d
 
 
+def load_fixture_tables(pages_path: str, images_path: str) -> tuple[pa.Table, pa.Table]:
+    """The synthetic web as Arrow tables (broadcast via plasma, zero-copy)."""
+    import pyarrow.parquet as pq
+
+    pages_t = pq.read_table(
+        pages_path, columns=["url", "status", "content_type", "body", "location", "fail_attempts"]
+    ).combine_chunks()
+    imgs = pq.read_table(images_path, columns=["image_id", "bytes", "fmt"]).combine_chunks()
+    return pages_t, imgs
+
+
 class SyntheticFetchExtract:
     """Callable class for ``map_batches(..., concurrency=N)``.
 
@@ -91,8 +106,10 @@ class SyntheticFetchExtract:
 
     def __init__(
         self,
-        pages_path: str,
-        images_path: str,
+        pages_path: str | None = None,
+        images_path: str | None = None,
+        pages_ref=None,
+        images_ref=None,
         retry_limit: int = 3,
         content_size_limit: int = 1 << 22,
         receive_rules: tuple[str, ...] = ("text/", "image/"),
@@ -101,21 +118,24 @@ class SyntheticFetchExtract:
         synthesize_pagination: bool = False,
         request_delay_ms: float = 0.0,
     ):
-        import pyarrow.parquet as pq
+        # The page/image stores are Arrow tables broadcast through the object
+        # store — ray.get of an Arrow table is ZERO-COPY out of plasma, so
+        # every worker on a node shares ONE physical copy of the bodies and
+        # holds only its url→row index (the production analog: workers hold
+        # connection state, never the corpus).  Ray auto-dereferences refs
+        # passed as actor args, so both refs and tables are accepted.
+        if pages_ref is not None:
+            import ray
 
-        pages = pq.read_table(pages_path)
-        self.pages: dict[str, dict] = {}
-        for r in pages.to_pylist():
-            self.pages[r["url"]] = r
-        imgs = pq.read_table(images_path, columns=["image_id", "bytes", "fmt"])
-        self.images: dict[str, tuple[bytes, str]] = {
-            i: (b, f)
-            for i, b, f in zip(
-                imgs.column("image_id").to_pylist(),
-                imgs.column("bytes").to_pylist(),
-                imgs.column("fmt").to_pylist(),
-            )
-        }
+            pages_t = ray.get(pages_ref) if isinstance(pages_ref, ray.ObjectRef) else pages_ref
+            images_t = ray.get(images_ref) if isinstance(images_ref, ray.ObjectRef) else images_ref
+        else:
+            pages_t, images_t = load_fixture_tables(pages_path, images_path)
+        self._pages = pages_t
+        self._pcols = {n: pages_t.column(n) for n in pages_t.column_names}
+        self._pindex = {u: i for i, u in enumerate(self._pcols["url"].to_pylist())}
+        self._icols = {n: images_t.column(n) for n in images_t.column_names}
+        self._iindex = {u: i for i, u in enumerate(self._icols["image_id"].to_pylist())}
         self.retry_limit = retry_limit
         self.content_size_limit = content_size_limit
         self.receive_rules = receive_rules
@@ -131,19 +151,20 @@ class SyntheticFetchExtract:
         caches. Synthetic: hostgraph + image table lookup."""
         if "/img/" in url:
             iid = url.rsplit("/", 1)[-1].rsplit(".", 1)[0]
-            hit = self.images.get(iid)
-            if hit is None:
+            i = self._iindex.get(iid)
+            if i is None:
                 return 404, "text/html", b"", "", 0
-            return 200, f"image/{hit[1]}", hit[0], "", 0
-        row = self.pages.get(url)
-        if row is None:
+            return 200, f"image/{self._icols['fmt'][i].as_py()}", self._icols["bytes"][i].as_py(), "", 0
+        i = self._pindex.get(url)
+        if i is None:
             return 404, "text/html", b"not found", "", 0
+        c = self._pcols
         return (
-            int(row["status"]),
-            row["content_type"],
-            row["body"],
-            row["location"] or "",
-            int(row["fail_attempts"]),
+            int(c["status"][i].as_py()),
+            c["content_type"][i].as_py(),
+            c["body"][i].as_py(),
+            c["location"][i].as_py() or "",
+            int(c["fail_attempts"][i].as_py()),
         )
 
     def _fetch(self, url: str) -> tuple[int, str, bytes, str, int, bool]:
@@ -264,6 +285,9 @@ class SyntheticFetchExtract:
             content=content, negs=texttools.named_entities(content),
             simhash=sh - (1 << 64) if sh >= (1 << 63) else sh,
             enqueue_seq=seq,
+            doc_lang=texttools.lang_id(content),
+            doc_quality=texttools.quality_score(content),
+            doc_tokens=texttools.token_count(content),
         )
 
 

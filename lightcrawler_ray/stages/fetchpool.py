@@ -1,0 +1,77 @@
+"""Persistent fetch-worker pool — stateful actors that live for the whole
+crawl job, not one Dataset execution.
+
+Why raw actors here (the documented Dataset-API exception, SURVEY.md §2.3):
+``map_batches(Cls, concurrency=N)`` builds a FRESH actor pool per execution,
+so an iterative-round crawl would re-create fetchers — and re-load their
+state (page/image stores here; connection pools, DNS/cookie caches T3/T4,
+per-host politeness clocks T7 in production) — every round.  Cross-round
+actor state is something the Dataset API genuinely cannot express; every
+per-record transform still runs through the shared SyntheticFetchExtract
+operator code, and blocks reach workers as plasma-shared Arrow tables
+(zero-copy within a node).
+
+Partitioning assumption: the driver round-robins fixed-size row ranges over
+workers; at multi-node scale the same pool is placed per-node
+(``scheduling_strategy="SPREAD"``) and ranges ride object locality.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+
+from .fetch import OUT_SCHEMA, SyntheticFetchExtract
+
+_FRONTIER_COLS = ["url", "url_md5", "host", "depth", "priority", "enqueue_seq",
+                  "referer", "linktext"]
+
+
+@ray.remote(num_cpus=1)
+class FetchWorker:
+    """num_cpus=1: workers burn a real core each; without the reservation the
+    split/sort tasks oversubscribe the node during the fetch phase (measured:
+    24 unreserved workers + 32 task slots thrash instead of scaling).  Size
+    ``fetch_concurrency`` ≈ half the CPUs — the split-sink tasks pipeline on
+    the other half as fetch batches complete."""
+    def __init__(self, pages_ref, images_ref, fetch_kwargs: dict):
+        self.impl = SyntheticFetchExtract(
+            pages_ref=pages_ref, images_ref=images_ref, **fetch_kwargs
+        )
+
+    def process(self, block: pa.Table, start: int, end: int) -> pa.Table:
+        rows: list[dict] = []
+        sl = block.slice(start, end - start)
+        for fr in sl.select(_FRONTIER_COLS).to_pylist():
+            rows.extend(self.impl._process_one(fr))
+        if not rows:
+            return OUT_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=OUT_SCHEMA)
+
+
+class FetchPool:
+    """K persistent workers; ``submit`` fans row-ranges of frontier blocks
+    across them round-robin and returns the output-table refs."""
+
+    def __init__(self, k: int, pages_ref, images_ref, fetch_kwargs: dict):
+        self.k = k
+        self.workers = [
+            FetchWorker.remote(pages_ref, images_ref, fetch_kwargs) for _ in range(k)
+        ]
+        self._rr = 0
+        # warm: force process spawn + store mapping now, not mid-crawl
+        ray.get([w.__ray_ready__.remote() for w in self.workers])
+
+    def submit(self, block_refs: list, counts: list[int], batch_size: int) -> list:
+        futures = []
+        for ref, n in zip(block_refs, counts):
+            for s in range(0, n, batch_size):
+                w = self.workers[self._rr % self.k]
+                self._rr += 1
+                futures.append(w.process.remote(ref, s, min(s + batch_size, n)))
+        return futures
+
+    def shutdown(self) -> None:
+        for w in self.workers:
+            ray.kill(w)
+        self.workers = []

@@ -23,7 +23,7 @@ enumerates sorted blocks without moving them through the driver (counts only).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -68,6 +68,13 @@ class CrawlSpec:
     seen_mode: str = "both"                  # exact | cuckoo | both
     fetch_concurrency: int = 4
     fetch_batch_size: int = 256
+    # rounds at or below this many candidate rows run on the driver through
+    # the same operator code (adaptive execution — see pipelines/crawl.py);
+    # 0 forces every round through the distributed path
+    local_round_threshold: int = 4096
+    # checkpoint the seen shards every K epochs (resume re-enters at the last
+    # snapshotted epoch; K>1 trades resume work for per-round driver time)
+    snapshot_every: int = 1
 
 
 class CandidateFilter:
@@ -186,15 +193,66 @@ def _empty_candidates() -> pa.Table:
     ).empty_table()
 
 
+@ray.remote
+def _block_boundary_keys(t: pa.Table, key: str) -> tuple[str | None, str | None, int]:
+    if t.num_rows == 0:
+        return None, None, 0
+    col = t.column(key)
+    return col[0].as_py(), col[-1].as_py(), t.num_rows
+
+
+@ray.remote
+def _dedup_block(t: pa.Table, key: str, drop_key: str | None, keep_empty: bool) -> pa.Table:
+    """Vectorized keep-first within a sorted block: rows whose key equals the
+    previous block's last key are losers (the winner lives in that earlier
+    block); then consecutive-duplicate removal keeps the block's first row per
+    key.  keep_empty passes ''-keyed rows through untouched (D4 nulls-pass)."""
+    if t.num_rows == 0:
+        return t
+    keys = np.asarray(t.column(key).to_pylist(), dtype=object)
+    keep = np.ones(t.num_rows, dtype=bool)
+    first_occurrence = np.concatenate([[True], keys[1:] != keys[:-1]])
+    if keep_empty:
+        nonempty = keys != ""
+        keep &= first_occurrence | ~nonempty
+        if drop_key not in (None, ""):
+            keep &= keys != drop_key
+    else:
+        keep &= first_occurrence
+        if drop_key is not None:
+            keep &= keys != drop_key
+    return t.filter(pa.array(keep))
+
+
+def dedup_first_by_key(
+    ds: rd.Dataset, key: str, order_cols: list[str], keep_empty: bool = False
+) -> rd.Dataset:
+    """Distributed keep-first-per-key with a deterministic winner: ONE range
+    shuffle (sort on key + order columns), then per-block vectorized dedup.
+    Only boundary keys (2 strings per block) travel through the driver.
+
+    This replaces groupby().map_groups for dedup — map_groups calls Python
+    once per group, which at ~2 ms/group is 50 s for 25k keys; this path is
+    a sort plus O(rows) numpy per block."""
+    s = ds.sort([key] + order_cols)
+    refs = s.to_arrow_refs()
+    infos = ray.get([_block_boundary_keys.remote(r, key) for r in refs])
+    out_refs = []
+    running_last: str | None = None
+    for r, (first, last, n) in zip(refs, infos):
+        if n == 0:
+            continue
+        out_refs.append(_dedup_block.remote(r, key, running_last, keep_empty))
+        running_last = last
+    if not out_refs:
+        return s
+    return rd.from_arrow_refs(out_refs)
+
+
 def dedup_within_round(ds: rd.Dataset) -> rd.Dataset:
     """Collapse duplicate url_md5 to the reference's first-enqueuer —
-    smallest (parent_seq, link_idx).  Hash-partitioned groupby shuffle keyed
-    on url_md5 (D1)."""
-
-    def first_enqueuer(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["parent_seq", "link_idx"], kind="stable").head(1)
-
-    return ds.groupby("url_md5").map_groups(first_enqueuer, batch_format="pandas")
+    smallest (parent_seq, link_idx) (D1)."""
+    return dedup_first_by_key(ds, "url_md5", ["parent_seq", "link_idx"])
 
 
 def make_seen_gate(shards: list, k: int):

@@ -36,6 +36,8 @@ class SeenShard:
         self.mode = mode
         self.cuckoo = CuckooFilter(capacity) if mode != "exact" else None
         self.exact: set[str] | None = set() if mode != "cuckoo" else None
+        # per-round two-phase dedup state: md5 → min (parent_seq, link_idx)
+        self._round_min: dict[str, tuple[int, int]] = {}
 
     def check_and_add(self, md5s: list[str]) -> np.ndarray:
         """Bool mask: True = first sighting (now marked seen). Each key must
@@ -60,6 +62,60 @@ class SeenShard:
         if self.exact is not None:
             return np.fromiter((m in self.exact for m in md5s), dtype=bool, count=len(md5s))
         return self.cuckoo.contains_hashes(hashes_from_md5hex(md5s))
+
+    # -- two-phase within-round dedup + cross-round gate ---------------------
+    # Replaces a whole groupby shuffle: blocks PROPOSE (md5, rank) pairs, the
+    # shard keeps the min rank per unseen md5; after a barrier, blocks RESOLVE
+    # and keep only the row holding the winning rank (which the shard then
+    # marks seen).  Deterministic regardless of arrival order — the min is
+    # order-free and resolution happens only after every propose landed.
+
+    def begin_round(self) -> None:
+        self._round_min.clear()
+
+    def propose_parts(self, *parts: dict) -> int:
+        """Each part: {"md5": [...], "seq": nd, "idx": nd, "row": nd} — this
+        shard's keys from one candidate block (pre-partitioned by a
+        _extract_keys task, so nothing blocks inside workers).  Keeps the min
+        (parent_seq, link_idx) per unseen md5."""
+        rm = self._round_min
+        n = 0
+        for p in parts:
+            md5s = p["md5"]
+            if not md5s:
+                continue
+            seen = self.contains(md5s)
+            for m, s_, i_, was in zip(md5s, p["seq"], p["idx"], seen):
+                if was:
+                    continue
+                r = (int(s_), int(i_))
+                cur = rm.get(m)
+                if cur is None or r < cur:
+                    rm[m] = r
+            n += len(md5s)
+        return n
+
+    def resolve_parts(self, *parts: dict) -> list[np.ndarray]:
+        """Per part, the block-row indices whose rank won its md5; winners are
+        marked seen on first resolution (ranks are unique → exactly once)."""
+        rm = self._round_min
+        out: list[np.ndarray] = []
+        winners: list[str] = []
+        for p in parts:
+            wins: list[int] = []
+            for m, s_, i_, row in zip(p["md5"], p["seq"], p["idx"], p["row"]):
+                if rm.get(m) == (int(s_), int(i_)):
+                    wins.append(int(row))
+                    winners.append(m)
+                    del rm[m]
+            out.append(np.array(wins, dtype=np.int64))
+        if winners:
+            if self.exact is not None:
+                self.exact.update(winners)
+            if self.cuckoo is not None:
+                h = hashes_from_md5hex(winners)
+                self.cuckoo.add_hashes(h[~self.cuckoo.contains_hashes(h)])
+        return out
 
     def stats(self) -> dict:
         return {

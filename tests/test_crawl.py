@@ -25,8 +25,11 @@ def fixture_paths():
 
 
 def make_spec(**kw) -> CrawlSpec:
-    base = dict(max_depth=2, follow_mode=1, seen_shards=2, fetch_concurrency=2,
-                fetch_batch_size=64)
+    # local_round_threshold=0 forces every round through the distributed path
+    # so parity tests cover the cluster code; the mixed-path test below uses
+    # the default adaptive threshold
+    base = dict(max_depth=2, follow_mode=1, seen_shards=2, fetch_concurrency=1,
+                fetch_batch_size=64, local_round_threshold=0)
     base.update(kw)
     return CrawlSpec(**base)
 
@@ -141,10 +144,55 @@ def test_resume_from_checkpoint(ray_session, fixture_paths, golden, tmp_path):
     spec = make_spec()
     seeds = pq.read_table(paths["seeds"])
     j1 = CrawlJob(spec, seeds, paths["pages"], paths["images"], paths["robots"], job_dir)
-    j1._round(j1._seed_candidates(), 0)  # only round 0, then "crash"
+    j1._round(j1._seed_table(), 0, j1.seeds.num_rows)  # only round 0, then "crash"
     j1.shutdown()
 
     j2 = CrawlJob(make_spec(), seeds, paths["pages"], paths["images"], paths["robots"], job_dir)
+    j2.run(max_rounds=10)
+    try:
+        assert set(j2.seen.members()) == golden.seen
+        assert j2.crawl_order() == golden.order
+    finally:
+        j2.shutdown()
+
+
+def test_mixed_path_parity(ray_session, fixture_paths, golden, tmp_path):
+    """The adaptive local/distributed dispatch must be semantically invisible:
+    default threshold (small rounds on the driver) reproduces the same order
+    and membership as the all-distributed run."""
+    from lightcrawler_ray.pipelines.crawl import CrawlJob
+
+    p, paths = fixture_paths
+    spec = make_spec(local_round_threshold=40)  # rounds straddle the threshold
+    seeds = pq.read_table(paths["seeds"])
+    job = CrawlJob(spec, seeds, paths["pages"], paths["images"], paths["robots"],
+                   str(tmp_path / "mixed"))
+    job.run(max_rounds=10)
+    try:
+        assert set(job.seen.members()) == golden.seen
+        assert job.crawl_order() == golden.order
+    finally:
+        job.shutdown()
+
+
+def test_resume_from_sparse_snapshot(ray_session, fixture_paths, golden, tmp_path):
+    """snapshot_every>1: crash past the last snapshot → resume re-enters at
+    the snapshotted epoch, deterministically re-crawls, same final state."""
+    from lightcrawler_ray.pipelines.crawl import CrawlJob
+
+    p, paths = fixture_paths
+    spec = make_spec(snapshot_every=2)
+    seeds = pq.read_table(paths["seeds"])
+    job_dir = str(tmp_path / "sparse")
+    j1 = CrawlJob(spec, seeds, paths["pages"], paths["images"], paths["robots"], job_dir)
+    cand, hint = j1._seed_table(), j1.seeds.num_rows
+    for e in range(2):  # crash after epoch 1 (snapshot only at epoch 0)
+        n, cand, hint = j1._round(cand, e, hint)
+    j1._drain_pending()
+    j1.shutdown()
+
+    j2 = CrawlJob(make_spec(snapshot_every=2), seeds, paths["pages"], paths["images"],
+                  paths["robots"], job_dir)
     j2.run(max_rounds=10)
     try:
         assert set(j2.seen.members()) == golden.seen
