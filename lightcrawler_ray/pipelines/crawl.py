@@ -3,15 +3,18 @@ per-epoch checkpointing (SURVEY.md §3 "Ray-Data restatement").
 
 Each round (epoch):
 
-  candidates ─ map_batches(CandidateFilter)      canonicalize+filter (M1-M3, M8, O2, T5)
-             ─ groupby(url_md5) first-enqueuer   within-round dedup (D1)
-             ─ map_batches(seen gate)            cuckoo/exact shard actors (T1)
-             ─ assign_enqueue_seq                FIFO numbering (O1)
-             ─ sort(priority desc, seq asc) [+ limit]   pop-order schedule (O1/A2)
-             ─ map_batches(SyntheticFetchExtract, concurrency=N)   fused fetch+extract
-             ─ split kinds → images (content dedup D2 via content-seen shards,
-               phash band flag D3) / docs (doc_id + doc_ori_no dedup D2/D4) /
-               links (next round) / fetch metrics (A1)
+  link block refs ─ _filter_block tasks          canonicalize+filter (M1-M3, M8, O2, T5)
+                  ─ seen-shard two-phase         within-round dedup D1 + cross-round
+                    propose/resolve protocol       gate T1, deterministic min-rank winners
+                  ─ rank sort (the ONE Dataset   enqueue_seq = FIFO pop order (O1);
+                    execution / genuine shuffle)   budget cap A2 in pop order
+                  ─ politeness ledger walk       per-host crawl-delay schedule (T7)
+                  ─ persistent fetch pool        fused fetch+extract — bodies never
+                    (plasma-shared page store)     leave the worker
+                  ─ _split_sink tasks            links checkpoint + forward refs;
+                                                   small metas to driver
+                  ─ driver verdicts + deferred   content dedup D2/D3/D4; image/doc
+                    finalize writes                writes overlap the next round
 
 Adaptive execution: a BFS crawl has a characteristic frontier profile — a few
 huge middle rounds flanked by tiny head/tail rounds (seed fan-out, redirect
@@ -44,6 +47,7 @@ import ray.data as rd
 from ..functions import hashing
 from ..stages.fetch import OUT_SCHEMA, SyntheticFetchExtract, load_fixture_tables
 from ..stages.frontier import CandidateFilter, CrawlSpec
+from ..stages.politeness import HostClock, schedule_table
 from ..state.seenset import SeenSet
 from .. import storage
 
@@ -102,6 +106,8 @@ class CrawlJob:
             **self._fetch_kwargs(),
         )
         self._local_filter = CandidateFilter(spec, self.robots_ref)
+        # per-host politeness ledger (T7 upgraded: per-host, not global)
+        self.host_clock = HostClock(spec.request_delay_ms, self.robots)
         from ..stages.fetchpool import FetchPool
 
         self.fetch_pool = FetchPool(
@@ -181,6 +187,7 @@ class CrawlJob:
         snaps = _load_seen_snapshot(os.path.join(self._epoch_dir(last), "seen.npz"))
         self.seen.restore(snaps["seen"])
         self.content_seen.restore(snaps["content"])
+        self.host_clock.restore(snaps.get("hosts", {}))
         links_dir = os.path.join(self._epoch_dir(last), "links")
         if storage.is_complete(links_dir):
             cand = storage.read_dataset(links_dir, empty_schema=_empty_links_table().schema)
@@ -239,6 +246,10 @@ class CrawlJob:
         self.fetched += n_frontier
         frontier_t = pa.Table.from_pandas(df, preserve_index=False)
         storage.commit_table(frontier_t, os.path.join(ed, "frontier"))
+        storage.commit_table(
+            schedule_table(df["host"].tolist(), df["enqueue_seq"].tolist(), self.host_clock),
+            os.path.join(ed, "schedule"),
+        )
 
         frontier_cols = df[["url", "url_md5", "host", "depth", "priority",
                             "enqueue_seq", "referer", "linktext"]]
@@ -355,6 +366,20 @@ class CrawlJob:
         ]
         self.next_seq += n_frontier
 
+        # politeness ledger (T7): walk the round in pop order; blocks are in
+        # seq order already, priorities reorder rarely (rules present)
+        hs = ray.get([_host_seq_prio.remote(r) for r in ranked])
+        hosts = [h for part in hs for h in part[0]]
+        seqs = [q for part in hs for q in part[1]]
+        if spec.priority_rules:
+            prios = [x for part in hs for x in part[2]]
+            order = sorted(range(len(seqs)), key=lambda i: (-prios[i], seqs[i]))
+            hosts = [hosts[i] for i in order]
+            seqs = [seqs[i] for i in order]
+        storage.commit_table(
+            schedule_table(hosts, seqs, self.host_clock), os.path.join(ed, "schedule")
+        )
+
         # fetch+extract on the persistent pool (plasma-shared blocks)
         out_refs = self.fetch_pool.submit(ranked, counts, spec.fetch_batch_size)
 
@@ -407,7 +432,8 @@ class CrawlJob:
         if epoch % max(1, self.spec.snapshot_every) == 0:
             _save_seen_snapshot(
                 os.path.join(ed, "seen.npz"),
-                {"seen": self.seen.snapshot(), "content": self.content_seen.snapshot()},
+                {"seen": self.seen.snapshot(), "content": self.content_seen.snapshot(),
+                 "hosts": self.host_clock.snapshot()},
             )
         self._pending = dict(
             ed=ed, epoch=epoch, img_dir=img_dir, doc_dir=doc_dir,
@@ -468,7 +494,8 @@ class CrawlJob:
             n_links = links.num_rows
         _save_seen_snapshot(
             os.path.join(ed, "seen.npz"),
-            {"seen": self.seen.snapshot(), "content": self.content_seen.snapshot()},
+            {"seen": self.seen.snapshot(), "content": self.content_seen.snapshot(),
+             "hosts": self.host_clock.snapshot()},
         )
         _write_done(ed, {"next_seq": self.next_seq, "fetched": self.fetched,
                          "rows": rows, "links": n_links})
@@ -653,6 +680,12 @@ def _count_rows(t: pa.Table) -> int:
 
 
 @ray.remote
+def _host_seq_prio(t: pa.Table):
+    return (t.column("host").to_pylist(), t.column("enqueue_seq").to_pylist(),
+            t.column("priority").to_pylist())
+
+
+@ray.remote
 def _rank_and_write_block(
     t: pa.Table, offset: int, take_n: int, frontier_dir: str, part: int
 ) -> pa.Table:
@@ -744,14 +777,6 @@ def _doc_rows(t: pa.Table) -> pa.Table:
     out = t.select([c for c in _DOC_COLS if c != "url_md5"])
     # content-seen gate keys on url_md5; for docs the key is doc_id (D2)
     return out.append_column("url_md5", t.column("doc_id"))
-
-
-def _dedup_doc_ori_no(ds: rd.Dataset) -> rd.Dataset:
-    """D4 — doc_ori_no unique-when-present: keep-first by enqueue_seq; empty
-    doc_ori_no rows pass through untouched (nulls pass)."""
-    from ..stages.frontier import dedup_first_by_key
-
-    return dedup_first_by_key(ds, "doc_ori_no", ["enqueue_seq"], keep_empty=True)
 
 
 def _dedup_doc_ori_no_local(t: pa.Table) -> pa.Table:

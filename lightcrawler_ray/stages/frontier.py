@@ -16,9 +16,10 @@ as, per round:
    order, exactly like the reference;
 5. the fetch schedule sorts on ``(priority desc, enqueue_seq asc)``.
 
-All steps are Dataset ops (map_batches / groupby / sort); the only raw-Ray
-piece is the rank assignment, which the Dataset API cannot express — it
-enumerates sorted blocks without moving them through the driver (counts only).
+The distributed execution of these steps lives in pipelines/crawl.py (raw
+block tasks + the seen-shard two-phase protocol + one rank sort); this module
+holds the declarative CrawlSpec and the CandidateFilter operator shared by
+the local, distributed and simulator paths.
 """
 
 from __future__ import annotations
@@ -26,10 +27,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
-import ray.data as rd
 
 from ..functions import urltools as ut
 
@@ -191,122 +190,3 @@ def _empty_candidates() -> pa.Table:
             ("parent_seq", pa.int64()), ("link_idx", pa.int64()),
         ]
     ).empty_table()
-
-
-@ray.remote
-def _block_boundary_keys(t: pa.Table, key: str) -> tuple[str | None, str | None, int]:
-    if t.num_rows == 0:
-        return None, None, 0
-    col = t.column(key)
-    return col[0].as_py(), col[-1].as_py(), t.num_rows
-
-
-@ray.remote
-def _dedup_block(t: pa.Table, key: str, drop_key: str | None, keep_empty: bool) -> pa.Table:
-    """Vectorized keep-first within a sorted block: rows whose key equals the
-    previous block's last key are losers (the winner lives in that earlier
-    block); then consecutive-duplicate removal keeps the block's first row per
-    key.  keep_empty passes ''-keyed rows through untouched (D4 nulls-pass)."""
-    if t.num_rows == 0:
-        return t
-    keys = np.asarray(t.column(key).to_pylist(), dtype=object)
-    keep = np.ones(t.num_rows, dtype=bool)
-    first_occurrence = np.concatenate([[True], keys[1:] != keys[:-1]])
-    if keep_empty:
-        nonempty = keys != ""
-        keep &= first_occurrence | ~nonempty
-        if drop_key not in (None, ""):
-            keep &= keys != drop_key
-    else:
-        keep &= first_occurrence
-        if drop_key is not None:
-            keep &= keys != drop_key
-    return t.filter(pa.array(keep))
-
-
-def dedup_first_by_key(
-    ds: rd.Dataset, key: str, order_cols: list[str], keep_empty: bool = False
-) -> rd.Dataset:
-    """Distributed keep-first-per-key with a deterministic winner: ONE range
-    shuffle (sort on key + order columns), then per-block vectorized dedup.
-    Only boundary keys (2 strings per block) travel through the driver.
-
-    This replaces groupby().map_groups for dedup — map_groups calls Python
-    once per group, which at ~2 ms/group is 50 s for 25k keys; this path is
-    a sort plus O(rows) numpy per block."""
-    s = ds.sort([key] + order_cols)
-    refs = s.to_arrow_refs()
-    infos = ray.get([_block_boundary_keys.remote(r, key) for r in refs])
-    out_refs = []
-    running_last: str | None = None
-    for r, (first, last, n) in zip(refs, infos):
-        if n == 0:
-            continue
-        out_refs.append(_dedup_block.remote(r, key, running_last, keep_empty))
-        running_last = last
-    if not out_refs:
-        return s
-    return rd.from_arrow_refs(out_refs)
-
-
-def dedup_within_round(ds: rd.Dataset) -> rd.Dataset:
-    """Collapse duplicate url_md5 to the reference's first-enqueuer —
-    smallest (parent_seq, link_idx) (D1)."""
-    return dedup_first_by_key(ds, "url_md5", ["parent_seq", "link_idx"])
-
-
-def make_seen_gate(shards: list, k: int):
-    """A map_batches closure that scatters each batch's url_md5s to the seen
-    shard actors (T1) and keeps only first sightings.  Runs inside Ray tasks;
-    the actor mailbox serializes shard mutation."""
-    from ..state.seenset import shard_of
-
-    def gate(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
-        md5s = t.column("url_md5").to_pylist()
-        sh = shard_of(md5s, k)
-        mask = np.zeros(len(md5s), dtype=bool)
-        futs, idxs = [], []
-        for s in range(k):
-            idx = np.nonzero(sh == s)[0]
-            if idx.size:
-                futs.append(shards[s].check_and_add.remote([md5s[i] for i in idx]))
-                idxs.append(idx)
-        for idx, res in zip(idxs, ray.get(futs)):
-            mask[idx] = res
-        return t.filter(pa.array(mask))
-
-    return gate
-
-
-@ray.remote
-def _count_rows(t: pa.Table) -> int:
-    return t.num_rows
-
-
-@ray.remote
-def _add_seq(t: pa.Table, offset: int) -> pa.Table:
-    return t.append_column(
-        "enqueue_seq", pa.array(np.arange(offset, offset + t.num_rows), pa.int64())
-    )
-
-
-def assign_enqueue_seq(ds: rd.Dataset, start: int) -> tuple[rd.Dataset, int]:
-    """Contiguous enqueue_seq in (parent_seq, link_idx) order starting at
-    ``start``.  Sorts (range shuffle), then ranks sorted blocks in place:
-    only per-block row counts travel to the driver; block payloads stay in
-    the object store.  Returns (dataset, next_seq)."""
-    sorted_ds = ds.sort(["parent_seq", "link_idx"])
-    refs = sorted_ds.to_arrow_refs()
-    counts = ray.get([_count_rows.remote(r) for r in refs])
-    # drop zero-row blocks: empty groupby partitions can carry a degenerate
-    # (zero-column) schema that would poison the downstream sort
-    refs = [r for r, c in zip(refs, counts) if c > 0]
-    counts = [c for c in counts if c > 0]
-    if not refs:
-        return rd.from_arrow(_empty_candidates().append_column(
-            "enqueue_seq", pa.array([], pa.int64()))), start
-    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) + start
-    out_refs = [_add_seq.remote(r, int(o)) for r, o in zip(refs, offsets)]
-    return rd.from_arrow_refs(out_refs), start + int(sum(counts))

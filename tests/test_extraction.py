@@ -1,0 +1,172 @@
+"""Unit tests for the HTML/CJK extraction toolkits and the cuckoo filter
+(SURVEY.md M4-M31, T1)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lightcrawler_ray.functions import htmltools as ht
+from lightcrawler_ray.functions import texttools as tt
+from lightcrawler_ray.state.cuckoo import CuckooFilter, item_hashes
+
+BASE = "http://www.example.com/dir/page.html"
+
+
+class TestLinkFinder:
+    def test_three_passes_and_order(self):
+        html = (
+            '<a href="/a.html">first</a>'
+            '<img src="/i.png">'
+            '<frame src="/f.html">'
+            "<style>.x{background:url(/css.png)}</style>"
+        )
+        links = ht.find_links(html, BASE)
+        urls = [l.url for l in links]
+        assert urls[0] == "http://www.example.com/a.html"  # <a> pass first
+        assert "http://www.example.com/i.png" in urls      # attr pass
+        assert "http://www.example.com/css.png" not in urls  # aggressive off
+        agg = [l.url for l in ht.find_links(html, BASE, aggressive=True)]
+        assert "http://www.example.com/css.png" in agg     # M4 pass 3
+
+    def test_per_doc_dedup_first_seen(self):
+        html = '<a href="/x">one</a><a href="/x">two</a>'
+        links = ht.find_links(html, BASE)
+        assert len(links) == 1 and links[0].linktext == "one"
+
+    def test_script_and_comment_exclusion(self):
+        html = '<script>var a="/hidden.html"</script><!-- <a href="/c.html">c</a> --><a href="/ok.html">ok</a>'
+        urls = [l.url for l in ht.find_links(html, BASE)]
+        assert urls == ["http://www.example.com/ok.html"]
+
+    def test_base_href_override(self):
+        html = '<base href="http://cdn.example.org/assets/"><a href="x.js">x</a>'
+        links = ht.find_links(html, BASE)
+        assert links[0].url == "http://cdn.example.org/assets/x.js"
+
+    def test_noise_links_dropped(self):
+        html = '<a href="javascript:void(0)">j</a><a href="#top">t</a><a href="mailto:a@b">m</a>'
+        assert ht.find_links(html, BASE) == []
+
+    def test_find_images_with_alt(self):
+        html = '<img src="/i.png" alt="标题图片"><img src="/j.png">'
+        imgs = ht.find_images(html, BASE)
+        assert imgs[0] == ("http://www.example.com/i.png", "标题图片")
+        assert imgs[1][1] == ""
+
+    def test_meta_and_title(self):
+        html = "<head><title>甲_乙</title><meta name='keywords' content='k1,k2'></head>"
+        assert ht.page_title(html) == "甲_乙"
+        assert ht.find_meta(html)["keywords"] == "k1,k2"
+
+    def test_charset_decode_gbk(self):
+        body = "<meta charset=gbk><p>政策文件</p>".encode("gb18030")
+        assert "政策文件" in ht.decode_body(body)
+
+    def test_pagination_synthesis_m29(self):
+        html = "<script>var countPage = 5;var m_nPageIndex=0;</script>"
+        pages = ht.synthesize_pagination("http://h/p/list.html", html)
+        assert pages == [f"http://h/p/list.html?page={i}" for i in range(1, 5)]
+        assert ht.synthesize_pagination("http://h/p", "<html>no js</html>") == []
+        capped = ht.synthesize_pagination("http://h/p", "<script>var countPage=99</script>")
+        assert len(capped) == 9  # MAX_PAGE=10 cap (O4)
+
+
+class TestCjkExtraction:
+    HTML = (
+        "<html><head><title>关于测试的通知_首页</title></head><body>"
+        "<p>索引号：000014349/2020-00123</p>"
+        "<p>发文字号：国发〔2020〕12号</p>"
+        "<p>发布日期：2020年3月15日</p>"
+        "<p>主题分类：综合政务</p>"
+        "<p>正文依据《网络安全法》和《数据安全条例》以及《网络安全法》。</p>"
+        "<p>本通知自2021年9月1日起施行。</p>"
+        "</body></html>"
+    )
+
+    def test_summary_fields_m19_m22(self):
+        lines = tt.html_to_lines(self.HTML)
+        s = tt.extract_summary(lines, ht.page_title(self.HTML))
+        assert s["index_ori_no"] == "000014349/2020-00123"
+        assert s["doc_ori_no"] == "国发(2020)12号"
+        assert s["tags"] == "综合政务"
+        import calendar
+
+        assert s["publish_time"] == calendar.timegm((2020, 3, 15, 0, 0, 0))
+        assert s["t_valid"] == calendar.timegm((2021, 9, 1, 0, 0, 0))
+        assert s["title"] == "关于测试的通知"  # M24 title split fallback
+
+    def test_named_entities_unique_ordered_m23(self):
+        text = "依据《网络安全法》和《数据安全条例》以及《网络安全法》"
+        assert tt.named_entities(text) == ["网络安全法", "数据安全条例"]
+
+    def test_date_parse_variants_m21(self):
+        import calendar
+
+        want = calendar.timegm((2020, 1, 5, 0, 0, 0))
+        for s in ("2020年1月5日", "2020-1-5", "2020/01/05", "2020.1.5"):
+            assert tt.parse_cjk_date(s) == want, s
+        assert tt.parse_cjk_date("no date") == 0
+        assert tt.parse_cjk_date("9999年99月99日") == 0
+
+    def test_doc_no_bracket_families_m22(self):
+        for s in ("国发〔2020〕12号", "国发（2020）第12号", "国发[2020]12号"):
+            assert tt.normalize_doc_no(s) == "国发(2020)12号", s
+
+    def test_edit_distance_m31(self):
+        assert tt.edit_distance("kitten", "sitting") == 3
+        assert tt.edit_distance("中华人民", "中华民国") == 2
+        assert tt.edit_distance("", "abc") == 3
+        assert tt.edit_distance("same", "same") == 0
+
+    def test_lang_id(self):
+        assert tt.lang_id("这是一份中文法律文件，依据相关条例执行。") == "zh"
+        assert tt.lang_id("the quick brown fox jumps over the lazy dog") == "en"
+        assert tt.lang_id("zzz qqq xxx 123") == "other"
+        assert tt.lang_id("") == "other"
+
+    def test_token_count_modes(self):
+        assert tt.token_count("a b  c") == 3
+        assert tt.token_count("a-b c!", mode="bpe") == 5
+        assert tt.token_count("") == 0
+
+    def test_fingerprint_stability(self):
+        a = tt.fingerprint("hello world, this is a document")
+        assert a == tt.fingerprint("hello world, this is a document")
+        assert a != tt.fingerprint("hello world, this is b document")
+        assert tt.fingerprint("") == 0
+
+
+class TestCuckoo:
+    def test_membership_and_fpr(self):
+        cf = CuckooFilter(capacity=10000)
+        keys = [f"http://h/{i}" for i in range(8000)]
+        cf.add(keys)
+        assert cf.contains(keys).all()  # no false negatives, ever
+        probe = [f"http://other/{i}" for i in range(8000)]
+        fpr = cf.contains(probe).mean()
+        assert fpr < 0.01, fpr  # 16-bit fingerprints → ~1e-4 expected
+
+    def test_delete(self):
+        cf = CuckooFilter(capacity=1000)
+        cf.add(["a", "b"])
+        cf.delete_hashes(item_hashes(["a"]))
+        assert not cf.contains(["a"])[0]
+        assert cf.contains(["b"])[0]
+
+    def test_snapshot_restore(self):
+        cf = CuckooFilter(capacity=1000)
+        cf.add([f"k{i}" for i in range(500)])
+        cf2 = CuckooFilter.restore(cf.snapshot())
+        assert cf2.contains([f"k{i}" for i in range(500)]).all()
+        assert cf2.count == cf.count
+
+    def test_full_raises(self):
+        cf = CuckooFilter(capacity=8, bucket_size=2, max_kicks=16)
+        with pytest.raises(RuntimeError):
+            cf.add([f"x{i}" for i in range(10000)])
+
+    def test_load_factor(self):
+        cf = CuckooFilter(capacity=1000)
+        cf.add([f"k{i}" for i in range(100)])
+        assert 0 < cf.load_factor < 0.2
