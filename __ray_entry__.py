@@ -187,6 +187,23 @@ def _q_canonicalize(sf_dir: str):
     return ds.map_batches(canon, batch_format="pyarrow")
 
 
+def _q_crawl_schedule(sf_dir: str):
+    """Per-host politeness ledger rows (T7) from the cached crawl."""
+    import pandas as pd
+
+    from lightcrawler_ray import storage
+
+    job = _run_crawl_cached(sf_dir)
+    rows = []
+    for d in sorted(os.listdir(job.job_dir)):
+        p = os.path.join(job.job_dir, d, "schedule")
+        if d.startswith("epoch=") and os.path.isdir(p):
+            t = storage.load_table(p)
+            if t.num_columns:
+                rows.extend(t.to_pylist())
+    return pd.DataFrame(rows, columns=["enqueue_seq", "host", "sched_ms"])
+
+
 def _q_image_stats(sf_dir: str):
     from lightcrawler_ray.extras import multimodal
 
@@ -246,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_order": _q_crawl_order,
         "crawl_images": _q_crawl_images,
         "crawl_docs": _q_crawl_docs,
+        "crawl_schedule": _q_crawl_schedule,
         "image_stats": _q_image_stats,
         "image_resize": _q_image_resize,
     }

@@ -30,6 +30,14 @@ Checkpoint per epoch: frontier, links lineage, images, docs, metrics, seen
 snapshot, then an atomic done-marker — resume restores the seen shards and
 re-enters at the first incomplete epoch (T10 / north_rule).  All per-epoch
 outputs are partitioned directories so a 256-node run can skip finished work.
+
+Skew (SURVEY.md §4 / north_rule): hot hosts cannot unbalance this plan —
+fetch work is partitioned by ROW RANGES (round-robin over the pool,
+host-agnostic), the seen shards key on url_md5 (uniform by construction), the
+rank sort keys on sequence numbers (uniform), and per-host rate is bounded by
+the politeness ledger regardless of partition shape.  The one host-keyed
+structure, the ledger, is O(#hosts) state, not O(rows).  The Zipf-skewed
+fixture (host 0 owns ~1/H_n of pages) runs through the same parity suite.
 """
 
 from __future__ import annotations
@@ -93,6 +101,7 @@ class CrawlJob:
         self.content_seen = SeenSet(spec.seen_shards, spec.seen_capacity, "exact")
         self.next_seq = 0
         self.fetched = 0
+        self.bytes_total = 0
         self._pending: dict | None = None
         self._derive_seed_scope()
         self.robots_ref = ray.put(self.robots)
@@ -165,6 +174,13 @@ class CrawlJob:
                 break
             epoch += 1
             if self.spec.request_limit and self.fetched >= self.spec.request_limit:
+                break
+            # A2 traffic abort: the reference compares cumulative bytes against
+            # the limit continuously; round granularity is our batch analog
+            if (
+                self.spec.traffic_limit_bytes
+                and self.bytes_total >= self.spec.traffic_limit_bytes
+            ):
                 break
         self._drain_pending()
         return self.summary()
@@ -282,6 +298,7 @@ class CrawlJob:
 
         links = kinds["link"].select(_LINK_COLS)
         metrics = _metrics_from_table(kinds["fetch"], images.num_rows, epoch)
+        self.bytes_total += int(metrics.column("bytes_received")[0].as_py())
         storage.commit_table(metrics, os.path.join(ed, "metrics"))
         self._drain_pending()
         self._finish_epoch(ed, links=links, rows=n_frontier)
@@ -392,6 +409,8 @@ class CrawlJob:
         ]
         fetch_metas, img_metas, doc_metas, img_fulls, doc_fulls, link_refs = zip(*split_refs)
         fetch_small = _concat_nonempty(ray.get(list(fetch_metas)), _FETCH_META_SCHEMA)
+        if fetch_small.num_rows:
+            self.bytes_total += int(pc.sum(fetch_small.column("bytes_received")).as_py() or 0)
         _mark("fetch+split")
         img_meta = _concat_nonempty(ray.get(list(img_metas)), _IMG_META_SCHEMA)
         doc_meta = _concat_nonempty(ray.get(list(doc_metas)), _DOC_META_SCHEMA)

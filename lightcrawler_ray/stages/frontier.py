@@ -52,6 +52,7 @@ class CrawlSpec:
     priority_rules: tuple[tuple[str, int], ...] = ()  # first-match regex → level
     respect_robots: bool = True              # T5
     request_limit: int = 0                   # 0 = unlimited (A2/O3)
+    traffic_limit_bytes: int = 0             # 0 = unlimited; round-granular abort (A2)
     retry_limit: int = 3
     content_size_limit: int = 1 << 22
     receive_rules: tuple[str, ...] = ("text/", "image/")  # M10

@@ -201,6 +201,41 @@ def test_resume_from_sparse_snapshot(ray_session, fixture_paths, golden, tmp_pat
         j2.shutdown()
 
 
+def test_traffic_limit_aborts(ray_session, fixture_paths, tmp_path):
+    """A2 — cumulative-bytes abort stops the crawl early (round granular)."""
+    from lightcrawler_ray.pipelines.crawl import CrawlJob
+
+    p, paths = fixture_paths
+    spec = make_spec(traffic_limit_bytes=10_000)
+    seeds = pq.read_table(paths["seeds"])
+    job = CrawlJob(spec, seeds, paths["pages"], paths["images"], paths["robots"],
+                   str(tmp_path / "traffic"))
+    s = job.run(max_rounds=10)
+    try:
+        assert job.bytes_total >= 10_000  # crossed the limit...
+        assert s["links_followed"] < 59   # ...and stopped before the full crawl
+    finally:
+        job.shutdown()
+
+
+def test_request_limit_budget(ray_session, fixture_paths, golden, tmp_path):
+    """A2/O3 — request budget caps fetches at exactly N, in pop order (the
+    first N of the reference order)."""
+    from lightcrawler_ray.pipelines.crawl import CrawlJob
+
+    p, paths = fixture_paths
+    spec = make_spec(request_limit=10)
+    seeds = pq.read_table(paths["seeds"])
+    job = CrawlJob(spec, seeds, paths["pages"], paths["images"], paths["robots"],
+                   str(tmp_path / "budget"))
+    s = job.run(max_rounds=10)
+    try:
+        assert s["links_followed"] == 10
+        assert job.crawl_order() == golden.order[:10]
+    finally:
+        job.shutdown()
+
+
 def test_robots_disallow_respected(engine_run, golden):
     """host 0 disallows /private/ — nothing under it may be fetched."""
     job, _ = engine_run
