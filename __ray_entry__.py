@@ -67,10 +67,16 @@ def entry() -> Any:
 
     enriched = ds.map_batches(enrich, batch_format="pyarrow")
 
-    def keep_first(g):
-        return g.sort_values("doc_id").head(1)
+    # keep-first dedup: Min aggregate over (hash, doc_id) pairs — one
+    # shuffle of two small columns — then a hash semi-join back against the
+    # enriched rows.  map_groups would call Python once per group (~2 ms
+    # each); a driver-side winner set would not scale past memory.
+    from ray.data.aggregate import Min
 
-    return enriched.groupby("doc_hash").map_groups(keep_first, batch_format="pandas")
+    winners = enriched.groupby("doc_hash").aggregate(
+        Min("doc_id", alias_name="doc_id")
+    ).select_columns(["doc_id"])
+    return enriched.join(winners, join_type="inner", num_partitions=8, on=("doc_id",))
 
 
 # ---------------------------------------------------------------------------
@@ -298,9 +304,15 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY n.n_name"
         ),
         "pricing_summary": (
-            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
-            "sum(l_extendedprice) AS sum_base, "
-            "sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price, "
+            # decimal semantics: TPC-H prices/discounts are 2-decimal values;
+            # sum in exact integer units (cents / 10^-4 dollars) then divide,
+            # matching the Ray pipeline's integer-unit partial sums bit-for-bit
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 "
+            "  AS sum_disc_price, "
             "count(*) AS count_order FROM lineitem "
             "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
             "GROUP BY l_returnflag, l_linestatus"

@@ -132,7 +132,13 @@ def dim_enrich(sf_dir: str) -> rd.Dataset:
 def pricing_summary(sf_dir: str) -> rd.Dataset:
     """A1 at TPC-H Q1 shape — pre-aggregate per batch inside map_batches
     (partial combiner), then groupby-sum over the tiny partials: the
-    shuffle moves O(groups × blocks) rows instead of O(n)."""
+    shuffle moves O(groups × blocks) rows instead of O(n).
+
+    Numerics: TPC-H prices/discounts are 2-decimal decimals, so partial sums
+    accumulate in exact integer units (cents for qty/base, 10^-4 dollars for
+    disc_price) and convert to float only in the final projection — the
+    result is block-order independent and bit-identical to the decimal
+    oracle, where a float partial-sum tree would drift ~1e-5 across runs."""
     ds = _pq(
         sf_dir, "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
@@ -145,31 +151,46 @@ def pricing_summary(sf_dir: str) -> rd.Dataset:
             return pa.table(
                 {"l_returnflag": pa.array([], pa.string()),
                  "l_linestatus": pa.array([], pa.string()),
-                 "sum_qty": pa.array([], pa.float64()),
-                 "sum_base": pa.array([], pa.float64()),
-                 "sum_disc_price": pa.array([], pa.float64()),
+                 "qty_u": pa.array([], pa.int64()),
+                 "base_u": pa.array([], pa.int64()),
+                 "disc_u": pa.array([], pa.int64()),
                  "count_order": pa.array([], pa.int64())}
             )
         df = t.to_pandas()
-        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            count_order=("l_quantity", "size"),
+        qty_u = np.rint(df["l_quantity"].to_numpy() * 100).astype(np.int64)
+        base_u = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_h = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        df2 = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"], "l_linestatus": df["l_linestatus"],
+            "qty_u": qty_u, "base_u": base_u, "disc_u": base_u * (100 - disc_h),
+        })
+        g = df2.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            qty_u=("qty_u", "sum"), base_u=("base_u", "sum"),
+            disc_u=("disc_u", "sum"), count_order=("qty_u", "size"),
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    return (
+    agg = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_base", alias_name="sum_base"),
-            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("qty_u", alias_name="qty_u"),
+            Sum("base_u", alias_name="base_u"),
+            Sum("disc_u", alias_name="disc_u"),
             Sum("count_order", alias_name="count_order"),
         )
     )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"], "l_linestatus": t["l_linestatus"],
+            "sum_qty": pc.divide(pc.cast(t["qty_u"], pa.float64()), 100.0),
+            "sum_base": pc.divide(pc.cast(t["base_u"], pa.float64()), 100.0),
+            "sum_disc_price": pc.divide(pc.cast(t["disc_u"], pa.float64()), 10000.0),
+            "count_order": t["count_order"],
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
 
 
 def top_revenue(sf_dir: str) -> rd.Dataset:
