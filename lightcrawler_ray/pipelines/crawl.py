@@ -3,12 +3,17 @@ per-epoch checkpointing (SURVEY.md §3 "Ray-Data restatement").
 
 Each round (epoch):
 
-  link block refs ─ _filter_block tasks          canonicalize+filter (M1-M3, M8, O2, T5)
-                  ─ seen-shard two-phase         within-round dedup D1 + cross-round
-                    propose/resolve protocol       gate T1, deterministic min-rank winners
-                  ─ rank sort (the ONE Dataset   enqueue_seq = FIFO pop order (O1);
-                    execution / genuine shuffle)   budget cap A2 in pop order
-                  ─ politeness ledger walk       per-host crawl-delay schedule (T7)
+  link block refs ─ _filter_extract tasks        canonicalize+filter (M1-M3, M8, O2,
+                    (fused filter + key split)     T5) + per-seen-shard key parts
+                  ─ seen-shard gate_parts        within-round dedup D1 + cross-round
+                    (one fused call per shard)     gate T1, deterministic min-rank
+                                                   winners; only COUNTS hit the driver
+                  ─ _rank_sched_write_block      enqueue_seq = FIFO pop order (O1) —
+                    (no sort: blocks arrive        link blocks are emitted in rank
+                    in rank order by                order, so ranking is offset
+                    construction)                  arithmetic; budget cap A2 likewise
+                  ─ politeness shard pool        per-host crawl-delay schedule (T7),
+                    (hash(host) partitions)        ledger walk off the driver
                   ─ persistent fetch pool        fused fetch+extract — bodies never
                     (plasma-shared page store)     leave the worker
                   ─ _split_sink tasks            links checkpoint + forward refs;
@@ -54,8 +59,8 @@ import ray.data as rd
 
 from ..functions import hashing
 from ..stages.fetch import OUT_SCHEMA, SyntheticFetchExtract, load_fixture_tables
-from ..stages.frontier import CandidateFilter, CrawlSpec
-from ..stages.politeness import HostClock, schedule_table
+from ..stages.frontier import CandidateFilter, CrawlSpec, _empty_candidates
+from ..stages.politeness import HostClock, SchedulePool, split_sched_parts
 from ..state.seenset import SeenSet
 from .. import storage
 
@@ -103,6 +108,10 @@ class CrawlJob:
         self.fetched = 0
         self.bytes_total = 0
         self._pending: dict | None = None
+        # next-round filter tasks submitted against the in-flight round's
+        # link refs (pure tasks — safe to speculate; the stateful gate is not)
+        self._prefilter: dict | None = None
+        self._avg_links = 8.0  # links-per-URL estimate for coalesce sizing
         self._derive_seed_scope()
         self.robots_ref = ray.put(self.robots)
         # fixture stores: loaded once, broadcast once (the production analog
@@ -115,13 +124,21 @@ class CrawlJob:
             **self._fetch_kwargs(),
         )
         self._local_filter = CandidateFilter(spec, self.robots_ref)
-        # per-host politeness ledger (T7 upgraded: per-host, not global)
+        # per-host politeness ledger (T7 upgraded: per-host, not global),
+        # hash(host)-partitioned over a shard pool so no round's (host, seq)
+        # rows ever gather on the driver; the driver-side HostClock is kept
+        # for delay audits only (assert_polite), not ledger state
         self.host_clock = HostClock(spec.request_delay_ms, self.robots)
+        self.sched = SchedulePool(spec.politeness_shards, spec.request_delay_ms, self.robots)
         from ..stages.fetchpool import FetchPool
 
         self.fetch_pool = FetchPool(
             spec.fetch_concurrency, self.pages_ref, self.images_ref, self._fetch_kwargs()
         )
+        # pre-spawn the task workers the round tasks will run on, so the
+        # first distributed round doesn't pay worker startup latency
+        n_task_cpus = max(1, int(ray.cluster_resources().get("CPU", 8)) - spec.fetch_concurrency)
+        ray.get([_noop.remote() for _ in range(n_task_cpus)])
 
     def _fetch_kwargs(self) -> dict:
         s = self.spec
@@ -200,10 +217,11 @@ class CrawlJob:
             meta = json.load(f)
         self.next_seq = meta["next_seq"]
         self.fetched = meta["fetched"]
+        self.bytes_total = meta.get("bytes_total", 0)
         snaps = _load_seen_snapshot(os.path.join(self._epoch_dir(last), "seen.npz"))
         self.seen.restore(snaps["seen"])
         self.content_seen.restore(snaps["content"])
-        self.host_clock.restore(snaps.get("hosts", {}))
+        self.sched.restore(snaps.get("hosts", {}))
         links_dir = os.path.join(self._epoch_dir(last), "links")
         if storage.is_complete(links_dir):
             cand = storage.read_dataset(links_dir, empty_schema=_empty_links_table().schema)
@@ -221,23 +239,42 @@ class CrawlJob:
         tables, carried in the object store — no re-read), or a Dataset
         (resume path)."""
         ed = self._epoch_dir(epoch)
+        if os.path.isdir(ed):
+            # (re)entering an epoch — a mid-epoch crash or sparse-snapshot
+            # re-crawl may have left stale higher-index parts that a shorter
+            # re-run would otherwise bless; start the epoch clean
+            import shutil
+
+            shutil.rmtree(ed)
         os.makedirs(ed, exist_ok=True)
         local = n_hint is not None and n_hint <= self.spec.local_round_threshold
         if isinstance(candidates, rd.Dataset):
             candidates = [r for r in candidates.to_arrow_refs()]
         if local:
+            prefiltered = False
             if isinstance(candidates, list):
+                pf = self._prefilter
+                self._prefilter = None
+                if pf is not None and pf["key"] == tuple(r.hex() for r in candidates):
+                    candidates, prefiltered = pf["filt"], True
                 parts = [t for t in ray.get(candidates) if t.num_rows > 0]
-                candidates = pa.concat_tables(parts) if parts else _empty_links_table()
-            return self._round_local(candidates, epoch, ed)
+                candidates = (
+                    pa.concat_tables(parts) if parts
+                    else (_empty_candidates() if prefiltered else _empty_links_table())
+                )
+            return self._round_local(candidates, epoch, ed, prefiltered)
         if isinstance(candidates, pa.Table):
             candidates = [ray.put(candidates)]
-        return self._round_dist(candidates, epoch, ed)
+        return self._round_dist(candidates, epoch, ed, n_hint)
 
     # -- local (driver) fast path -------------------------------------
-    def _round_local(self, cand: pa.Table, epoch: int, ed: str):
+    def _round_local(self, cand: pa.Table, epoch: int, ed: str,
+                     prefiltered: bool = False):
         spec = self.spec
-        passed = self._local_filter(cand) if cand.num_rows else cand
+        if prefiltered:
+            passed = cand  # filter already ran in the speculative tasks
+        else:
+            passed = self._local_filter(cand) if cand.num_rows else cand
         if passed.num_rows:
             df = passed.to_pandas()
             df = df.sort_values(["parent_seq", "link_idx"], kind="stable")
@@ -262,10 +299,15 @@ class CrawlJob:
         self.fetched += n_frontier
         frontier_t = pa.Table.from_pandas(df, preserve_index=False)
         storage.commit_table(frontier_t, os.path.join(ed, "frontier"))
-        storage.commit_table(
-            schedule_table(df["host"].tolist(), df["enqueue_seq"].tolist(), self.host_clock),
-            os.path.join(ed, "schedule"),
+        # politeness ledger lives on the schedule shards (shared with the
+        # distributed path so clocks stay consistent across path switches)
+        sched_dir = os.path.join(ed, "schedule")
+        parts = split_sched_parts(
+            df["host"].tolist(), df["enqueue_seq"].to_numpy(),
+            df["priority"].to_numpy(), self.sched.p,
         )
+        ray.get(self.sched.schedule_round(sched_dir, bool(spec.priority_rules), [parts]))
+        storage.mark_complete(sched_dir)
 
         frontier_cols = df[["url", "url_md5", "host", "depth", "priority",
                             "enqueue_seq", "referer", "linktext"]]
@@ -284,16 +326,21 @@ class CrawlJob:
             k: out.filter(pc.equal(out.column("kind"), k))
             for k in ("fetch", "link", "image", "doc")
         }
+        # content verdicts run through the SAME code as the distributed path
+        # (within-round keep-first dedup, cross-round content gate, near-dup
+        # map, doc_ori_no rule) — local/dist parity by construction
         images = CrawlJob._image_rows(kinds["image"])
-        img_new = self.content_seen.check_and_add(images.column("url_md5").to_pylist())
-        images = images.filter(pa.array(img_new)) if images.num_rows else images
-        images = _flag_near_dups_local(images)
+        img_keep, dup_map = self._image_verdicts(
+            images.select(["enqueue_seq", "url_md5", "image_id", "phash"]).cast(_IMG_META_SCHEMA)
+        )
+        images = _apply_image_verdicts(images, img_keep, dup_map)
         storage.commit_table(images, os.path.join(ed, "images"))
 
         docs = _doc_rows(kinds["doc"])
-        doc_new = self.content_seen.check_and_add(docs.column("url_md5").to_pylist())
-        docs = docs.filter(pa.array(doc_new)) if docs.num_rows else docs
-        docs = _dedup_doc_ori_no_local(docs)
+        doc_keep = self._doc_verdicts(
+            docs.select(["enqueue_seq", "doc_id", "doc_ori_no"]).cast(_DOC_META_SCHEMA)
+        )
+        docs = _filter_by_seq(docs, doc_keep)
         storage.commit_table(docs, os.path.join(ed, "docs"))
 
         links = kinds["link"].select(_LINK_COLS)
@@ -305,14 +352,23 @@ class CrawlJob:
         return n_frontier, links, links.num_rows
 
     # -- distributed path ----------------------------------------------
-    def _round_dist(self, candidates: list, epoch: int, ed: str):
-        """Block-graph round: ONE Dataset execution (the rank sort — the only
-        genuine shuffle); candidate filtering runs as raw tasks over the link
-        block refs carried from the previous round, dedup+gate run as a
-        two-phase protocol against the seen shards, fetch runs on the
-        persistent worker pool, and sinks are per-block tasks.  Payload
-        blocks never pass through the driver — only boundary keys, counts
-        and the small metadata projections do."""
+    def _round_dist(self, candidates: list, epoch: int, ed: str,
+                    n_hint: int | None = None):
+        """Block-graph round with NO Dataset execution and exactly TWO driver
+        barriers before the fetch wave (winner counts + split metas):
+
+        Link blocks arrive from the previous round's split tasks in fetch
+        order, so every block is already sorted by (parent_seq, link_idx)
+        and block ranges are disjoint ascending — the rank order is free
+        and the former per-round Dataset sort is unnecessary.  Candidate
+        filtering + per-shard key extraction run fused as one task per
+        block; each seen shard answers the whole round in ONE ``gate_parts``
+        call, returning only per-block winner COUNTS to the driver while
+        the winner row arrays travel worker-to-worker into the rank tasks.
+        Rank tasks write frontier parts AND emit hash(host) schedule parts
+        consumed by the politeness shard pool (no per-row host/seq data on
+        the driver, ever).  Fetch runs on the persistent worker pool; sink
+        writes and the schedule futures drain during the next round."""
         spec = self.spec
         import time as _time
 
@@ -326,48 +382,70 @@ class CrawlJob:
                 print(f"    [dist] {label}: {now - _t:.2f}s", flush=True)
                 _t = now
 
-        # candidate filter as one raw task per link block (no Dataset pass)
-        refs = [
-            _filter_block.remote(r, spec, self.robots_ref) for r in candidates
-        ]
-        _mark("filter")
+        k, P = self.seen.k, self.sched.p
+        if len(candidates) == 0:
+            self._drain_pending()
+            self._finish_epoch(ed, links=_empty_links_table(), rows=0)
+            return 0, _empty_links_table(), 0
+        # the previous round usually speculated these filter tasks against
+        # its in-flight link refs — if so they are done (or finishing) by now
+        pf = self._prefilter
+        self._prefilter = None
+        if pf is not None and pf["key"] == tuple(r.hex() for r in candidates):
+            filt_refs, keymat = pf["filt"], pf["keymat"]
+            B = len(filt_refs)
+        else:
+            grouped = _coalesce_groups(candidates, n_hint)
+            B = len(grouped)
+            filt_refs, keymat = [], []
+            for grp in grouped:
+                rets = _filter_extract.options(num_returns=1 + k).remote(
+                    spec, self.robots_ref, k, *grp
+                )
+                filt_refs.append(rets[0])
+                keymat.append(rets[1:])
+        counts_refs = []
+        winner_mat: list[list] = [[None] * k for _ in range(B)]
+        for s in range(k):
+            rets = self.seen.shards[s].gate_parts.options(num_returns=1 + B).remote(
+                *[keymat[b][s] for b in range(B)]
+            )
+            counts_refs.append(rets[0])
+            for b in range(B):
+                winner_mat[b][s] = rets[1 + b]
+        _mark(f"launch_filter+gate B={B}")
+        counts = np.stack(ray.get(counts_refs)).sum(axis=0).astype(np.int64)
+        _mark(f"gate_counts n={int(counts.sum())}")
 
-        # two-phase dedup (D1 within-round) + seen gate (T1 cross-round):
-        # propose min (parent_seq, link_idx) per md5 to the shards, barrier,
-        # resolve winners — deterministic under any arrival order
-        ray.get([s.begin_round.remote() for s in self.seen.shards])
-        kept = _shard_dedup_gate(refs, self.seen.shards, self.seen.k)
-        _mark("dedup_gate")
-
-        # Execution 2: the rank sort (enqueue-seq order = FIFO pop order O1)
-        sorted_ds = rd.from_arrow_refs(kept).sort(["parent_seq", "link_idx"])
-        refs2 = sorted_ds.to_arrow_refs()
-        _mark("rank_sort")
-        counts = ray.get([_count_rows.remote(r) for r in refs2])
-        refs2 = [r for r, c in zip(refs2, counts) if c > 0]
-        counts = [c for c in counts if c > 0]
         # request budget (A2): cap in seq order; with priority rules the cap
         # must take max-priority first → fall back to a Dataset sort+limit
+        blocks: list = filt_refs
+        take = counts.copy()
         if spec.request_limit:
             remaining = max(0, spec.request_limit - self.fetched)
             if spec.priority_rules:
+                kept = [
+                    _apply_winners.remote(filt_refs[b], *winner_mat[b]) for b in range(B)
+                ]
                 capped = (
-                    rd.from_arrow_refs(refs2)
+                    rd.from_arrow_refs(kept)
                     .sort(["priority", "parent_seq", "link_idx"], descending=[True, False, False])
                     .limit(remaining)
                     .sort(["parent_seq", "link_idx"])
                 )
-                refs2 = capped.to_arrow_refs()
-                counts = ray.get([_count_rows.remote(r) for r in refs2])
-                refs2 = [r for r, c in zip(refs2, counts) if c > 0]
-                counts = [c for c in counts if c > 0]
+                blocks = capped.to_arrow_refs()
+                take = np.array(ray.get([_count_rows.remote(r) for r in blocks]), dtype=np.int64)
+                winner_mat = [[] for _ in blocks]  # winners already applied
             else:
-                cum, cut = 0, []
-                for c in counts:
-                    cut.append(min(c, max(0, remaining - cum)))
-                    cum += c
-                counts = cut
-        n_frontier = int(sum(counts))
+                cum = 0
+                for b in range(take.size):
+                    take[b] = min(take[b], max(0, remaining - cum))
+                    cum += counts[b]
+        sel = [b for b in range(len(blocks)) if take[b] > 0]
+        blocks = [blocks[b] for b in sel]
+        winner_mat = [winner_mat[b] for b in sel]
+        take = take[sel]
+        n_frontier = int(take.sum())
         if n_frontier == 0:
             self._drain_pending()
             self._finish_epoch(ed, links=_empty_links_table(), rows=0)
@@ -376,48 +454,72 @@ class CrawlJob:
 
         frontier_dir = os.path.join(ed, "frontier")
         os.makedirs(frontier_dir, exist_ok=True)
-        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) + self.next_seq
-        ranked = [
-            _rank_and_write_block.remote(r, int(o), int(c), frontier_dir, i)
-            for i, (r, o, c) in enumerate(zip(refs2, offsets, counts))
-        ]
+        offsets = np.concatenate([[0], np.cumsum(take)[:-1]]) + self.next_seq
         self.next_seq += n_frontier
+        ranked, sched_mat = [], []
+        for i, (blk, win, off, tk) in enumerate(zip(blocks, winner_mat, offsets, take)):
+            rets = _rank_sched_write_block.options(num_returns=1 + P).remote(
+                blk, int(off), int(tk), frontier_dir, i, P, *[w for w in win if w is not None]
+            )
+            ranked.append(rets[0])
+            sched_mat.append(rets[1:])
 
-        # politeness ledger (T7): walk the round in pop order; blocks are in
-        # seq order already, priorities reorder rarely (rules present)
-        hs = ray.get([_host_seq_prio.remote(r) for r in ranked])
-        hosts = [h for part in hs for h in part[0]]
-        seqs = [q for part in hs for q in part[1]]
-        if spec.priority_rules:
-            prios = [x for part in hs for x in part[2]]
-            order = sorted(range(len(seqs)), key=lambda i: (-prios[i], seqs[i]))
-            hosts = [hosts[i] for i in order]
-            seqs = [seqs[i] for i in order]
-        storage.commit_table(
-            schedule_table(hosts, seqs, self.host_clock), os.path.join(ed, "schedule")
-        )
+        # politeness ledger (T7): hash(host)-partitioned shard walk; futures
+        # drain with the other deferred sinks (actor mailboxes keep rounds
+        # ordered, so the next round may queue behind this one safely)
+        sched_dir = os.path.join(ed, "schedule")
+        sched_futs = self.sched.schedule_round(sched_dir, bool(spec.priority_rules), sched_mat)
 
-        # fetch+extract on the persistent pool (plasma-shared blocks)
-        out_refs = self.fetch_pool.submit(ranked, counts, spec.fetch_batch_size)
-
-        # sinks: one split task per fetch output block — writes links parts,
-        # returns small metadata projections for driver-side dedup decisions
+        # fetch+extract on the persistent pool (plasma-shared blocks) with
+        # work-stealing dispatch; each completed batch's split task (links
+        # checkpoint + meta projection) launches immediately so the sink
+        # wave pipelines inside the fetch wave
+        _mark("rank+sched_launch")
         links_dir = os.path.join(ed, "links")
         os.makedirs(links_dir, exist_ok=True)
-        split_refs = [
-            _split_sink.remote(o, links_dir, i) for i, o in enumerate(out_refs)
-        ]
+        bs = spec.fetch_batch_size
+        take_l = [int(c) for c in take]
+        nb = sum((c + bs - 1) // bs for c in take_l)
+        split_refs: list = [None] * nb
+
+        def _on_batch_done(i: int, ref) -> None:
+            split_refs[i] = _split_sink.remote(ref, links_dir, i)
+
+        self.fetch_pool.submit_dynamic(ranked, take_l, bs, on_done=_on_batch_done)
         fetch_metas, img_metas, doc_metas, img_fulls, doc_fulls, link_refs = zip(*split_refs)
-        fetch_small = _concat_nonempty(ray.get(list(fetch_metas)), _FETCH_META_SCHEMA)
+
+        # speculate the NEXT round's filter + key extraction against the
+        # link refs now, while this round's fetch wave is still running —
+        # pure tasks (the stateful gate waits for the next round), so an
+        # early abort (budget/rounds) wastes only idle task cycles.  This
+        # hides nearly all of the next round's prep under this round's W.
+        link_refs_l = list(link_refs)
+        est_links = max(1, int(self._avg_links * n_frontier))
+        pf_grouped = _coalesce_groups(link_refs_l, est_links)
+        pf_filt, pf_keymat = [], []
+        for grp in pf_grouped:
+            rets = _filter_extract.options(num_returns=1 + k).remote(
+                spec, self.robots_ref, k, *grp
+            )
+            pf_filt.append(rets[0])
+            pf_keymat.append(rets[1:])
+        self._prefilter = {
+            "key": tuple(r.hex() for r in link_refs_l),
+            "filt": pf_filt, "keymat": pf_keymat,
+        }
+
+        metas = ray.get(list(fetch_metas) + list(img_metas) + list(doc_metas))
+        fetch_small = _concat_nonempty(metas[:nb], _FETCH_META_SCHEMA)
         if fetch_small.num_rows:
             self.bytes_total += int(pc.sum(fetch_small.column("bytes_received")).as_py() or 0)
         _mark("fetch+split")
-        img_meta = _concat_nonempty(ray.get(list(img_metas)), _IMG_META_SCHEMA)
-        doc_meta = _concat_nonempty(ray.get(list(doc_metas)), _DOC_META_SCHEMA)
+        img_meta = _concat_nonempty(metas[nb:2 * nb], _IMG_META_SCHEMA)
+        doc_meta = _concat_nonempty(metas[2 * nb:], _DOC_META_SCHEMA)
         # every rank task is transitively complete once the split metas landed
         storage.mark_complete(frontier_dir)
         storage.mark_complete(links_dir)
         n_links = int(pc.sum(fetch_small.column("n_links")).as_py() or 0)
+        self._avg_links = max(1.0, n_links / max(1, n_frontier))
 
         # content dedup verdicts (D2/D3/D4), driver-side on small columns
         img_keep, dup_map = self._image_verdicts(img_meta)
@@ -452,13 +554,15 @@ class CrawlJob:
             _save_seen_snapshot(
                 os.path.join(ed, "seen.npz"),
                 {"seen": self.seen.snapshot(), "content": self.content_seen.snapshot(),
-                 "hosts": self.host_clock.snapshot()},
+                 "hosts": self.sched.snapshot()},
             )
         self._pending = dict(
             ed=ed, epoch=epoch, img_dir=img_dir, doc_dir=doc_dir,
             fetch_small=fetch_small, writes=writes, n_img=len(img_fulls),
+            sched_futs=sched_futs, sched_dir=sched_dir,
             meta={"next_seq": self.next_seq, "fetched": self.fetched,
-                  "rows": n_frontier, "links": n_links},
+                  "rows": n_frontier, "links": n_links,
+                  "bytes_total": self.bytes_total},
         )
         return n_frontier, list(link_refs), n_links
 
@@ -499,10 +603,11 @@ class CrawlJob:
         if not p:
             return
         self._pending = None
-        res = ray.get(p["writes"])
+        res = ray.get(p["writes"] + p["sched_futs"])
         n_images = int(sum(res[: p["n_img"]]))
         storage.mark_complete(p["img_dir"])
         storage.mark_complete(p["doc_dir"])
+        storage.mark_complete(p["sched_dir"])
         metrics = _metrics_from_table(p["fetch_small"], n_images, p["epoch"])
         storage.commit_table(metrics, os.path.join(p["ed"], "metrics"))
         _write_done(p["ed"], p["meta"])
@@ -514,10 +619,11 @@ class CrawlJob:
         _save_seen_snapshot(
             os.path.join(ed, "seen.npz"),
             {"seen": self.seen.snapshot(), "content": self.content_seen.snapshot(),
-             "hosts": self.host_clock.snapshot()},
+             "hosts": self.sched.snapshot()},
         )
         _write_done(ed, {"next_seq": self.next_seq, "fetched": self.fetched,
-                         "rows": rows, "links": n_links})
+                         "rows": rows, "links": n_links,
+                         "bytes_total": self.bytes_total})
 
     @staticmethod
     def _image_rows(t: pa.Table) -> pa.Table:
@@ -549,6 +655,7 @@ class CrawlJob:
         self.seen.shutdown()
         self.content_seen.shutdown()
         self.fetch_pool.shutdown()
+        self.sched.shutdown()
 
     def summary(self) -> dict:
         metrics = self.metrics()
@@ -618,39 +725,58 @@ _DOC_META_SCHEMA = pa.schema(
 )
 
 
+_COALESCE_ROWS = 4096  # target candidate rows per filter task
+
+
+def _coalesce_groups(refs: list, n_hint: int | None) -> list[list]:
+    """Contiguous groups of link-block refs sized so each filter task sees
+    ~_COALESCE_ROWS candidate rows (rank order is preserved because groups
+    are contiguous ranges of the already-ordered block list)."""
+    if not n_hint or len(refs) <= 1:
+        return [[r] for r in refs]
+    target = max(1, -(-n_hint // _COALESCE_ROWS))  # ceil
+    groups = np.array_split(np.arange(len(refs)), min(len(refs), target))
+    return [[refs[i] for i in g] for g in groups if g.size]
+
+
 @ray.remote
-def _filter_block(t: pa.Table, spec: CrawlSpec, robots) -> pa.Table:
-    """CandidateFilter over one link block (raw task — regex compile per task
-    is microseconds; robots arrives auto-dereferenced)."""
+def _noop() -> None:
+    """Worker-pool warmup target (spawning task workers mid-crawl costs
+    ~0.5 s on the first distributed round otherwise)."""
+
+
+@ray.remote
+def _filter_extract(spec: CrawlSpec, robots, k: int, *tables: pa.Table):
+    """Fused CandidateFilter + per-seen-shard key extraction over one
+    coalesced group of link blocks (one task hop instead of two).  Returns
+    the filtered block followed by k key parts (``num_returns=1+k`` at the
+    call site); concat + mask filter preserve (parent_seq, link_idx) order."""
+    t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
     filt = CandidateFilter.__new__(CandidateFilter)
     import re
+
+    from ..state.cuckoo import md5hex_to_u64_pairs
 
     filt.spec = spec
     filt.filter_res = [re.compile(r) for r in spec.url_filter_regexes]
     filt.follow_res = [re.compile(r) for r in spec.url_follow_regexes]
     filt.prio_res = [(re.compile(r), lvl) for r, lvl in spec.priority_rules]
     filt.robots = robots if isinstance(robots, dict) else ray.get(robots)
-    return filt(t)
-
-
-@ray.remote
-def _extract_keys(t: pa.Table, k: int):
-    """Partition a candidate block's (md5, rank, row) keys by seen-shard.
-    Returns k parts (num_returns=k at the call site) — pure projection, no
-    blocking calls inside the worker."""
-    from ..state.seenset import shard_of
-
-    md5s = t.column("url_md5").to_pylist()
-    seq = np.asarray(t.column("parent_seq").to_numpy(zero_copy_only=False), dtype=np.int64)
-    idx = np.asarray(t.column("link_idx").to_numpy(zero_copy_only=False), dtype=np.int64)
-    sh = shard_of(md5s, k) if md5s else np.zeros(0, dtype=np.int64)
+    out = filt(t)
+    md5s = out.column("url_md5").to_pylist()
+    hi, lo = md5hex_to_u64_pairs(md5s)
+    seq = np.asarray(out.column("parent_seq").to_numpy(zero_copy_only=False), dtype=np.int64)
+    idx = np.asarray(out.column("link_idx").to_numpy(zero_copy_only=False), dtype=np.int64)
+    # same mapping as seenset.shard_of: low 32 md5 bits mod k
+    sh = ((lo & np.uint64(0xFFFFFFFF)) % np.uint64(k)).astype(np.int64)
     parts = []
     for s in range(k):
         rows = np.nonzero(sh == s)[0]
         parts.append(
-            {"md5": [md5s[i] for i in rows], "seq": seq[rows], "idx": idx[rows], "row": rows}
+            {"md5": [md5s[i] for i in rows], "hi": hi[rows], "lo": lo[rows],
+             "seq": seq[rows], "idx": idx[rows], "row": rows}
         )
-    return tuple(parts) if k > 1 else parts[0]
+    return (out, *parts)
 
 
 @ray.remote
@@ -664,56 +790,38 @@ def _apply_winners(t: pa.Table, *winner_rows: np.ndarray) -> pa.Table:
     return t.filter(pa.array(mask))
 
 
-def _shard_dedup_gate(refs: list, shards: list, k: int) -> list:
-    """Two-phase dedup+gate orchestration (driver-side): extract keys per
-    block (num_returns=k), all shards propose, barrier, all shards resolve,
-    winners filtered back into the blocks.  Only winner row-indices cross the
-    driver; no worker ever blocks on a nested ray.get."""
-    B = len(refs)
-    if B == 0:
-        return refs
-    keyrefs = [
-        _extract_keys.options(num_returns=k if k > 1 else 1).remote(r, k) for r in refs
-    ]
-    if k == 1:
-        keymat = [[kr] for kr in keyrefs]
-    else:
-        keymat = [list(kr) for kr in keyrefs]
-    ray.get([
-        shards[s].propose_parts.remote(*[keymat[b][s] for b in range(B)])
-        for s in range(k)
-    ])
-    winner_lists = ray.get([
-        shards[s].resolve_parts.remote(*[keymat[b][s] for b in range(B)])
-        for s in range(k)
-    ])
-    return [
-        _apply_winners.remote(refs[b], *[winner_lists[s][b] for s in range(k)])
-        for b in range(B)
-    ]
-
-
 @ray.remote
 def _count_rows(t: pa.Table) -> int:
     return t.num_rows
 
 
 @ray.remote
-def _host_seq_prio(t: pa.Table):
-    return (t.column("host").to_pylist(), t.column("enqueue_seq").to_pylist(),
-            t.column("priority").to_pylist())
-
-
-@ray.remote
-def _rank_and_write_block(
-    t: pa.Table, offset: int, take_n: int, frontier_dir: str, part: int
-) -> pa.Table:
+def _rank_sched_write_block(
+    t: pa.Table, offset: int, take_n: int, frontier_dir: str, part: int,
+    p_sched: int, *winner_rows: np.ndarray,
+):
+    """Apply this block's dedup winners (mask → order preserved), slice to
+    the budget, assign contiguous enqueue_seq, write the frontier part, and
+    emit hash(host) schedule parts for the politeness shards.  Returns the
+    ranked block followed by the P schedule parts (``num_returns=1+P``)."""
     import pyarrow.parquet as pq
 
+    if winner_rows:
+        mask = np.zeros(t.num_rows, dtype=bool)
+        for w in winner_rows:
+            if w.size:
+                mask[w] = True
+        t = t.filter(pa.array(mask))
     t = t.slice(0, take_n)
     t = t.append_column("enqueue_seq", pa.array(np.arange(offset, offset + t.num_rows), pa.int64()))
     pq.write_table(t, os.path.join(frontier_dir, f"part-{part:05d}.parquet"))
-    return t
+    sched = split_sched_parts(
+        t.column("host").to_pylist(),
+        t.column("enqueue_seq").to_numpy(),
+        np.asarray(t.column("priority").to_numpy(zero_copy_only=False), dtype=np.int64),
+        p_sched,
+    )
+    return (t, *sched)
 
 
 @ray.remote(num_returns=6)
@@ -752,21 +860,29 @@ def _split_sink(out: pa.Table, links_dir: str, part: int):
     return fetch_meta, img_meta, doc_meta, images, docs, links
 
 
+def _filter_by_seq(t: pa.Table, keep: set) -> pa.Table:
+    if t.num_rows == 0:
+        return t
+    return t.filter(pa.array([s in keep for s in t.column("enqueue_seq").to_pylist()]))
+
+
+def _apply_image_verdicts(images: pa.Table, keep: set, dup_map: dict) -> pa.Table:
+    """Shared by the local round and the distributed finalize task: apply the
+    keep-set then attach the near-dup verdict column."""
+    kept = _filter_by_seq(images, keep)
+    col = pa.array(
+        [dup_map.get(i, "") for i in kept.column("image_id").to_pylist()], pa.string()
+    )
+    return kept.append_column("near_dup_of", col)
+
+
 @ray.remote
 def _finalize_images(images: pa.Table, keep: set, dup_map: dict, out_dir: str, part: int) -> int:
     import pyarrow.parquet as pq
 
-    if images.num_rows == 0:
-        return 0
-    seqs = images.column("enqueue_seq").to_pylist()
-    mask = pa.array([s in keep for s in seqs])
-    kept = images.filter(mask)
+    kept = _apply_image_verdicts(images, keep, dup_map)
     if kept.num_rows == 0:
         return 0
-    kept = kept.append_column(
-        "near_dup_of",
-        pa.array([dup_map.get(i, "") for i in kept.column("image_id").to_pylist()], pa.string()),
-    )
     pq.write_table(kept, os.path.join(out_dir, f"part-{part:05d}.parquet"))
     return kept.num_rows
 
@@ -775,10 +891,7 @@ def _finalize_images(images: pa.Table, keep: set, dup_map: dict, out_dir: str, p
 def _finalize_docs(docs: pa.Table, keep: set, out_dir: str, part: int) -> int:
     import pyarrow.parquet as pq
 
-    if docs.num_rows == 0:
-        return 0
-    seqs = docs.column("enqueue_seq").to_pylist()
-    kept = docs.filter(pa.array([s in keep for s in seqs]))
+    kept = _filter_by_seq(docs, keep)
     if kept.num_rows == 0:
         return 0
     pq.write_table(kept, os.path.join(out_dir, f"part-{part:05d}.parquet"))
@@ -796,20 +909,6 @@ def _doc_rows(t: pa.Table) -> pa.Table:
     out = t.select([c for c in _DOC_COLS if c != "url_md5"])
     # content-seen gate keys on url_md5; for docs the key is doc_id (D2)
     return out.append_column("url_md5", t.column("doc_id"))
-
-
-def _dedup_doc_ori_no_local(t: pa.Table) -> pa.Table:
-    if t.num_rows == 0:
-        return t
-    df_meta = t.select(["doc_ori_no", "enqueue_seq"]).to_pandas()
-    df_meta["_i"] = np.arange(len(df_meta))
-    keep_idx = []
-    for no, g in df_meta.groupby("doc_ori_no", sort=False):
-        if no == "":
-            keep_idx.extend(g["_i"].tolist())
-        else:
-            keep_idx.append(int(g.sort_values("enqueue_seq", kind="stable")["_i"].iloc[0]))
-    return t.take(pa.array(sorted(keep_idx), pa.int64()))
 
 
 def _near_dup_map(ids: list, phashes: np.ndarray, seqs: np.ndarray) -> dict:
@@ -832,53 +931,6 @@ def _near_dup_map(ids: list, phashes: np.ndarray, seqs: np.ndarray) -> dict:
             if dd <= 8:
                 dup.setdefault(ids[members[1 + j]], ids[first])
     return dup
-
-
-def _flag_near_dups_local(t: pa.Table) -> pa.Table:
-    if t.num_rows == 0:
-        return t.append_column("near_dup_of", pa.array([], pa.string()))
-    ids = t.column("image_id").to_pylist()
-    ph = np.array(t.column("phash").to_pylist(), dtype=np.int64)
-    seqs = np.array(t.column("enqueue_seq").to_pylist(), dtype=np.int64)
-    dup = _near_dup_map(ids, ph, seqs)
-    return t.append_column(
-        "near_dup_of", pa.array([dup.get(i, "") for i in ids], pa.string())
-    )
-
-
-def _flag_phash_near_dups(ds: rd.Dataset) -> rd.Dataset:
-    """D3 — phash near-dup flagging: ONLY the (image_id, phash, enqueue_seq)
-    triple leaves the blocks (16 B + id per row — image bytes never move,
-    hard part (d)); the banded-bucket hamming check runs on that projection
-    and the verdict map is broadcast back into the payload blocks.
-
-    The projection is per-round, so it is tiny relative to the payload; a
-    round so large its triple projection cannot be gathered would band-
-    partition the projection first (same _near_dup_map per partition)."""
-    triple = pa.concat_tables(
-        [t for t in ray.get(
-            ds.map_batches(
-                lambda t: t.select(["image_id", "phash", "enqueue_seq"]),
-                batch_format="pyarrow",
-            ).to_arrow_refs()
-        ) if t.num_rows > 0] or [pa.table(
-            {"image_id": pa.array([], pa.string()),
-             "phash": pa.array([], pa.int64()),
-             "enqueue_seq": pa.array([], pa.int64())})]
-    )
-    dup_map = _near_dup_map(
-        triple.column("image_id").to_pylist(),
-        np.array(triple.column("phash").to_pylist(), dtype=np.int64),
-        np.array(triple.column("enqueue_seq").to_pylist(), dtype=np.int64),
-    )
-    dup_ref = ray.put(dup_map)
-
-    def attach(t: pa.Table) -> pa.Table:
-        m = ray.get(dup_ref)
-        col = [m.get(i, "") for i in t.column("image_id").to_pylist()]
-        return t.append_column("near_dup_of", pa.array(col, pa.string()))
-
-    return ds.map_batches(attach, batch_format="pyarrow")
 
 
 def _metrics_from_table(fetch: pa.Table, n_images: int, epoch: int) -> pa.Table:

@@ -71,6 +71,47 @@ class FetchPool:
                 futures.append(w.process.remote(ref, s, min(s + batch_size, n)))
         return futures
 
+    def submit_dynamic(self, block_refs: list, counts: list[int], batch_size: int,
+                       depth: int = 2, on_done=None) -> list:
+        """Work-stealing dispatch: keep ``depth`` batches queued per worker and
+        top up as each completes — kills the straggler tail that static
+        round-robin leaves when batch costs vary (images vs 45 KB documents).
+        Output refs are returned INDEXED BY TASK ORDER (= seq order), which
+        downstream ranking depends on; ``on_done(task_idx, ref)`` fires in
+        completion order.  ``fetch_local=False`` keeps payload blocks out of
+        the driver."""
+        tasks = [
+            (ref, s, min(s + batch_size, n))
+            for ref, n in zip(block_refs, counts)
+            for s in range(0, n, batch_size)
+        ]
+        out: list = [None] * len(tasks)
+        nxt = 0
+        inflight: dict = {}
+
+        def feed(w) -> bool:
+            nonlocal nxt
+            if nxt >= len(tasks):
+                return False
+            ref, s, e = tasks[nxt]
+            fut = w.process.remote(ref, s, e)
+            inflight[fut] = (w, nxt)
+            out[nxt] = fut
+            nxt += 1
+            return True
+
+        for w in self.workers:
+            for _ in range(depth):
+                if not feed(w):
+                    break
+        while inflight:
+            done, _ = ray.wait(list(inflight), num_returns=1, fetch_local=False)
+            w, i = inflight.pop(done[0])
+            feed(w)
+            if on_done is not None:
+                on_done(i, done[0])
+        return out
+
     def shutdown(self) -> None:
         for w in self.workers:
             ray.kill(w)

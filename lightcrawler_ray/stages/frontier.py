@@ -66,6 +66,7 @@ class CrawlSpec:
     seen_shards: int = 4
     seen_capacity: int = 1 << 20
     seen_mode: str = "both"                  # exact | cuckoo | both
+    politeness_shards: int = 4               # hash(host) partitions of the T7 ledger
     fetch_concurrency: int = 4
     fetch_batch_size: int = 256
     # rounds at or below this many candidate rows run on the driver through

@@ -21,17 +21,24 @@ what a production fetch worker would sleep against, and the recorded values
 make politeness auditable (`assert_polite`) and replay-deterministic
 (north_rule lineage).
 
-Scale note: the ledger walk is O(round rows) over only (host, seq) — at
-10^10-URL scale this state is hash(host)-partitioned with the frontier and
-each partition walks its own hosts; a host never spans partitions, so the
-per-partition walk is exact (the partitioning assumption this operator
-relies on).
+Scale note: the ledger walk is hash(host)-partitioned (``ScheduleShard``
+actor pool): each rank task splits its block's (host, seq, priority) triples
+by ``host_shard``, and each shard actor concatenates its parts, sorts them
+into pop order, walks ONLY its own hosts' clocks and writes its schedule
+part directly to the epoch sink.  A host never spans shards, so the
+per-shard walk is exact, no per-row data ever crosses the driver, and the
+shard mailbox serializes rounds — the next round's call simply queues behind
+the current one (no driver barrier).
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 import numpy as np
 import pyarrow as pa
+import ray
 
 
 class HostClock:
@@ -76,6 +83,109 @@ def schedule_table(hosts: list[str], seqs: list[int], clock: HostClock,
             "sched_ms": pa.array(sched, pa.float64()),
         }
     )
+
+
+def host_shard(host: str, p: int) -> int:
+    """Stable shard index for a host (md5 top 32 bits mod P) — shared by the
+    rank tasks and the driver's local path so a host never spans shards."""
+    return int(hashlib.md5(host.encode()).hexdigest()[:8], 16) % p
+
+
+def split_sched_parts(hosts: list[str], seqs, prios, p: int) -> list[tuple]:
+    """Partition a block's (host, seq, prio) triples into P shard parts."""
+    seqs = np.asarray(seqs, dtype=np.int64)
+    prios = np.asarray(prios, dtype=np.int64)
+    sh = np.fromiter((host_shard(h, p) for h in hosts), dtype=np.int64, count=len(hosts))
+    out = []
+    for s in range(p):
+        rows = np.nonzero(sh == s)[0]
+        out.append(([hosts[i] for i in rows], seqs[rows], prios[rows]))
+    return out
+
+
+@ray.remote(num_cpus=0)
+class ScheduleShard:
+    """One politeness partition: owns the clocks for hosts with
+    ``host_shard(h, P) == p``.  ``schedule_parts`` is the per-round ledger
+    walk; the actor mailbox serializes rounds so callers never barrier on it
+    (T7 at north_rule scale — the driver gather this replaces was O(round)).
+    """
+
+    def __init__(self, shard_id: int, default_delay_ms: float, robots: dict):
+        self.shard_id = shard_id
+        self.clock = HostClock(default_delay_ms, robots)
+
+    def schedule_parts(self, out_path: str, use_priority: bool, *parts) -> int:
+        """Concatenate this shard's parts (one per block, already in seq
+        order), sort into pop order, walk the ledger, write the schedule
+        part.  Returns rows written."""
+        hosts: list[str] = []
+        seqs_l, prios_l = [], []
+        for h, s, q in parts:
+            hosts.extend(h)
+            seqs_l.append(s)
+            prios_l.append(q)
+        if not hosts:
+            return 0
+        seqs = np.concatenate(seqs_l)
+        prios = np.concatenate(prios_l)
+        order = np.lexsort((seqs, -prios)) if use_priority else np.argsort(seqs, kind="stable")
+        hosts = [hosts[i] for i in order]
+        seqs = seqs[order]
+        sched = self.clock.schedule(hosts)
+        t = pa.table({
+            "enqueue_seq": pa.array(seqs, pa.int64()),
+            "host": pa.array(hosts, pa.string()),
+            "sched_ms": pa.array(sched, pa.float64()),
+        })
+        import pyarrow.parquet as pq
+
+        os.makedirs(out_path, exist_ok=True)
+        pq.write_table(t, os.path.join(out_path, f"part-{self.shard_id:05d}.parquet"))
+        return t.num_rows
+
+    def snapshot(self) -> dict[str, float]:
+        return self.clock.snapshot()
+
+    def restore(self, snap: dict[str, float], p: int) -> None:
+        self.clock.restore(
+            {h: v for h, v in snap.items() if host_shard(h, p) == self.shard_id}
+        )
+
+
+class SchedulePool:
+    """Driver facade over P ScheduleShard actors."""
+
+    def __init__(self, p: int, default_delay_ms: float, robots: dict):
+        self.p = p
+        self.shards = [
+            ScheduleShard.remote(i, default_delay_ms, robots) for i in range(p)
+        ]
+
+    def schedule_round(self, out_path: str, use_priority: bool,
+                       part_matrix: list[list]) -> list:
+        """``part_matrix[b][p]`` = (refs to) block b's part for shard p.
+        Returns one future per shard; callers may defer the gather — actor
+        mailboxes keep rounds ordered."""
+        futs = []
+        for s in range(self.p):
+            parts = [row[s] for row in part_matrix]
+            futs.append(self.shards[s].schedule_parts.remote(out_path, use_priority, *parts))
+        return futs
+
+    def snapshot(self) -> dict[str, float]:
+        merged: dict[str, float] = {}
+        for snap in ray.get([s.snapshot.remote() for s in self.shards]):
+            merged.update(snap)
+        return merged
+
+    def restore(self, snap: dict[str, float]) -> None:
+        ray.get([s.restore.remote(snap, self.p) for s in self.shards])
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
 
 
 def assert_polite(tables: list[pa.Table], clock: HostClock) -> None:

@@ -10,9 +10,11 @@ the lock), so no cross-actor coordination is needed — the shard IS the
 claim unit, replacing the reference's table-wide `LOCK TABLE urls WRITE`
 (PHPCrawlerMySqlUrlCache.class.php:124,174).
 
-Determinism contract (SURVEY.md §2.9): callers dedup *within* a round first
-(groupby url_md5 → deterministic winner), so each shard sees each key at most
-once per round and the final membership set is order-independent.
+Determinism contract (SURVEY.md §2.9): the per-round ``gate_parts`` call
+computes the min-``(parent_seq, link_idx)`` winner per key over ALL of the
+round's blocks at once (each key lives on exactly one shard), so the result
+is independent of block arrival order; the final membership set is therefore
+order-independent too.
 
 Snapshot/restore round-trips every shard's state for the per-epoch checkpoint
 (T10 / north_rule resumability).
@@ -23,7 +25,7 @@ from __future__ import annotations
 import numpy as np
 import ray
 
-from .cuckoo import CuckooFilter, hashes_from_md5hex
+from .cuckoo import CuckooFilter, hashes_from_md5hex, md5hex_to_u64_pairs
 
 
 @ray.remote(num_cpus=0)
@@ -36,8 +38,6 @@ class SeenShard:
         self.mode = mode
         self.cuckoo = CuckooFilter(capacity) if mode != "exact" else None
         self.exact: set[str] | None = set() if mode != "cuckoo" else None
-        # per-round two-phase dedup state: md5 → min (parent_seq, link_idx)
-        self._round_min: dict[str, tuple[int, int]] = {}
 
     def check_and_add(self, md5s: list[str]) -> np.ndarray:
         """Bool mask: True = first sighting (now marked seen). Each key must
@@ -63,59 +63,63 @@ class SeenShard:
             return np.fromiter((m in self.exact for m in md5s), dtype=bool, count=len(md5s))
         return self.cuckoo.contains_hashes(hashes_from_md5hex(md5s))
 
-    # -- two-phase within-round dedup + cross-round gate ---------------------
-    # Replaces a whole groupby shuffle: blocks PROPOSE (md5, rank) pairs, the
-    # shard keeps the min rank per unseen md5; after a barrier, blocks RESOLVE
-    # and keep only the row holding the winning rank (which the shard then
-    # marks seen).  Deterministic regardless of arrival order — the min is
-    # order-free and resolution happens only after every propose landed.
+    # -- fused within-round dedup + cross-round gate -------------------------
+    # Replaces a whole groupby shuffle: the driver sends ALL of a round's key
+    # parts for this shard in ONE call (same md5 → same shard, so every
+    # duplicate of a key is in the call); the shard computes the
+    # min-(parent_seq, link_idx) winner per unseen key vectorized and marks
+    # winners seen.  Deterministic regardless of block order — the min is
+    # order-free.  Returns (per-part winner counts, *per-part winner row
+    # arrays) so callers can take only the small counts to the driver and
+    # route the row arrays worker-to-worker by ref.
 
-    def begin_round(self) -> None:
-        self._round_min.clear()
-
-    def propose_parts(self, *parts: dict) -> int:
-        """Each part: {"md5": [...], "seq": nd, "idx": nd, "row": nd} — this
-        shard's keys from one candidate block (pre-partitioned by a
-        _extract_keys task, so nothing blocks inside workers).  Keeps the min
-        (parent_seq, link_idx) per unseen md5."""
-        rm = self._round_min
-        n = 0
+    def gate_parts(self, *parts: dict):
+        """Each part: {"md5": [...], "hi": u64, "lo": u64, "seq": i64,
+        "idx": i64, "row": i64} — one candidate block's keys for this shard
+        (pre-partitioned inside the filter task)."""
+        B = len(parts)
+        sizes = [len(p["md5"]) for p in parts]
+        total = int(sum(sizes))
+        empty = tuple(np.zeros(0, dtype=np.int64) for _ in range(B))
+        if total == 0:
+            return (np.zeros(B, dtype=np.int64), *empty)
+        md5_all: list[str] = []
         for p in parts:
-            md5s = p["md5"]
-            if not md5s:
-                continue
-            seen = self.contains(md5s)
-            for m, s_, i_, was in zip(md5s, p["seq"], p["idx"], seen):
-                if was:
-                    continue
-                r = (int(s_), int(i_))
-                cur = rm.get(m)
-                if cur is None or r < cur:
-                    rm[m] = r
-            n += len(md5s)
-        return n
-
-    def resolve_parts(self, *parts: dict) -> list[np.ndarray]:
-        """Per part, the block-row indices whose rank won its md5; winners are
-        marked seen on first resolution (ranks are unique → exactly once)."""
-        rm = self._round_min
-        out: list[np.ndarray] = []
-        winners: list[str] = []
-        for p in parts:
-            wins: list[int] = []
-            for m, s_, i_, row in zip(p["md5"], p["seq"], p["idx"], p["row"]):
-                if rm.get(m) == (int(s_), int(i_)):
-                    wins.append(int(row))
-                    winners.append(m)
-                    del rm[m]
-            out.append(np.array(wins, dtype=np.int64))
-        if winners:
+            md5_all.extend(p["md5"])
+        hi = np.concatenate([np.asarray(p["hi"], dtype=np.uint64) for p in parts])
+        lo = np.concatenate([np.asarray(p["lo"], dtype=np.uint64) for p in parts])
+        seq = np.concatenate([np.asarray(p["seq"], dtype=np.int64) for p in parts])
+        idx = np.concatenate([np.asarray(p["idx"], dtype=np.int64) for p in parts])
+        if self.exact is not None:
+            contains = self.exact.__contains__
+            seen = np.fromiter(map(contains, md5_all), dtype=bool, count=total)
+        else:
+            seen = self.cuckoo.contains_hashes(hi)
+        u = np.nonzero(~seen)[0]
+        win_mask = np.zeros(total, dtype=bool)
+        if u.size:
+            # min (seq, idx) per exact 128-bit key: stable lexsort then
+            # first-occurrence mask — fully vectorized
+            order = np.lexsort((idx[u], seq[u], lo[u], hi[u]))
+            us = u[order]
+            h_s, l_s = hi[us], lo[us]
+            first = np.ones(us.size, dtype=bool)
+            first[1:] = (h_s[1:] != h_s[:-1]) | (l_s[1:] != l_s[:-1])
+            w = us[first]
+            win_mask[w] = True
             if self.exact is not None:
-                self.exact.update(winners)
+                self.exact.update(md5_all[i] for i in w)
             if self.cuckoo is not None:
-                h = hashes_from_md5hex(winners)
-                self.cuckoo.add_hashes(h[~self.cuckoo.contains_hashes(h)])
-        return out
+                wh = hi[w]
+                self.cuckoo.add_hashes(wh[~self.cuckoo.contains_hashes(wh)])
+        out, counts = [], np.zeros(B, dtype=np.int64)
+        off = 0
+        for b in range(B):
+            rows_b = np.asarray(parts[b]["row"], dtype=np.int64)[win_mask[off:off + sizes[b]]]
+            counts[b] = rows_b.size
+            out.append(rows_b)
+            off += sizes[b]
+        return (counts, *out)
 
     def stats(self) -> dict:
         return {
@@ -147,11 +151,10 @@ class SeenShard:
 
 def shard_of(md5s: list[str] | np.ndarray, k: int) -> np.ndarray:
     """Shard index per key — low 8 hex chars of the md5, mod K (independent of
-    the cuckoo's own bucket hash which uses the top bits)."""
-    out = np.empty(len(md5s), dtype=np.int64)
-    for i, m in enumerate(md5s):
-        out[i] = int(m[24:32], 16) % k
-    return out
+    the cuckoo's own bucket hash which uses the top bits).  Vectorized via the
+    (hi, lo) uint64 view: ``int(m[24:32], 16) == lo & 0xFFFFFFFF``."""
+    _, lo = md5hex_to_u64_pairs(md5s)
+    return ((lo & np.uint64(0xFFFFFFFF)) % np.uint64(k)).astype(np.int64)
 
 
 class SeenSet:
