@@ -91,17 +91,31 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
-    import pyarrow.parquet as pq
+    # verify via a broadcast semi-join: the candidate-id set (small side)
+    # rides the object store; the documents table STREAMS through
+    # map_batches and only candidate rows' shingle sets come back — driver
+    # memory is O(candidate docs), never O(corpus).  (With a candidate set
+    # too big to broadcast, this becomes a hash join on doc_id instead.)
+    need_ref = ray.put(frozenset(cand["doc_a"]) | frozenset(cand["doc_b"]))
 
-    need = set(cand["doc_a"]) | set(cand["doc_b"])
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts = {d: x for d, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()) if d in need}
+    def cand_shingles(t: pa.Table) -> pa.Table:
+        need = ray.get(need_ref)
+        ids = t.column("doc_id").to_pylist()
+        keep = [i for i, d in enumerate(ids) if d in need]
+        out_id, out_sh = [], []
+        for i in keep:
+            w = t.column("text")[i].as_py().split(" ")
+            out_id.append(ids[i])
+            out_sh.append(sorted({" ".join(w[j:j + 3]) for j in range(max(1, len(w) - 2))}))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "shingles": pa.array(out_sh, pa.list_(pa.string()))})
 
-    def shingles(text: str) -> set:
-        w = text.split(" ")
-        return {" ".join(w[i : i + 3]) for i in range(max(1, len(w) - 2))}
-
-    sh = {d: shingles(x) for d, x in texts.items()}
+    cd = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(cand_shingles, batch_format="pyarrow")
+        .to_pandas()
+    )
+    sh = {d: set(s) for d, s in zip(cd["doc_id"], cd["shingles"])}
     jac = [
         len(sh[a] & sh[b]) / max(1, len(sh[a] | sh[b]))
         for a, b in zip(cand["doc_a"], cand["doc_b"])

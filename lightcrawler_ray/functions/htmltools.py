@@ -127,7 +127,12 @@ def find_links(html: str, base_url: str, aggressive: bool = False) -> list[Found
 
 
 def find_images(html: str, base_url: str) -> list[tuple[str, str]]:
-    """M25 — (canonical image url, caption) pairs from ``<img src alt>``."""
+    """M25 — (canonical image url, caption) pairs from ``<img src alt>``.
+
+    Runs after section exclusion (M5) like find_links, so ``<img>`` tags
+    inside comments or script blocks cannot contribute (or overwrite)
+    captions — matching the reference's pre-pass order."""
+    html = exclude_sections(html)
     out: list[tuple[str, str]] = []
     seen: set[str] = set()
     for m in _IMG_RE.finditer(html):

@@ -169,6 +169,142 @@ def extract_summary(lines: list[str], title_tag: str = "") -> dict[str, object]:
     return fields
 
 
+# ---------------------------------------------------------------------------
+# M18 / A3 / M28 — main-content extraction
+
+_P_RE = re.compile(r"<p\b[^>]*>(.*?)</p\s*>", re.IGNORECASE | re.DOTALL)
+_A_TEXT_RE = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
+_BLOCK_OPEN_CLOSE_RE = re.compile(r"<(/?)(div|ul|ol)\b[^>]*>", re.IGNORECASE)
+_SQUASH_RE = re.compile(r"\s+")
+
+
+def p_texts(html: str) -> list[str]:
+    """The ``<p>`` text lines (the reference's ``textP`` accumulator,
+    ExtractContent.class.php:308-310)."""
+    import html as _h
+
+    html = _SCRIPT_STYLE_RE.sub(" ", html)
+    out = []
+    for m in _P_RE.finditer(html):
+        t = _WS_LINE_RE.sub(" ", _h.unescape(_TAG_RE.sub("", m.group(1)))).strip()
+        if t:
+            out.append(t)
+    return out
+
+
+def char_ratio(html: str) -> float:
+    """A3 — whitespace-stripped ``<p>``-chars over all text chars
+    (ExtractContent.class.php:626-630): the signal that decides between the
+    p-based and line-density extraction paths."""
+    p = _SQUASH_RE.sub("", "".join(p_texts(html)))
+    t = _SQUASH_RE.sub("", "".join(html_to_lines(html)))
+    return len(p) / len(t) if t else 0.0
+
+
+def _block_tree(html: str) -> list[tuple[int, int, int, int, list]]:
+    """Top-level div/ul/ol blocks as (start, end, inner_start, inner_end,
+    children) — a tag-stack scan standing in for the DOM the container
+    lacks; sloppy HTML (unclosed tags) degrades gracefully."""
+    roots: list = []
+    stack: list = []  # (name, start, inner_start, children)
+    for m in _BLOCK_OPEN_CLOSE_RE.finditer(html):
+        closing, name = bool(m.group(1)), m.group(2).lower()
+        if not closing:
+            stack.append((name, m.start(), m.end(), []))
+        else:
+            if not any(fr[0] == name for fr in stack):
+                continue  # stray close tag
+            while stack:
+                n, s, ins, kids = stack.pop()
+                if n == name:
+                    node = (s, m.end(), ins, m.start(), kids)
+                    (stack[-1][3] if stack else roots).append(node)
+                    break
+                # unclosed open tag: promote its children upward
+                (stack[-1][3] if stack else roots).extend(kids)
+    while stack:  # trailing unclosed opens
+        _, _, _, kids = stack.pop()
+        (stack[-1][3] if stack else roots).extend(kids)
+    return roots
+
+
+def link_block_spans(html: str) -> list[tuple[int, int]]:
+    """M28 — spans of nav/link blocks: a div/ul/ol whose anchor text
+    dominates (>0.6 of block text) with short average anchor length
+    (1 < avg < 6), checked top-down with short-circuit like the reference
+    (ExtractContent.class.php:946-983)."""
+    spans: list[tuple[int, int]] = []
+
+    def visit(nodes) -> None:
+        for s, e, ins, ine, kids in nodes:
+            inner = html[ins:ine]
+            block_text = _SQUASH_RE.sub("", _TAG_RE.sub("", inner))
+            anchors = _A_TEXT_RE.findall(inner)
+            a_texts = [_SQUASH_RE.sub("", _TAG_RE.sub("", a)) for a in anchors]
+            a_len = sum(len(a) for a in a_texts)
+            avg = a_len // len(anchors) if anchors else 0
+            if block_text and a_len / len(block_text) > 0.6 and 1 < avg < 6:
+                spans.append((s, e))
+            else:
+                visit(kids)
+
+    visit(_block_tree(html))
+    return spans
+
+
+def suppress_link_blocks(html: str) -> str:
+    """Remove detected link blocks (the reference removes the DOM nodes
+    before extraction)."""
+    spans = link_block_spans(html)
+    if not spans:
+        return html
+    out, pos = [], 0
+    for s, e in sorted(spans):
+        out.append(html[pos:s])
+        out.append(" ")
+        pos = e
+    out.append(html[pos:])
+    return "".join(out)
+
+
+def line_block_density(lines: list[str], blocksize: int = 3) -> str:
+    """M18 fallback — line-block density extraction: squash each line,
+    slide a ``blocksize`` window of char counts, keep the contiguous
+    nonzero-density run with the most text
+    (ExtractContent.class.php:645-706; the classic text-density method)."""
+    sq = [_SQUASH_RE.sub("", ln) for ln in lines]
+    n = len(sq)
+    if n == 0:
+        return ""
+    lens = np.array([len(s) for s in sq], dtype=np.int64)
+    bs = min(n, blocksize)
+    block = np.convolve(lens, np.ones(bs, dtype=np.int64), mode="valid")
+    best_text, best_len = "", 0
+    part: list[str] = []
+    cur = 0
+    for i in range(block.size):
+        if block[i] > 0:
+            if sq[i]:
+                part.append(sq[i])
+                cur += len(sq[i])
+        else:
+            part, cur = [], 0
+        if cur > best_len:
+            best_len, best_text = cur, "\n".join(part)
+    return best_text
+
+
+def main_content(html: str) -> str:
+    """M18 — the extracted main content: link blocks suppressed (M28), then
+    the p-based path when the p-char ratio (A3) clears the threshold, else
+    line-block density extraction (ExtractContent.class.php:621-640)."""
+    html = suppress_link_blocks(html)
+    ps = p_texts(html)
+    if ps and char_ratio(html) >= 0.01:
+        return "\n".join(ps)
+    return line_block_density(html_to_lines(html))
+
+
 def edit_distance(a: str, b: str) -> int:
     """M31 — Levenshtein distance (numpy DP rows)."""
     if a == b:

@@ -130,6 +130,9 @@ class CrawlJob:
         # for delay audits only (assert_polite), not ledger state
         self.host_clock = HostClock(spec.request_delay_ms, self.robots)
         self.sched = SchedulePool(spec.politeness_shards, spec.request_delay_ms, self.robots)
+        from ..state.simindex import SimIndex
+
+        self.docsim = SimIndex()
         from ..stages.fetchpool import FetchPool
 
         self.fetch_pool = FetchPool(
@@ -222,6 +225,8 @@ class CrawlJob:
         self.seen.restore(snaps["seen"])
         self.content_seen.restore(snaps["content"])
         self.sched.restore(snaps.get("hosts", {}))
+        if snaps.get("docsim"):
+            self.docsim.restore(snaps["docsim"])
         links_dir = os.path.join(self._epoch_dir(last), "links")
         if storage.is_complete(links_dir):
             cand = storage.read_dataset(links_dir, empty_schema=_empty_links_table().schema)
@@ -338,7 +343,7 @@ class CrawlJob:
 
         docs = _doc_rows(kinds["doc"])
         doc_keep = self._doc_verdicts(
-            docs.select(["enqueue_seq", "doc_id", "doc_ori_no"]).cast(_DOC_META_SCHEMA)
+            docs.select(["enqueue_seq", "doc_id", "doc_ori_no", "simhash"]).cast(_DOC_META_SCHEMA)
         )
         docs = _filter_by_seq(docs, doc_keep)
         storage.commit_table(docs, os.path.join(ed, "docs"))
@@ -554,7 +559,7 @@ class CrawlJob:
             _save_seen_snapshot(
                 os.path.join(ed, "seen.npz"),
                 {"seen": self.seen.snapshot(), "content": self.content_seen.snapshot(),
-                 "hosts": self.sched.snapshot()},
+                 "hosts": self.sched.snapshot(), "docsim": self.docsim.snapshot()},
             )
         self._pending = dict(
             ed=ed, epoch=epoch, img_dir=img_dir, doc_dir=doc_dir,
@@ -585,7 +590,13 @@ class CrawlJob:
         return keep, dup_map
 
     def _doc_verdicts(self, doc_meta: pa.Table) -> set:
-        """doc_id exact dedup (D2) + doc_ori_no unique-when-present (D4)."""
+        """doc_id exact dedup (D2) + doc_ori_no unique-when-present (D4,
+        within AND across rounds) + simhash near-dup gate with the
+        doc_ori_no override (J3 — a near-dup doc survives only when it
+        carries an unseen official document number,
+        worker/SpiderFrame.class.php:281-293)."""
+        import pandas as pd
+
         if doc_meta.num_rows == 0:
             return set()
         df = doc_meta.to_pandas().sort_values("enqueue_seq", kind="stable")
@@ -593,8 +604,24 @@ class CrawlJob:
         new = self.content_seen.check_and_add(df["doc_id"].tolist())
         df = df[new]
         with_no = df[df["doc_ori_no"] != ""].drop_duplicates("doc_ori_no", keep="first")
+        if len(with_no):
+            # cross-round D4: the doc_ori_no key space is namespaced so it
+            # cannot collide with the doc_id (content-md5) key space
+            keys = [hashlib.md5(("no:" + n).encode()).hexdigest()
+                    for n in with_no["doc_ori_no"]]
+            with_no = with_no[self.content_seen.check_and_add(keys)]
         without = df[df["doc_ori_no"] == ""]
-        return set(with_no["enqueue_seq"]) | set(without["enqueue_seq"])
+        surv = pd.concat([with_no, without]).sort_values("enqueue_seq", kind="stable")
+        if self.spec.doc_near_dup_hamming >= 0 and len(surv):
+            dup = self.docsim.query_insert(
+                surv["simhash"].to_numpy(dtype=np.int64),
+                surv["doc_id"].tolist(),
+                self.spec.doc_near_dup_hamming,
+            )
+            is_dup = np.array([bool(x) for x in dup])
+            override = (surv["doc_ori_no"] != "").to_numpy()
+            surv = surv[~is_dup | override]
+        return set(surv["enqueue_seq"])
 
     def _drain_pending(self) -> None:
         """Complete the previous epoch's deferred sink writes: gather the
@@ -619,7 +646,7 @@ class CrawlJob:
         _save_seen_snapshot(
             os.path.join(ed, "seen.npz"),
             {"seen": self.seen.snapshot(), "content": self.content_seen.snapshot(),
-             "hosts": self.sched.snapshot()},
+             "hosts": self.sched.snapshot(), "docsim": self.docsim.snapshot()},
         )
         _write_done(ed, {"next_seq": self.next_seq, "fetched": self.fetched,
                          "rows": rows, "links": n_links,
@@ -656,6 +683,7 @@ class CrawlJob:
         self.content_seen.shutdown()
         self.fetch_pool.shutdown()
         self.sched.shutdown()
+        self.docsim.shutdown()
 
     def summary(self) -> dict:
         metrics = self.metrics()
@@ -721,7 +749,8 @@ _IMG_META_SCHEMA = pa.schema(
      ("image_id", pa.string()), ("phash", pa.int64())]
 )
 _DOC_META_SCHEMA = pa.schema(
-    [("enqueue_seq", pa.int64()), ("doc_id", pa.string()), ("doc_ori_no", pa.string())]
+    [("enqueue_seq", pa.int64()), ("doc_id", pa.string()), ("doc_ori_no", pa.string()),
+     ("simhash", pa.int64())]
 )
 
 
@@ -856,7 +885,7 @@ def _split_sink(out: pa.Table, links_dir: str, part: int):
     images = CrawlJob._image_rows(kinds["image"])
     img_meta = images.select(["enqueue_seq", "url_md5", "image_id", "phash"]).cast(_IMG_META_SCHEMA)
     docs = _doc_rows(kinds["doc"])
-    doc_meta = docs.select(["enqueue_seq", "doc_id", "doc_ori_no"]).cast(_DOC_META_SCHEMA)
+    doc_meta = docs.select(["enqueue_seq", "doc_id", "doc_ori_no", "simhash"]).cast(_DOC_META_SCHEMA)
     return fetch_meta, img_meta, doc_meta, images, docs, links
 
 

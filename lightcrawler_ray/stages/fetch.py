@@ -274,7 +274,11 @@ class SyntheticFetchExtract:
 
     def _doc_row(self, url: str, md5: str, html: str, seq: int) -> dict:
         lines = texttools.html_to_lines(html)
-        content = "\n".join(lines)
+        # M18/M28/A3: content = extracted MAIN content (nav/link blocks
+        # suppressed, p-ratio or line-density path) so every downstream
+        # hash/quality/dedup value is boilerplate-free; summary fields still
+        # scan the full line set (labels may sit outside the dense block)
+        content = texttools.main_content(html) or "\n".join(lines)
         summary = texttools.extract_summary(lines, htmltools.page_title(html))
         sh = hashing.simhash64(content)
         return _row(

@@ -67,6 +67,7 @@ class CrawlSpec:
     seen_capacity: int = 1 << 20
     seen_mode: str = "both"                  # exact | cuckoo | both
     politeness_shards: int = 4               # hash(host) partitions of the T7 ledger
+    doc_near_dup_hamming: int = 3            # J3 simhash gate threshold; -1 disables
     fetch_concurrency: int = 4
     fetch_batch_size: int = 256
     # rounds at or below this many candidate rows run on the driver through

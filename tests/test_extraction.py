@@ -170,3 +170,56 @@ class TestCuckoo:
         cf = CuckooFilter(capacity=1000)
         cf.add([f"k{i}" for i in range(100)])
         assert 0 < cf.load_factor < 0.2
+
+
+class TestMainContent:
+    """M18/M28/A3 — main-content extraction excludes nav boilerplate."""
+
+    NAV = "<ul>" + "".join(f'<li><a href="/s{i}">栏目{i}</a></li>' for i in range(12)) + "</ul>"
+
+    def test_p_ratio_path_excludes_nav(self):
+        from lightcrawler_ray.functions import texttools as tt
+
+        body = ("<div><p>" + "这是正文的第一段内容，论述了数据要素市场建设的总体思路。" * 3
+                + "</p><p>第二段给出了落实举措。</p></div>")
+        html = f"<html><body>{self.NAV}{body}{self.NAV}</body></html>"
+        mc = tt.main_content(html)
+        assert "正文的第一段" in mc and "落实举措" in mc
+        assert "栏目1" not in mc, "nav link-block lines must be suppressed"
+        assert tt.char_ratio(html) >= 0.01
+
+    def test_density_fallback_without_p_tags(self):
+        from lightcrawler_ray.functions import texttools as tt
+
+        # 5 dense lines; the window walk covers n-blocksize+1 lines (the
+        # reference's loop bound — its last blocksize-1 lines never append)
+        dense = "<br>".join(f"正文密集行{w}。" * 15 for w in "甲乙丙丁戊")
+        html = ("<html><body>" + self.NAV + "<div>" + dense + "</div>"
+                + self.NAV + "</body></html>")
+        mc = tt.main_content(html)
+        assert "正文密集行甲" in mc and "正文密集行乙" in mc and "正文密集行丙" in mc
+        assert "栏目1" not in mc
+
+    def test_link_block_detection_thresholds(self):
+        from lightcrawler_ray.functions import texttools as tt
+
+        # long anchor texts (avg >= 6) are NOT a link block
+        longnav = "<ul>" + "".join(
+            f'<li><a href="/s{i}">这是一个很长的链接标题文字{i}</a></li>' for i in range(5)
+        ) + "</ul>"
+        assert tt.link_block_spans(f"<body>{longnav}</body>") == []
+        # text-dominated div with one short link is NOT a link block
+        mixed = "<div><a href='/x'>更多</a>" + "这里是大量的正文文字内容。" * 10 + "</div>"
+        assert tt.link_block_spans(f"<body>{mixed}</body>") == []
+        assert tt.link_block_spans(f"<body>{self.NAV}</body>") != []
+
+    def test_doc_id_reflects_main_content(self):
+        """Two pages with identical main content but different nav chrome
+        must hash identically (the dedup win M18 exists for)."""
+        from lightcrawler_ray.functions import hashing, texttools as tt
+
+        body = "<p>" + "相同的正文内容，关于政策的规定。" * 10 + "</p>"
+        nav2 = "<ul>" + "".join(f'<li><a href="/t{i}">频道{i}</a></li>' for i in range(9)) + "</ul>"
+        a = f"<html><body>{self.NAV}{body}</body></html>"
+        b = f"<html><body>{nav2}{body}{nav2}</body></html>"
+        assert hashing.doc_id(tt.main_content(a)) == hashing.doc_id(tt.main_content(b))
