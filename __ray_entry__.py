@@ -210,6 +210,84 @@ def _q_crawl_schedule(sf_dir: str):
     return pd.DataFrame(rows, columns=["enqueue_seq", "host", "sched_ms"])
 
 
+def _q_crawl_routed(sf_dir: str):
+    """M11/§2.10 per-route dispatch + M25 attachment harvest on a
+    deterministic routed mini-site (rows-only): one row per doc/attachment
+    with its route verdict."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lightcrawler_ray import storage
+    from lightcrawler_ray.pipelines.crawl import CrawlJob
+    from lightcrawler_ray.stages.frontier import CrawlSpec
+
+    host = "routed.example"
+    detail = (
+        "<html><head><title>文件{i}_公报</title></head><body>"
+        "<p>发文字号：例发〔2026〕{i}号</p>"
+        + "".join(f"<p>正文第{j}段：关于专项工作的安排与要求，持续推进落实。</p>" for j in range(8))
+        + '<p>附件：<a href="/files/a{i}.pdf">附件{i}</a></p></body></html>'
+    )
+    pdf = b"%PDF-1.4 routed-demo-payload-"
+    pages = {f"http://{host}/list/0.htm": (
+        "text/html",
+        ("<html><body>" + "".join(
+            f'<a href="/content/{i}.htm">文件{i}</a>' for i in range(1, 5)
+        ) + "</body></html>").encode(),
+    )}
+    for i in range(1, 5):
+        pages[f"http://{host}/content/{i}.htm"] = (
+            "text/html", detail.replace("{i}", str(i)).replace("{j}", "0").encode()
+        )
+        pages[f"http://{host}/files/a{i}.pdf"] = ("application/pdf", pdf + str(i).encode())
+    urls = list(pages)
+    d = "/tmp/lcray_routed_fixture"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table({
+        "url": pa.array(urls), "host": pa.array([host] * len(urls)),
+        "status": pa.array([200] * len(urls), pa.int16()),
+        "content_type": pa.array([pages[u][0] for u in urls]),
+        "body": pa.array([pages[u][1] for u in urls], pa.large_binary()),
+        "location": pa.array([""] * len(urls)),
+        "fail_attempts": pa.array([0] * len(urls), pa.int32()),
+    }), f"{d}/pages.parquet")
+    pq.write_table(pa.table({
+        "image_id": pa.array([], pa.string()), "bytes": pa.array([], pa.large_binary()),
+        "w": pa.array([], pa.int32()), "h": pa.array([], pa.int32()),
+        "fmt": pa.array([], pa.string()), "caption": pa.array([], pa.string()),
+        "phash": pa.array([], pa.int64()),
+    }), f"{d}/images.parquet")
+    pq.write_table(pa.table({
+        "host": pa.array([], pa.string()), "delay_ms": pa.array([], pa.int64()),
+        "disallow": pa.array([], pa.list_(pa.string())),
+    }), f"{d}/robots.parquet")
+    seeds = pa.table({"url": pa.array([f"http://{host}/list/0.htm"]),
+                      "depth": pa.array([0], pa.int32()),
+                      "priority": pa.array([0], pa.int32())})
+    spec = CrawlSpec(
+        max_depth=2, follow_mode=2, seen_shards=2, fetch_concurrency=1,
+        routes=((r"/list/", "list"), (r"/content/\d+\.htm$", "detail"),
+                (r"\.pdf$", "attachment")),
+    )
+    jd = "/tmp/lcray_routed_job"
+    shutil.rmtree(jd, ignore_errors=True)
+    job = CrawlJob(spec, seeds, f"{d}/pages.parquet", f"{d}/images.parquet",
+                   f"{d}/robots.parquet", jd)
+    job.run(max_rounds=5)
+    rows = []
+    for ep in sorted(os.listdir(jd)):
+        for sub, kind in (("docs", "doc"), ("attachments", "attachment")):
+            p = os.path.join(jd, ep, sub)
+            if ep.startswith("epoch=") and os.path.isdir(p):
+                t = storage.load_table(p)
+                if t.num_columns:
+                    for r in t.select(["url", "doc_id"]).to_pylist():
+                        rows.append({"url": r["url"], "kind": kind, "doc_id": r["doc_id"]})
+    job.shutdown()
+    return pd.DataFrame(rows, columns=["url", "kind", "doc_id"]).sort_values("url").reset_index(drop=True)
+
+
 def _q_image_stats(sf_dir: str):
     from lightcrawler_ray.extras import multimodal
 
@@ -270,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_images": _q_crawl_images,
         "crawl_docs": _q_crawl_docs,
         "crawl_schedule": _q_crawl_schedule,
+        "crawl_routed": _q_crawl_routed,
         "image_stats": _q_image_stats,
         "image_resize": _q_image_resize,
     }

@@ -70,7 +70,10 @@ _IMG_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
              "src_url", "referer", "enqueue_seq", "url_md5"]
 _DOC_COLS = ["doc_id", "url", "doc_ori_no", "title", "author", "tags",
              "publish_time", "t_valid", "content", "negs", "simhash",
-             "doc_lang", "doc_quality", "doc_tokens", "enqueue_seq", "url_md5"]
+             "doc_lang", "doc_quality", "doc_tokens", "attachments",
+             "enqueue_seq", "url_md5"]
+_ATT_COLS = ["url", "url_md5", "referer", "att_ext", "att_type", "doc_id",
+             "enqueue_seq"]
 
 
 def load_robots(robots_path: str) -> dict[str, dict]:
@@ -153,6 +156,7 @@ class CrawlJob:
             aggressive_links=s.aggressive_links,
             synthesize_pagination=s.synthesize_pagination,
             request_delay_ms=max(s.request_delay_ms, 0.0),
+            routes=s.routes,
         )
 
     def _derive_seed_scope(self) -> None:
@@ -329,7 +333,7 @@ class CrawlJob:
             out = pa.Table.from_pylist(rows, schema=OUT_SCHEMA) if rows else OUT_SCHEMA.empty_table()
         kinds = {
             k: out.filter(pc.equal(out.column("kind"), k))
-            for k in ("fetch", "link", "image", "doc")
+            for k in ("fetch", "link", "image", "doc", "attach")
         }
         # content verdicts run through the SAME code as the distributed path
         # (within-round keep-first dedup, cross-round content gate, near-dup
@@ -347,6 +351,12 @@ class CrawlJob:
         )
         docs = _filter_by_seq(docs, doc_keep)
         storage.commit_table(docs, os.path.join(ed, "docs"))
+
+        atts = _att_rows(kinds["attach"])
+        att_keep = self._att_verdicts(
+            atts.select(["enqueue_seq", "doc_id"]).cast(_ATT_META_SCHEMA)
+        )
+        storage.commit_table(_filter_by_seq(atts, att_keep), os.path.join(ed, "attachments"))
 
         links = kinds["link"].select(_LINK_COLS)
         metrics = _metrics_from_table(kinds["fetch"], images.num_rows, epoch)
@@ -491,7 +501,8 @@ class CrawlJob:
             split_refs[i] = _split_sink.remote(ref, links_dir, i)
 
         self.fetch_pool.submit_dynamic(ranked, take_l, bs, on_done=_on_batch_done)
-        fetch_metas, img_metas, doc_metas, img_fulls, doc_fulls, link_refs = zip(*split_refs)
+        (fetch_metas, img_metas, doc_metas, att_metas,
+         img_fulls, doc_fulls, att_fulls, link_refs) = zip(*split_refs)
 
         # speculate the NEXT round's filter + key extraction against the
         # link refs now, while this round's fetch wave is still running —
@@ -513,13 +524,16 @@ class CrawlJob:
             "filt": pf_filt, "keymat": pf_keymat,
         }
 
-        metas = ray.get(list(fetch_metas) + list(img_metas) + list(doc_metas))
+        metas = ray.get(
+            list(fetch_metas) + list(img_metas) + list(doc_metas) + list(att_metas)
+        )
         fetch_small = _concat_nonempty(metas[:nb], _FETCH_META_SCHEMA)
         if fetch_small.num_rows:
             self.bytes_total += int(pc.sum(fetch_small.column("bytes_received")).as_py() or 0)
         _mark("fetch+split")
         img_meta = _concat_nonempty(metas[nb:2 * nb], _IMG_META_SCHEMA)
-        doc_meta = _concat_nonempty(metas[2 * nb:], _DOC_META_SCHEMA)
+        doc_meta = _concat_nonempty(metas[2 * nb:3 * nb], _DOC_META_SCHEMA)
+        att_meta = _concat_nonempty(metas[3 * nb:], _ATT_META_SCHEMA)
         # every rank task is transitively complete once the split metas landed
         storage.mark_complete(frontier_dir)
         storage.mark_complete(links_dir)
@@ -529,14 +543,18 @@ class CrawlJob:
         # content dedup verdicts (D2/D3/D4), driver-side on small columns
         img_keep, dup_map = self._image_verdicts(img_meta)
         doc_keep = self._doc_verdicts(doc_meta)
+        att_keep = self._att_verdicts(att_meta)
 
         img_dir = os.path.join(ed, "images")
         doc_dir = os.path.join(ed, "docs")
+        att_dir = os.path.join(ed, "attachments")
         os.makedirs(img_dir, exist_ok=True)
         os.makedirs(doc_dir, exist_ok=True)
+        os.makedirs(att_dir, exist_ok=True)
         keep_ref = ray.put(img_keep)
         dup_ref = ray.put(dup_map)
         dkeep_ref = ray.put(doc_keep)
+        akeep_ref = ray.put(att_keep)
         # the previous epoch's deferred writes have had this whole round to
         # finish — drain them now, BEFORE stashing ours (done markers must
         # land in epoch order for resume correctness)
@@ -547,6 +565,9 @@ class CrawlJob:
         ] + [
             _finalize_docs.remote(f, dkeep_ref, doc_dir, i)
             for i, f in enumerate(doc_fulls)
+        ] + [
+            _finalize_docs.remote(f, akeep_ref, att_dir, i)
+            for i, f in enumerate(att_fulls)
         ]
         _mark("sinks")
 
@@ -562,7 +583,7 @@ class CrawlJob:
                  "hosts": self.sched.snapshot(), "docsim": self.docsim.snapshot()},
             )
         self._pending = dict(
-            ed=ed, epoch=epoch, img_dir=img_dir, doc_dir=doc_dir,
+            ed=ed, epoch=epoch, img_dir=img_dir, doc_dir=doc_dir, att_dir=att_dir,
             fetch_small=fetch_small, writes=writes, n_img=len(img_fulls),
             sched_futs=sched_futs, sched_dir=sched_dir,
             meta={"next_seq": self.next_seq, "fetched": self.fetched,
@@ -623,6 +644,17 @@ class CrawlJob:
             surv = surv[~is_dup | override]
         return set(surv["enqueue_seq"])
 
+    def _att_verdicts(self, att_meta: pa.Table) -> set:
+        """Attachment dedup: keep-first by content md5 (the reference inserts
+        records keyed on md5(source), SpiderFrame.class.php:355-380) +
+        cross-round content-seen gate."""
+        if att_meta.num_rows == 0:
+            return set()
+        df = att_meta.to_pandas().sort_values("enqueue_seq", kind="stable")
+        df = df.drop_duplicates("doc_id", keep="first")
+        df = df[self.content_seen.check_and_add(df["doc_id"].tolist())]
+        return set(df["enqueue_seq"])
+
     def _drain_pending(self) -> None:
         """Complete the previous epoch's deferred sink writes: gather the
         finalize tasks, commit metrics, drop the done marker."""
@@ -634,6 +666,7 @@ class CrawlJob:
         n_images = int(sum(res[: p["n_img"]]))
         storage.mark_complete(p["img_dir"])
         storage.mark_complete(p["doc_dir"])
+        storage.mark_complete(p["att_dir"])
         storage.mark_complete(p["sched_dir"])
         metrics = _metrics_from_table(p["fetch_small"], n_images, p["epoch"])
         storage.commit_table(metrics, os.path.join(p["ed"], "metrics"))
@@ -752,6 +785,7 @@ _DOC_META_SCHEMA = pa.schema(
     [("enqueue_seq", pa.int64()), ("doc_id", pa.string()), ("doc_ori_no", pa.string()),
      ("simhash", pa.int64())]
 )
+_ATT_META_SCHEMA = pa.schema([("enqueue_seq", pa.int64()), ("doc_id", pa.string())])
 
 
 _COALESCE_ROWS = 4096  # target candidate rows per filter task
@@ -853,7 +887,7 @@ def _rank_sched_write_block(
     return (t, *sched)
 
 
-@ray.remote(num_returns=6)
+@ray.remote(num_returns=8)
 def _split_sink(out: pa.Table, links_dir: str, part: int):
     """Split a fetch-output block by kind: write the links checkpoint part,
     project the small metadata for driver-side dedup verdicts, hand back the
@@ -863,7 +897,7 @@ def _split_sink(out: pa.Table, links_dir: str, part: int):
 
     kinds = {
         k: out.filter(pc.equal(out.column("kind"), k))
-        for k in ("fetch", "link", "image", "doc")
+        for k in ("fetch", "link", "image", "doc", "attach")
     }
     links = kinds["link"].select(_LINK_COLS)
     if links.num_rows:
@@ -886,7 +920,9 @@ def _split_sink(out: pa.Table, links_dir: str, part: int):
     img_meta = images.select(["enqueue_seq", "url_md5", "image_id", "phash"]).cast(_IMG_META_SCHEMA)
     docs = _doc_rows(kinds["doc"])
     doc_meta = docs.select(["enqueue_seq", "doc_id", "doc_ori_no", "simhash"]).cast(_DOC_META_SCHEMA)
-    return fetch_meta, img_meta, doc_meta, images, docs, links
+    atts = _att_rows(kinds["attach"])
+    att_meta = atts.select(["enqueue_seq", "doc_id"]).cast(_ATT_META_SCHEMA)
+    return fetch_meta, img_meta, doc_meta, att_meta, images, docs, atts, links
 
 
 def _filter_by_seq(t: pa.Table, keep: set) -> pa.Table:
@@ -930,6 +966,15 @@ def _finalize_docs(docs: pa.Table, keep: set, out_dir: str, part: int) -> int:
 def _concat_nonempty(tables: list[pa.Table], schema: pa.Schema) -> pa.Table:
     parts = [t for t in tables if t.num_rows > 0]
     return pa.concat_tables(parts) if parts else schema.empty_table()
+
+
+def _att_rows(t: pa.Table) -> pa.Table:
+    """Attachment payload rows (M11 attachment route): binary rides the
+    fused output's image_bytes column."""
+    if t.num_rows == 0:
+        t = OUT_SCHEMA.empty_table()
+    out = t.select(_ATT_COLS)
+    return out.append_column("bytes", t.column("image_bytes"))
 
 
 def _doc_rows(t: pa.Table) -> pa.Table:

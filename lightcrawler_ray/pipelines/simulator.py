@@ -35,6 +35,7 @@ class GoldenRun:
     seen: set[str] = field(default_factory=set)             # all enqueued url_md5
     images: list[dict] = field(default_factory=list)
     docs: list[dict] = field(default_factory=list)
+    attachments: list[dict] = field(default_factory=list)
     fetches: list[dict] = field(default_factory=list)
 
 
@@ -70,6 +71,7 @@ def simulate(
         aggressive_links=spec.aggressive_links,
         synthesize_pagination=spec.synthesize_pagination,
         request_delay_ms=max(spec.request_delay_ms, 0.0),
+        routes=spec.routes,
     )
     run = GoldenRun()
     heap: list[tuple[int, int, dict]] = []  # (-priority, seq, frontier row)
@@ -125,6 +127,8 @@ def simulate(
                 run.images.append(r)
             elif r["kind"] == "doc":
                 run.docs.append(r)
+            elif r["kind"] == "attach":
+                run.attachments.append(r)
             elif r["kind"] == "link":
                 link_cands.append(
                     {

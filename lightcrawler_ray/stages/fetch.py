@@ -75,8 +75,28 @@ OUT_SCHEMA = pa.schema(
         ("doc_lang", pa.string()),
         ("doc_quality", pa.float64()),
         ("doc_tokens", pa.int64()),
+        # M25 — {title, url} attachment links harvested from the page
+        ("attachments", pa.list_(pa.struct([("title", pa.string()), ("url", pa.string())]))),
+        # M11 attachment route — binary payload rides image_bytes; ext/type
+        # from the reference's extension map (SpiderFrame.class.php:357-370)
+        ("att_ext", pa.string()),
+        ("att_type", pa.int32()),
     ]
 )
+
+# reference type enum (DaoSpiderlLawBase::TYPE_*)
+ATT_TYPES = {"doc": 1, "docx": 2, "txt": 3, "xls": 4, "xlsx": 5, "pdf": 6, "ceb": 7}
+_ATT_EXT_RE = None  # compiled lazily below
+
+
+def _att_ext_of(url: str) -> str:
+    import re as _re
+
+    global _ATT_EXT_RE
+    if _ATT_EXT_RE is None:
+        _ATT_EXT_RE = _re.compile(r"\.(docx?|pdf|txt|xlsx?|ceb)(?:[?#]|$)", _re.IGNORECASE)
+    m = _ATT_EXT_RE.search(url)
+    return m.group(1).lower() if m else ""
 
 _DEFAULTS = {f.name: None for f in OUT_SCHEMA}
 
@@ -117,7 +137,12 @@ class SyntheticFetchExtract:
         aggressive_links: bool = False,
         synthesize_pagination: bool = False,
         request_delay_ms: float = 0.0,
+        routes: tuple[tuple[str, str], ...] = (),
     ):
+        import re as _re
+
+        # M11 — ordered (compiled regex, kind); every match runs
+        self.routes = [(_re.compile(rx), kind) for rx, kind in routes]
         # The page/image stores are Arrow tables broadcast through the object
         # store — ray.get of an Arrow table is ZERO-COPY out of plasma, so
         # every worker on a node shares ONE physical copy of the bodies and
@@ -204,16 +229,33 @@ class SyntheticFetchExtract:
         url, md5, host = fr["url"], fr["url_md5"], fr["host"]
         depth, prio, seq = fr["depth"], fr["priority"], fr["enqueue_seq"]
         status, ctype, body, loc, attempts, truncated = self._fetch(url)
+        # M11 — every matching route runs (SpiderFrame::handleContent)
+        kinds = {k for rx, k in self.routes if rx.search(url)}
+        is_attach = "attachment" in kinds and status == 200 and body
         received = status == 200 and any(ctype.startswith(r) for r in self.receive_rules)
         out = [
             _row(
                 kind="fetch", url=url, url_md5=md5, host=host, status=status,
-                content_type=ctype, bytes_received=len(body) if received else 0,
+                content_type=ctype, bytes_received=len(body) if (received or is_attach) else 0,
                 error="" if status < 400 else f"http {status}", attempts=attempts,
                 fetch_ms=self.request_delay_ms * attempts, enqueue_seq=seq,
                 depth=depth, priority=prio, referer=fr["referer"],
             )
         ]
+        if is_attach:
+            import hashlib as _hl
+
+            ext = _att_ext_of(url)
+            out.append(
+                _row(
+                    kind="attach", url=url, url_md5=md5, image_bytes=body,
+                    att_ext=ext, att_type=ATT_TYPES.get(ext, 0),
+                    doc_id=_hl.md5(body).hexdigest(), referer=fr["referer"],
+                    enqueue_seq=seq, depth=depth,
+                )
+            )
+            if not ctype.startswith("text/"):
+                return out  # binary payload: nothing further to extract
         if status in (301, 302) and loc:
             canon = ut.resolve(url, loc)
             if canon:
@@ -244,7 +286,11 @@ class SyntheticFetchExtract:
                 )
             )
             return out
-        # HTML document
+        # HTML document.  Link FOLLOWING is the crawler core's job and happens
+        # for every received page regardless of routes (PHPCrawl extracts
+        # links before handleContent runs); routes gate only content
+        # processing: pagination synthesis (list) and doc records (detail).
+        is_list = not self.routes or not kinds or "list" in kinds
         html = htmltools.decode_body(body, ctype)
         links = htmltools.find_links(html, url, aggressive=self.aggressive_links)
         # <img alt> text is the caption for image links found by the attr pass
@@ -257,7 +303,7 @@ class SyntheticFetchExtract:
                     is_redirect=False, link_idx=j, parent_seq=seq, priority=0,
                 )
             )
-        if self.synthesize_pagination:
+        if self.synthesize_pagination and is_list:
             for k, purl in enumerate(htmltools.synthesize_pagination(url, html)):
                 canon = ut.canonicalize(purl)
                 if canon:
@@ -268,11 +314,13 @@ class SyntheticFetchExtract:
                             link_idx=len(links) + k, parent_seq=seq, priority=0,
                         )
                     )
-        if len(body) > self.min_doc_bytes and not truncated:
-            out.append(self._doc_row(url, md5, html, seq))
+        want_doc = "detail" in kinds if self.routes else True
+        if want_doc and len(body) > self.min_doc_bytes and not truncated:
+            out.append(self._doc_row(url, md5, html, seq, links))
         return out
 
-    def _doc_row(self, url: str, md5: str, html: str, seq: int) -> dict:
+    def _doc_row(self, url: str, md5: str, html: str, seq: int,
+                 links: list | None = None) -> dict:
         lines = texttools.html_to_lines(html)
         # M18/M28/A3: content = extracted MAIN content (nav/link blocks
         # suppressed, p-ratio or line-density path) so every downstream
@@ -280,6 +328,13 @@ class SyntheticFetchExtract:
         # scan the full line set (labels may sit outside the dense block)
         content = texttools.main_content(html) or "\n".join(lines)
         summary = texttools.extract_summary(lines, htmltools.page_title(html))
+        # M25 — {title, url} attachment-link harvest into the doc record
+        # (ExtractContent.class.php:741-788): page links with doc extensions
+        atts = [
+            {"title": fl.linktext, "url": fl.url}
+            for fl in (links or [])
+            if _att_ext_of(fl.url)
+        ]
         sh = hashing.simhash64(content)
         return _row(
             kind="doc", url=url, url_md5=md5, doc_id=hashing.doc_id(content),
@@ -292,6 +347,7 @@ class SyntheticFetchExtract:
             doc_lang=texttools.lang_id(content),
             doc_quality=texttools.quality_score(content),
             doc_tokens=texttools.token_count(content),
+            attachments=atts,
         )
 
 
@@ -302,5 +358,5 @@ def split_outputs(out_table: pa.Table) -> dict[str, pa.Table]:
 
     return {
         k: out_table.filter(pc.equal(out_table.column("kind"), k))
-        for k in ("fetch", "link", "image", "doc")
+        for k in ("fetch", "link", "image", "doc", "attach")
     }

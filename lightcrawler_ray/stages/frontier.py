@@ -47,6 +47,11 @@ class CrawlSpec:
 
     max_depth: int = 3                       # O2; reference default 1
     follow_mode: int = 1                     # 0 all, 1 same-domain, 2 same-host, 3 same-path (M8)
+    # M11 / §2.10 — per-route content dispatch: ordered (regex, kind) with
+    # kind ∈ {"list", "detail", "attachment"}; EVERY matching route runs,
+    # no match falls back to "list" (worker/SpiderFrame.class.php:155-178).
+    # Empty = auto mode (every HTML page may yield links AND a doc record).
+    routes: tuple[tuple[str, str], ...] = ()
     url_filter_regexes: tuple[str, ...] = () # blacklist (OR)
     url_follow_regexes: tuple[str, ...] = () # whitelist (OR); empty = allow all
     priority_rules: tuple[tuple[str, int], ...] = ()  # first-match regex → level
