@@ -102,7 +102,6 @@ class CrawlJob:
     ):
         self.spec = spec
         self.seeds = seeds
-        self.robots = load_robots(robots_path) if spec.respect_robots else {}
         self.job_dir = job_dir
         os.makedirs(job_dir, exist_ok=True)
         self.seen = SeenSet(spec.seen_shards, spec.seen_capacity, spec.seen_mode)
@@ -116,7 +115,6 @@ class CrawlJob:
         self._prefilter: dict | None = None
         self._avg_links = 8.0  # links-per-URL estimate for coalesce sizing
         self._derive_seed_scope()
-        self.robots_ref = ray.put(self.robots)
         # fixture stores: loaded once, broadcast once (the production analog
         # is the HTTP client config — per-actor state would be conn pools)
         pages, images = load_fixture_tables(pages_path, images_path)
@@ -126,6 +124,15 @@ class CrawlJob:
             pages_ref=self.pages_ref, images_ref=self.images_ref,
             **self._fetch_kwargs(),
         )
+        # robots rules (T5/T7): pre-parsed sidecar, or fetched+parsed
+        # robots.txt bodies through the same fetch primitive (S4)
+        if not spec.respect_robots:
+            self.robots = {}
+        elif spec.robots_source == "fetch":
+            self.robots = self._fetch_robots()
+        else:
+            self.robots = load_robots(robots_path)
+        self.robots_ref = ray.put(self.robots)
         self._local_filter = CandidateFilter(spec, self.robots_ref)
         # per-host politeness ledger (T7 upgraded: per-host, not global),
         # hash(host)-partitioned over a shard pool so no round's (host, seq)
@@ -145,6 +152,24 @@ class CrawlJob:
         # first distributed round doesn't pay worker startup latency
         n_task_cpus = max(1, int(ray.cluster_resources().get("CPU", 8)) - spec.fetch_concurrency)
         ray.get([_noop.remote() for _ in range(n_task_cpus)])
+
+    def _fetch_robots(self) -> dict[str, dict]:
+        """S4 — fetch + parse ``http://<host>/robots.txt`` for every seed
+        host through the engine's own fetch primitive
+        (PHPCrawlerRobotsTxtParser.class.php:29-151).  Hosts discovered
+        mid-crawl would fetch lazily inside a per-host politeness stage at
+        cluster scale; seed hosts cover the follow-mode-restricted crawls
+        this engine runs."""
+        from ..functions import robotstxt
+
+        out: dict[str, dict] = {}
+        for h in self.spec.seed_hosts:
+            status, _, body, _, _ = self._local_fetcher._fetch_raw(f"http://{h}/robots.txt")
+            if status == 200 and body:
+                rules = robotstxt.parse_robots_txt(body.decode("utf-8", "replace"))
+                if rules["disallow"] or rules["delay_ms"]:
+                    out[h] = rules
+        return out
 
     def _fetch_kwargs(self) -> dict:
         s = self.spec

@@ -56,6 +56,7 @@ class CrawlSpec:
     url_follow_regexes: tuple[str, ...] = () # whitelist (OR); empty = allow all
     priority_rules: tuple[tuple[str, int], ...] = ()  # first-match regex → level
     respect_robots: bool = True              # T5
+    robots_source: str = "sidecar"           # sidecar parquet | "fetch" robots.txt (S4)
     request_limit: int = 0                   # 0 = unlimited (A2/O3)
     traffic_limit_bytes: int = 0             # 0 = unlimited; round-granular abort (A2)
     retry_limit: int = 3

@@ -121,6 +121,7 @@ class CuckooFilter:
             if self._insert_one(int(fp_all[k]), int(i1_all[k]), int(i2_all[k])):
                 inserted += 1
             else:
+                self.count += inserted  # keep the count honest before raising
                 raise RuntimeError("cuckoo filter full — split the shard")
         self.count += inserted
         return inserted
@@ -189,3 +190,80 @@ class CuckooFilter:
     @property
     def load_factor(self) -> float:
         return self.count / (self.n_buckets * self.bucket_size)
+
+
+class CuckooChain:
+    """Growable approximate set: a chain of cuckoo filters (the scalable-
+    Bloom-filter construction of Almeida et al. 2007 applied to cuckoo
+    filters).  A cuckoo table cannot rehash into a bigger table (fingerprints
+    lose the original hash), so on ``filter full`` a fresh filter of twice
+    the capacity is chained instead; membership ORs over the chain, inserts
+    go to the newest link.  FPR is bounded by the sum over links — with
+    doubling capacities that is < 2× the final link's FPR.
+
+    This is the shard-full behavior the north_rule's 10^10-URL steady state
+    needs: a shard saturating its filter keeps absorbing keys with bounded
+    degradation instead of dying mid-crawl."""
+
+    def __init__(self, capacity: int, bucket_size: int = 4, max_kicks: int = 500):
+        self._cap = capacity
+        self._bucket_size = bucket_size
+        self._max_kicks = max_kicks
+        self.filters = [CuckooFilter(capacity, bucket_size, max_kicks)]
+
+    def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(hashes), dtype=bool)
+        for f in self.filters:
+            out |= f.contains_hashes(hashes)
+        return out
+
+    def add_hashes(self, hashes: np.ndarray) -> int:
+        remaining = hashes
+        added = 0
+        while remaining.size:
+            head = self.filters[-1]
+            try:
+                added += head.add_hashes(remaining)
+                break
+            except RuntimeError:
+                # head filled mid-batch.  CuckooFilter inserts one-by-one, so
+                # membership tells us which of the slice landed; the rest
+                # chain into a fresh link of twice the capacity.  (A false
+                # positive here skips a re-add — harmless: contains() would
+                # report that key seen either way.)
+                landed = head.contains_hashes(remaining)
+                added += int(landed.sum())
+                remaining = remaining[~landed]
+                self._cap *= 2
+                self.filters.append(
+                    CuckooFilter(self._cap, self._bucket_size, self._max_kicks)
+                )
+        return added
+
+    @property
+    def count(self) -> int:
+        return sum(f.count for f in self.filters)
+
+    @property
+    def load_factor(self) -> float:
+        return self.filters[-1].load_factor
+
+    def snapshot(self) -> dict:
+        return {"chain": [f.snapshot() for f in self.filters], "cap": self._cap,
+                "bucket_size": self._bucket_size, "max_kicks": self._max_kicks}
+
+    @classmethod
+    def restore(cls, snap: dict) -> "CuckooChain":
+        if "chain" not in snap:  # pre-chain snapshot: single filter
+            obj = cls.__new__(cls)
+            obj.filters = [CuckooFilter.restore(snap)]
+            obj._cap = obj.filters[0].n_buckets * obj.filters[0].bucket_size
+            obj._bucket_size = obj.filters[0].bucket_size
+            obj._max_kicks = obj.filters[0].max_kicks
+            return obj
+        obj = cls.__new__(cls)
+        obj.filters = [CuckooFilter.restore(s) for s in snap["chain"]]
+        obj._cap = snap["cap"]
+        obj._bucket_size = snap["bucket_size"]
+        obj._max_kicks = snap["max_kicks"]
+        return obj

@@ -25,7 +25,7 @@ from __future__ import annotations
 import numpy as np
 import ray
 
-from .cuckoo import CuckooFilter, hashes_from_md5hex, md5hex_to_u64_pairs
+from .cuckoo import CuckooChain, hashes_from_md5hex, md5hex_to_u64_pairs
 
 
 @ray.remote(num_cpus=0)
@@ -36,7 +36,9 @@ class SeenShard:
     def __init__(self, shard_id: int, capacity: int = 1 << 20, mode: str = "both"):
         self.shard_id = shard_id
         self.mode = mode
-        self.cuckoo = CuckooFilter(capacity) if mode != "exact" else None
+        # CuckooChain: grows by chaining bigger filters when a link fills
+        # (the shard-full path — no mid-crawl failure at 10^10 keys)
+        self.cuckoo = CuckooChain(capacity) if mode != "exact" else None
         self.exact: set[str] | None = set() if mode != "cuckoo" else None
 
     def check_and_add(self, md5s: list[str]) -> np.ndarray:
@@ -139,7 +141,7 @@ class SeenShard:
 
     def restore(self, snap: dict) -> None:
         self.mode = snap["mode"]
-        self.cuckoo = CuckooFilter.restore(snap["cuckoo"]) if snap["cuckoo"] else None
+        self.cuckoo = CuckooChain.restore(snap["cuckoo"]) if snap["cuckoo"] else None
         self.exact = set(snap["exact"]) if snap["exact"] is not None else None
 
     def dump_members(self) -> list[str]:
