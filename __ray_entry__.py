@@ -44,7 +44,9 @@ def entry() -> Any:
     from lightcrawler_ray.functions import hashing, texttools
 
     sf_dir = "/root/testdata/sf0.001"
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    from lightcrawler_ray import storage as _st
+
+    ds = _st.read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
 
     def enrich(t: pa.Table) -> pa.Table:
         texts = t.column("text").to_pylist()

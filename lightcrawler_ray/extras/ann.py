@@ -35,7 +35,9 @@ def topk_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5) -> pd.DataFram
     broken by neighbor_id asc — matching the SQL oracle's window order."""
     qids, qm = _load_queries(sf_dir, n_queries)
     q_ref = ray.put((qids, qm))
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from .. import storage
+
+    ds = storage.read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def partial_topk(t: pa.Table) -> pa.Table:
         qids_, qm_ = ray.get(q_ref)
@@ -92,7 +94,9 @@ def topk_lsh(sf_dir: str, k: int = 10, n_queries: int = 5, n_planes: int = 8, se
         for p in range(n_planes):  # multi-probe: flip one bit
             probe.setdefault(int(b) ^ (1 << p), []).append(qi)
     state = ray.put((qids, qm, planes, probe))
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from .. import storage
+
+    ds = storage.read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def partial(t: pa.Table) -> pa.Table:
         qids_, qm_, planes_, probe_ = ray.get(state)

@@ -30,7 +30,9 @@ _MH_BANDS = 16  # 16 bands × 4 rows
 
 
 def _docs(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    from .. import storage
+
+    return storage.read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
 
 
 def minhash_band_rows(sf_dir: str) -> rd.Dataset:
@@ -73,13 +75,15 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g["doc_id"].tolist())
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
         out_a, out_b = [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 out_a.append(ids[i])
                 out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64())})
 
     cand = (
         bands.groupby(["band_id", "band_hash"])
@@ -111,7 +115,8 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
                          "shingles": pa.array(out_sh, pa.list_(pa.string()))})
 
     cd = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        __import__("lightcrawler_ray.storage", fromlist=["x"]).read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(cand_shingles, batch_format="pyarrow")
         .to_pandas()
     )
@@ -158,9 +163,11 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
             }
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs(g: pd.DataFrame) -> pa.Table:
         if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
         g = g.sort_values("doc_id")
         ids = g["doc_id"].to_numpy()
         hs = g["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
@@ -171,7 +178,9 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
                 out_a.append(int(ids[i]))
                 out_b.append(int(ids[i + 1 + j]))
                 out_d.append(int(dd))
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_d})
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64()),
+                         "hamming": pa.array(out_d, pa.int64())})
 
     df = (
         sigs.map_batches(band_rows, batch_format="pyarrow")
@@ -208,7 +217,9 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.2) -> rd.Dataset:
                     out_a.append(ids[i])
                     out_b.append(ids[j])
                     out_j.append(jac)
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard": out_j})
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
 
     return ds.groupby("source").map_groups(block_pairs, batch_format="pandas")
 
@@ -217,7 +228,9 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> rd.Dataset:
     """Embedding-cosine near-dup, blocked by label: within each label group
     a single numpy gram matrix finds all pairs ≥ threshold.  SQL-oracled via
     duckdb list_cosine_similarity with the same label blocking."""
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    from .. import storage
+
+    ds = storage.read_parquet_clean(f"{sf_dir}/embeddings.parquet")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("vec_id")
@@ -228,10 +241,10 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> rd.Dataset:
         sims = m @ m.T
         iu = np.triu_indices(len(ids), k=1)
         mask = sims[iu] >= threshold
-        return pd.DataFrame(
+        return pa.table(
             {
-                "vec_a": ids[iu[0][mask]].astype(np.int64),
-                "vec_b": ids[iu[1][mask]].astype(np.int64),
+                "vec_a": pa.array(ids[iu[0][mask]].astype(np.int64), pa.int64()),
+                "vec_b": pa.array(ids[iu[1][mask]].astype(np.int64), pa.int64()),
             }
         )
 

@@ -112,14 +112,18 @@ class VideoFrameSampleStub:
 
 
 def image_stats(images_path: str) -> rd.Dataset:
-    ds = rd.read_parquet(images_path, columns=["image_id", "bytes"])
+    from .. import storage
+
+    ds = storage.read_parquet_clean(images_path, columns=["image_id", "bytes"])
     return ds.map_batches(
         ImageDecodeStats, batch_format="pyarrow", batch_size=64, concurrency=2, num_cpus=1
     )
 
 
 def image_resize(images_path: str, side: int = 64) -> rd.Dataset:
-    ds = rd.read_parquet(images_path, columns=["image_id", "bytes", "fmt", "caption"])
+    from .. import storage
+
+    ds = storage.read_parquet_clean(images_path, columns=["image_id", "bytes", "fmt", "caption"])
     return ds.map_batches(
         ImageResize,
         fn_constructor_kwargs={"side": side},

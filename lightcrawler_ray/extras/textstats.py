@@ -21,7 +21,9 @@ STOPWORDS = ("the", "of", "and", "a", "to", "in", "is", "was", "it", "for")
 
 
 def _docs(sf_dir: str, cols: list[str]) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    from .. import storage
+
+    return storage.read_parquet_clean(f"{sf_dir}/documents.parquet", columns=cols)
 
 
 def token_counts(sf_dir: str) -> rd.Dataset:

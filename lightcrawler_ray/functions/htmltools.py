@@ -70,7 +70,16 @@ class FoundLink:
 
 
 def decode_body(body: bytes, content_type: str = "") -> str:
-    """M13 — charset sniff + decode to str (utf-8 default, GBK family handled)."""
+    """M13 + M30 — gzip sniff/inflate (magic 1f 8b, the reference's
+    decodeGZipContent, PHPCrawlerEncodingUtils.class.php:13-33), then
+    charset sniff + decode to str (utf-8 default, GBK family handled)."""
+    if body[:2] == b"\x1f\x8b":
+        import gzip
+
+        try:
+            body = gzip.decompress(body)
+        except (OSError, EOFError):
+            pass  # corrupt/truncated stream: fall through and decode as-is
     m = _CHARSET_RE.search(body[:4096])
     enc = "utf-8"
     if m:

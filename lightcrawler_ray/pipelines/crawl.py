@@ -114,6 +114,10 @@ class CrawlJob:
         # link refs (pure tasks — safe to speculate; the stateful gate is not)
         self._prefilter: dict | None = None
         self._avg_links = 8.0  # links-per-URL estimate for coalesce sizing
+        # M9: until the first 200-content fetch, candidate filtering keeps
+        # only redirect links (mode off => treat content as already found)
+        self._content_found = not spec.redirects_till_content
+        self._anchor_url = ""
         self._derive_seed_scope()
         # fixture stores: loaded once, broadcast once (the production analog
         # is the HTTP client config — per-actor state would be conn pools)
@@ -152,6 +156,20 @@ class CrawlJob:
         # first distributed round doesn't pay worker startup latency
         n_task_cpus = max(1, int(ray.cluster_resources().get("CPU", 8)) - spec.fetch_concurrency)
         ray.get([_noop.remote() for _ in range(n_task_cpus)])
+
+    def _note_content(self, statuses, urls) -> None:
+        """M9 — flip the redirect-only mode off at the first 200 fetch and
+        re-anchor the follow scope on that URL (rows arrive in seq order)."""
+        if self._content_found:
+            return
+        from ..stages.frontier import anchor_scope
+
+        for st, u in zip(statuses, urls):
+            if st == 200:
+                self._content_found = True
+                self._anchor_url = u
+                anchor_scope(self.spec, u)
+                return
 
     def _fetch_robots(self) -> dict[str, dict]:
         """S4 — fetch + parse ``http://<host>/robots.txt`` for every seed
@@ -250,6 +268,13 @@ class CrawlJob:
         self.next_seq = meta["next_seq"]
         self.fetched = meta["fetched"]
         self.bytes_total = meta.get("bytes_total", 0)
+        if meta.get("content_found"):
+            self._content_found = True
+            self._anchor_url = meta.get("anchor_url", "")
+            if self._anchor_url:
+                from ..stages.frontier import anchor_scope
+
+                anchor_scope(self.spec, self._anchor_url)
         snaps = _load_seen_snapshot(os.path.join(self._epoch_dir(last), "seen.npz"))
         self.seen.restore(snaps["seen"])
         self.content_seen.restore(snaps["content"])
@@ -308,7 +333,10 @@ class CrawlJob:
         if prefiltered:
             passed = cand  # filter already ran in the speculative tasks
         else:
-            passed = self._local_filter(cand) if cand.num_rows else cand
+            passed = (
+                self._local_filter(cand, redirect_only=not self._content_found)
+                if cand.num_rows else cand
+            )
         if passed.num_rows:
             df = passed.to_pandas()
             df = df.sort_values(["parent_seq", "link_idx"], kind="stable")
@@ -349,7 +377,9 @@ class CrawlJob:
             # local frontier prep, pooled fetch: the round is small enough
             # that shuffles aren't worth it, but the fetch compute still is
             block = ray.put(pa.Table.from_pandas(frontier_cols, preserve_index=False))
-            out_refs = self.fetch_pool.submit([block], [n_frontier], self.spec.fetch_batch_size)
+            bs = max(16, min(self.spec.fetch_batch_size,
+                             -(-n_frontier // (2 * self.fetch_pool.k))))
+            out_refs = self.fetch_pool.submit([block], [n_frontier], bs)
             out = pa.concat_tables(ray.get(out_refs))
         else:
             rows: list[dict] = []
@@ -360,6 +390,8 @@ class CrawlJob:
             k: out.filter(pc.equal(out.column("kind"), k))
             for k in ("fetch", "link", "image", "doc", "attach")
         }
+        self._note_content(kinds["fetch"].column("status").to_pylist(),
+                           kinds["fetch"].column("url").to_pylist())
         # content verdicts run through the SAME code as the distributed path
         # (within-round keep-first dedup, cross-round content gate, near-dup
         # map, doc_ori_no rule) — local/dist parity by construction
@@ -440,7 +472,7 @@ class CrawlJob:
             filt_refs, keymat = [], []
             for grp in grouped:
                 rets = _filter_extract.options(num_returns=1 + k).remote(
-                    spec, self.robots_ref, k, *grp
+                    spec, self.robots_ref, k, not self._content_found, *grp
                 )
                 filt_refs.append(rets[0])
                 keymat.append(rets[1:])
@@ -517,7 +549,11 @@ class CrawlJob:
         _mark("rank+sched_launch")
         links_dir = os.path.join(ed, "links")
         os.makedirs(links_dir, exist_ok=True)
-        bs = spec.fetch_batch_size
+        # adaptive batch size: a small round must still spread across the
+        # whole pool (at batch_size=256 a 469-URL round is TWO tasks no
+        # matter how many workers exist) — target ~2 batches per worker
+        bs = max(16, min(spec.fetch_batch_size,
+                         -(-n_frontier // (2 * self.fetch_pool.k))))
         take_l = [int(c) for c in take]
         nb = sum((c + bs - 1) // bs for c in take_l)
         split_refs: list = [None] * nb
@@ -535,19 +571,20 @@ class CrawlJob:
         # early abort (budget/rounds) wastes only idle task cycles.  This
         # hides nearly all of the next round's prep under this round's W.
         link_refs_l = list(link_refs)
-        est_links = max(1, int(self._avg_links * n_frontier))
-        pf_grouped = _coalesce_groups(link_refs_l, est_links)
-        pf_filt, pf_keymat = [], []
-        for grp in pf_grouped:
-            rets = _filter_extract.options(num_returns=1 + k).remote(
-                spec, self.robots_ref, k, *grp
-            )
-            pf_filt.append(rets[0])
-            pf_keymat.append(rets[1:])
-        self._prefilter = {
-            "key": tuple(r.hex() for r in link_refs_l),
-            "filt": pf_filt, "keymat": pf_keymat,
-        }
+        if self._content_found:  # M9: never speculate while redirect-only may apply
+            est_links = max(1, int(self._avg_links * n_frontier))
+            pf_grouped = _coalesce_groups(link_refs_l, est_links)
+            pf_filt, pf_keymat = [], []
+            for grp in pf_grouped:
+                rets = _filter_extract.options(num_returns=1 + k).remote(
+                    spec, self.robots_ref, k, False, *grp
+                )
+                pf_filt.append(rets[0])
+                pf_keymat.append(rets[1:])
+            self._prefilter = {
+                "key": tuple(r.hex() for r in link_refs_l),
+                "filt": pf_filt, "keymat": pf_keymat,
+            }
 
         metas = ray.get(
             list(fetch_metas) + list(img_metas) + list(doc_metas) + list(att_metas)
@@ -555,6 +592,8 @@ class CrawlJob:
         fetch_small = _concat_nonempty(metas[:nb], _FETCH_META_SCHEMA)
         if fetch_small.num_rows:
             self.bytes_total += int(pc.sum(fetch_small.column("bytes_received")).as_py() or 0)
+            self._note_content(fetch_small.column("status").to_pylist(),
+                               fetch_small.column("url").to_pylist())
         _mark("fetch+split")
         img_meta = _concat_nonempty(metas[nb:2 * nb], _IMG_META_SCHEMA)
         doc_meta = _concat_nonempty(metas[2 * nb:3 * nb], _DOC_META_SCHEMA)
@@ -613,7 +652,9 @@ class CrawlJob:
             sched_futs=sched_futs, sched_dir=sched_dir,
             meta={"next_seq": self.next_seq, "fetched": self.fetched,
                   "rows": n_frontier, "links": n_links,
-                  "bytes_total": self.bytes_total},
+                  "bytes_total": self.bytes_total,
+                  "content_found": self._content_found,
+                  "anchor_url": self._anchor_url},
         )
         return n_frontier, list(link_refs), n_links
 
@@ -708,7 +749,9 @@ class CrawlJob:
         )
         _write_done(ed, {"next_seq": self.next_seq, "fetched": self.fetched,
                          "rows": rows, "links": n_links,
-                         "bytes_total": self.bytes_total})
+                         "bytes_total": self.bytes_total,
+                         "content_found": self._content_found,
+                         "anchor_url": self._anchor_url})
 
     @staticmethod
     def _image_rows(t: pa.Table) -> pa.Table:
@@ -800,7 +843,8 @@ class CrawlJob:
 
 _FETCH_META_SCHEMA = pa.schema(
     [("status", pa.int16()), ("bytes_received", pa.int64()), ("error", pa.string()),
-     ("attempts", pa.int16()), ("fetch_ms", pa.float64()), ("n_links", pa.int64())]
+     ("attempts", pa.int16()), ("fetch_ms", pa.float64()), ("n_links", pa.int64()),
+     ("url", pa.string())]
 )
 _IMG_META_SCHEMA = pa.schema(
     [("enqueue_seq", pa.int64()), ("url_md5", pa.string()),
@@ -834,7 +878,7 @@ def _noop() -> None:
 
 
 @ray.remote
-def _filter_extract(spec: CrawlSpec, robots, k: int, *tables: pa.Table):
+def _filter_extract(spec: CrawlSpec, robots, k: int, redirect_only: bool, *tables: pa.Table):
     """Fused CandidateFilter + per-seen-shard key extraction over one
     coalesced group of link blocks (one task hop instead of two).  Returns
     the filtered block followed by k key parts (``num_returns=1+k`` at the
@@ -850,7 +894,7 @@ def _filter_extract(spec: CrawlSpec, robots, k: int, *tables: pa.Table):
     filt.follow_res = [re.compile(r) for r in spec.url_follow_regexes]
     filt.prio_res = [(re.compile(r), lvl) for r, lvl in spec.priority_rules]
     filt.robots = robots if isinstance(robots, dict) else ray.get(robots)
-    out = filt(t)
+    out = filt(t, redirect_only=redirect_only)
     md5s = out.column("url_md5").to_pylist()
     hi, lo = md5hex_to_u64_pairs(md5s)
     seq = np.asarray(out.column("parent_seq").to_numpy(zero_copy_only=False), dtype=np.int64)
@@ -938,6 +982,7 @@ def _split_sink(out: pa.Table, links_dir: str, part: int):
             "n_links": pa.array([links.num_rows] + [0] * max(0, f.num_rows - 1), pa.int64())
             if f.num_rows
             else pa.array([], pa.int64()),
+            "url": f.column("url"),
         },
         schema=_FETCH_META_SCHEMA,
     )

@@ -60,6 +60,9 @@ def simulate(
     robots: dict,
     max_pops: int = 1_000_000,
 ) -> GoldenRun:
+    from dataclasses import replace as _replace
+
+    spec = _replace(spec)  # M9 re-anchoring mutates scope; keep caller's spec
     filt = _DictRobotsFilter(spec, robots if spec.respect_robots else {})
     fetcher = SyntheticFetchExtract(
         pages_path,
@@ -76,13 +79,14 @@ def simulate(
     run = GoldenRun()
     heap: list[tuple[int, int, dict]] = []  # (-priority, seq, frontier row)
     next_seq = 0
+    content_found = not spec.redirects_till_content  # M9 flag
 
     def try_enqueue(cand_rows: list[dict]) -> None:
         nonlocal next_seq
         if not cand_rows:
             return
         t = pa.Table.from_pylist(cand_rows)
-        passed = filt(t)
+        passed = filt(t, redirect_only=not content_found)
         for r in passed.to_pylist():
             if r["url_md5"] in run.seen:
                 continue
@@ -123,6 +127,13 @@ def simulate(
         for r in out_rows:
             if r["kind"] == "fetch":
                 run.fetches.append(r)
+                # M9: first 200 flips redirect-only off and re-anchors scope
+                # BEFORE this page's links are filtered (reference order)
+                if not content_found and r["status"] == 200:
+                    from ..stages.frontier import anchor_scope
+
+                    content_found = True
+                    anchor_scope(spec, r["url"])
             elif r["kind"] == "image":
                 run.images.append(r)
             elif r["kind"] == "doc":

@@ -24,7 +24,9 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 def _pq(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
     # prune at the read: only requested columns leave storage
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from . import storage
+
+    return storage.read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 # ---------------------------------------------------------------------------
@@ -121,7 +123,9 @@ def dim_enrich(sf_dir: str) -> rd.Dataset:
         g = df.groupby("nation", as_index=False).agg(
             n_customers=("c_acctbal", "size"), total_bal=("c_acctbal", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # strip the pandas schema metadata: its dict makes block schemas
+        # unhashable and Ray Data logs a warning per reduce task
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     partial = ds.map_batches(enrich_partial, batch_format="pyarrow")
     return partial.groupby("nation").aggregate(
@@ -168,7 +172,9 @@ def pricing_summary(sf_dir: str) -> rd.Dataset:
             qty_u=("qty_u", "sum"), base_u=("base_u", "sum"),
             disc_u=("disc_u", "sum"), count_order=("qty_u", "size"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # strip the pandas schema metadata: its dict makes block schemas
+        # unhashable and Ray Data logs a warning per reduce task
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -245,11 +251,12 @@ def sessionize(sf_dir: str) -> rd.Dataset:
     every 'ordered log per key' operator."""
     ds = _pq(sf_dir, "events", ["user_id", "ts"])
 
-    def count_sessions(g: pd.DataFrame) -> pd.DataFrame:
+    def count_sessions(g: pd.DataFrame) -> pa.Table:
         ts = g["ts"].sort_values()
         gaps = ts.diff().dt.total_seconds().fillna(1e18)
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int((gaps > 1800).sum())]}
+        return pa.table(
+            {"user_id": pa.array([g["user_id"].iloc[0]], pa.int64()),
+             "n_sessions": pa.array([int((gaps > 1800).sum())], pa.int64())}
         )
 
     return ds.groupby("user_id").map_groups(count_sessions, batch_format="pandas")

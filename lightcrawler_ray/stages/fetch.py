@@ -111,9 +111,12 @@ def load_fixture_tables(pages_path: str, images_path: str) -> tuple[pa.Table, pa
     """The synthetic web as Arrow tables (broadcast via plasma, zero-copy)."""
     import pyarrow.parquet as pq
 
-    pages_t = pq.read_table(
-        pages_path, columns=["url", "status", "content_type", "body", "location", "fail_attempts"]
-    ).combine_chunks()
+    import pyarrow.parquet as _pq
+
+    cols = ["url", "status", "content_type", "body", "location", "fail_attempts"]
+    if "set_cookie" in _pq.read_schema(pages_path).names:
+        cols.append("set_cookie")  # optional header column (T3 exercise)
+    pages_t = pq.read_table(pages_path, columns=cols).combine_chunks()
     imgs = pq.read_table(images_path, columns=["image_id", "bytes", "fmt"]).combine_chunks()
     return pages_t, imgs
 
@@ -141,8 +144,16 @@ class SyntheticFetchExtract:
     ):
         import re as _re
 
+        from ..state.clientcache import CookieJar, DnsCache
+
         # M11 — ordered (compiled regex, kind); every match runs
         self.routes = [(_re.compile(rx), kind) for rx, kind in routes]
+        # T3/T4 — per-worker client caches (init-once actor state); the
+        # synthetic wire resolves hosts to themselves, so the DNS cache is
+        # observable through its hit/miss counters, and cookies accumulate
+        # from the fixture's optional set_cookie column
+        self.cookies = CookieJar()
+        self.dns = DnsCache()
         # The page/image stores are Arrow tables broadcast through the object
         # store — ray.get of an Arrow table is ZERO-COPY out of plasma, so
         # every worker on a node shares ONE physical copy of the bodies and
@@ -184,6 +195,10 @@ class SyntheticFetchExtract:
         if i is None:
             return 404, "text/html", b"not found", "", 0
         c = self._pcols
+        if "set_cookie" in c:
+            sc = c["set_cookie"][i].as_py()
+            if sc:
+                self.cookies.add_set_cookie(sc, url)
         return (
             int(c["status"][i].as_py()),
             c["content_type"][i].as_py(),
@@ -228,6 +243,9 @@ class SyntheticFetchExtract:
     def _process_one(self, fr: dict) -> list[dict]:
         url, md5, host = fr["url"], fr["url_md5"], fr["host"]
         depth, prio, seq = fr["depth"], fr["priority"], fr["enqueue_seq"]
+        self.dns.get(host)  # T4: memoized resolution (identity on the synthetic wire)
+        if self.cookies._by_domain:  # T3: request would carry these cookies
+            self._last_cookie_header = self.cookies.header_for(url)
         status, ctype, body, loc, attempts, truncated = self._fetch(url)
         # M11 — every matching route runs (SpiderFrame::handleContent)
         kinds = {k for rx, k in self.routes if rx.search(url)}

@@ -57,6 +57,11 @@ class CrawlSpec:
     priority_rules: tuple[tuple[str, int], ...] = ()  # first-match regex → level
     respect_robots: bool = True              # T5
     robots_source: str = "sidecar"           # sidecar parquet | "fetch" robots.txt (S4)
+    # M9 — until the FIRST 200-content fetch, non-seed candidates keep only
+    # redirect links (follow rules bypassed, redirect chains don't consume
+    # depth), and the first content URL re-anchors the follow scope
+    # (PHPCrawler.class.php:801-820, PHPCrawlerURLFilter.class.php:121-135)
+    redirects_till_content: bool = True
     request_limit: int = 0                   # 0 = unlimited (A2/O3)
     traffic_limit_bytes: int = 0             # 0 = unlimited; round-granular abort (A2)
     retry_limit: int = 3
@@ -101,7 +106,11 @@ class CandidateFilter:
         self.prio_res = [(re.compile(r), lvl) for r, lvl in spec.priority_rules]
         self.robots = ray.get(robots_ref) if robots_ref is not None else {}
 
-    def __call__(self, t: pa.Table) -> pa.Table:
+    def __call__(self, t: pa.Table, redirect_only: bool = False) -> pa.Table:
+        """``redirect_only`` (M9): no 200-content fetch has landed yet — keep
+        only redirect links among non-seed candidates, bypassing the follow
+        rules entirely (the reference's keepRedirectUrls path); seed rows
+        (parent_seq < 0) always go through the normal rules."""
         if t.num_rows == 0:
             return _empty_candidates()
         urls = [ut.canonicalize(u) or "" for u in t.column("url").to_pylist()]
@@ -111,6 +120,11 @@ class CandidateFilter:
             t.column("is_redirect").to_pylist()
             if "is_redirect" in t.column_names
             else [False] * len(urls)
+        )
+        pseqs = (
+            t.column("parent_seq").to_pylist()
+            if "parent_seq" in t.column_names
+            else [-1] * len(urls)
         )
         keep = np.ones(len(urls), dtype=bool)
         hosts, prios = [], []
@@ -123,6 +137,10 @@ class CandidateFilter:
             p = ut.split_url(u)
             host = str(p["host"])
             hosts.append(host)
+            if redirect_only and pseqs[i] >= 0:
+                keep[i] = bool(redirs[i])
+                prios.append(self._priority(u))
+                continue
             # depth limit (redirects don't consume depth, M9)
             if depths[i] > self.spec.max_depth and not redirs[i]:
                 keep[i] = False
@@ -181,6 +199,23 @@ class CandidateFilter:
             if r.search(url):
                 return lvl
         return 0
+
+
+def anchor_scope(spec: CrawlSpec, first_content_url: str) -> None:
+    """M9 — the first content URL re-anchors the follow scope when it lies
+    outside the seed scope (the reference's ``setBaseURL`` on first content,
+    PHPCrawler.class.php:805-807; generalized to APPEND so multi-seed crawls
+    keep their original scope too)."""
+    p = ut.split_url(first_content_url)
+    if not p:
+        return
+    host, domain, path = str(p["host"]), str(p["domain"]), str(p["path"])
+    if host not in spec.seed_hosts:
+        spec.seed_hosts = spec.seed_hosts + (host,)
+    if domain not in spec.seed_domains:
+        spec.seed_domains = spec.seed_domains + (domain,)
+    if path not in spec.seed_paths:
+        spec.seed_paths = spec.seed_paths + (path,)
 
 
 def _col(t: pa.Table, name: str, n: int, typ=pa.string(), default=""):

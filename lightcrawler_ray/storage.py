@@ -72,6 +72,20 @@ def read_dataset(path: str, columns: list[str] | None = None,
     return rd.read_parquet(path, columns=columns, **kwargs)
 
 
+def read_parquet_clean(path: str, columns: list[str] | None = None,
+                       **kwargs: Any) -> "ray.data.Dataset":
+    """read_parquet + schema-metadata scrub: pandas-written parquet embeds a
+    b'pandas' metadata dict that makes block schemas unhashable, so every
+    groupby/sort reduce task logs 'Failed to hash the schemas' and skips the
+    schema-dedup fast path.  The scrub map fuses with downstream stages."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(path, columns=columns, **kwargs)
+    return ds.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+
+
 def commit_table(table: pa.Table, path: str) -> None:
     """Atomically write a small driver-side Arrow table (checkpoint metadata,
     frontier snapshots): write to a tmp dir, fsync-rename over the target."""

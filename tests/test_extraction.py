@@ -223,3 +223,16 @@ class TestMainContent:
         a = f"<html><body>{self.NAV}{body}</body></html>"
         b = f"<html><body>{nav2}{body}{nav2}</body></html>"
         assert hashing.doc_id(tt.main_content(a)) == hashing.doc_id(tt.main_content(b))
+
+
+def test_gzip_body_decode_m30():
+    """M30 — gzip-compressed bodies inflate before charset decode."""
+    import gzip
+
+    from lightcrawler_ray.functions import htmltools
+
+    html = "<html><head><meta charset=\"gbk\"></head><body>正文内容</body></html>"
+    gz = gzip.compress(html.encode("gb18030"))
+    assert htmltools.decode_body(gz).count("正文内容") == 1
+    # corrupt gzip falls back to raw decode without raising
+    assert isinstance(htmltools.decode_body(b"\x1f\x8b broken"), str)
