@@ -337,12 +337,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": dedupe.embedding_near_dups,
         "minhash_lsh_pairs": dedupe.minhash_lsh_pairs,       # rows-only
         "simhash_near_dups": dedupe.simhash_near_dups,       # rows-only
+        "embedding_near_dups_lsh": dedupe.embedding_near_dups_lsh,  # rows-only (approx, scale path)
         # similarity search
         "ann_topk": ann.topk_bruteforce,
         "ann_topk_lsh": ann.topk_lsh,                        # rows-only (approx)
         # text extras (rows-only)
         "quality_scores": textstats.quality_scores,
         "fingerprints": textstats.fingerprints,
+        # S10 index-builder aggregation face (SQL-oracled)
+        "index_term_df": __import__(
+            "lightcrawler_ray.pipelines.indexer", fromlist=["term_df"]
+        ).term_df,
         # crawl engine (rows-only, deterministic fixtures)
         "crawl_canonicalize": _q_canonicalize,
         "crawl_seen": _q_crawl_seen,
@@ -442,6 +447,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT md5(text) AS doc_hash, min(doc_id) AS first_doc "
             "FROM documents GROUP BY md5(text)"
+        ),
+        "index_term_df": (
+            "SELECT w AS token, count(*) AS df FROM ("
+            "  SELECT DISTINCT doc_id, w FROM documents, "
+            "  unnest(string_split_regex(lower(text), '\\s+')) AS t(w) WHERE w != ''"
+            ") GROUP BY w"
         ),
         "ngram_jaccard_pairs": (
             "WITH sh AS ("

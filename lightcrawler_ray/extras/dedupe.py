@@ -224,6 +224,76 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.2) -> rd.Dataset:
     return ds.groupby("source").map_groups(block_pairs, batch_format="pandas")
 
 
+def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.35,
+                            n_planes: int = 4, seed: int = 42) -> pd.DataFrame:
+    """Embedding-cosine near-dup with RANDOM-HYPERPLANE LSH blocking — the
+    100 TB path: the blocking key is data-independent (no label can become a
+    hot O(n²) block; expected bucket size = n/2^planes regardless of skew),
+    multi-probe (1-bit flips) recovers most cross-boundary pairs.
+    Approximate by design → rows-only check; the label-blocked exact variant
+    below stays the oracle-checked face."""
+    import ray
+
+    rng = np.random.default_rng(seed)
+    from .. import storage
+
+    ds = storage.read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    dim = len(ds.take(1)[0]["embedding"])
+    planes_ref = ray.put(rng.standard_normal((n_planes, dim)))
+
+    def bucket_rows(t: pa.Table) -> pa.Table:
+        planes = ray.get(planes_ref)
+        ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.stack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        bits = (m @ planes.T) > 0
+        bk = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+        # multi-probe: emit each row into its bucket + all 1-bit-flip buckets
+        out_b, out_i, out_v = [], [], []
+        for r in range(len(ids)):
+            for b in (int(bk[r]), *(int(bk[r]) ^ (1 << p) for p in range(n_planes))):
+                out_b.append(b)
+                out_i.append(int(ids[r]))
+                out_v.append(m[r])
+        return pa.table({
+            "bucket": pa.array(out_b, pa.int64()),
+            "vec_id": pa.array(out_i, pa.int64()),
+            "vec": pa.array([v.tolist() for v in out_v], pa.list_(pa.float64())),
+        })
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        if len(g) < 2:
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64())})
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        m = np.stack(g["vec"].to_numpy())
+        sims = m @ m.T
+        iu = np.triu_indices(len(ids), k=1)
+        mask = (sims[iu] >= threshold) & (ids[iu[0]] != ids[iu[1]])
+        return pa.table({
+            "vec_a": pa.array(ids[iu[0][mask]].astype(np.int64), pa.int64()),
+            "vec_b": pa.array(ids[iu[1][mask]].astype(np.int64), pa.int64()),
+        })
+
+    df = (
+        ds.map_batches(bucket_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if df.empty:
+        return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                             "vec_b": pd.Series([], dtype="int64")})
+    return (
+        df.drop_duplicates(["vec_a", "vec_b"])
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+
+
 def embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> rd.Dataset:
     """Embedding-cosine near-dup, blocked by label: within each label group
     a single numpy gram matrix finds all pairs ≥ threshold.  SQL-oracled via
