@@ -169,6 +169,27 @@ def extract_summary(lines: list[str], title_tag: str = "") -> dict[str, object]:
     return fields
 
 
+# M27 — statute TOC markers: 第N章 (chapter) / 第N节 (section) / 第N条
+# (article), CJK numerals, kinds per ExtractContent.class.php:196-200
+_TOC_RE = re.compile(r"第[一二三四五六七八九十百千]+[章节条]")
+_TOC_KIND = {"章": "zhang", "节": "section", "条": "tiao"}
+
+
+def toc_markers(text: str) -> list[tuple[str, str]]:
+    """(marker, kind) occurrences in document order — the statute outline."""
+    return [(m.group(0), _TOC_KIND[m.group(0)[-1]]) for m in _TOC_RE.finditer(text)]
+
+
+def toc_outline(text: str) -> list[dict]:
+    """Structured outline: one entry per marker with its line's heading text
+    (the index-block use the reference declares the patterns for)."""
+    out = []
+    for ln in text.split("\n"):
+        for marker, kind in toc_markers(ln):
+            out.append({"marker": marker, "kind": kind, "heading": ln.strip()})
+    return out
+
+
 # ---------------------------------------------------------------------------
 # M18 / A3 / M28 — main-content extraction
 

@@ -200,6 +200,8 @@ class CrawlJob:
             synthesize_pagination=s.synthesize_pagination,
             request_delay_ms=max(s.request_delay_ms, 0.0),
             routes=s.routes,
+            auth_rules=s.auth_rules,
+            post_rules=s.post_rules,
         )
 
     def _derive_seed_scope(self) -> None:

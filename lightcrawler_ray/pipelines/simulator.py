@@ -75,6 +75,8 @@ def simulate(
         synthesize_pagination=spec.synthesize_pagination,
         request_delay_ms=max(spec.request_delay_ms, 0.0),
         routes=spec.routes,
+        auth_rules=spec.auth_rules,
+        post_rules=spec.post_rules,
     )
     run = GoldenRun()
     heap: list[tuple[int, int, dict]] = []  # (-priority, seq, frontier row)

@@ -141,6 +141,8 @@ class SyntheticFetchExtract:
         synthesize_pagination: bool = False,
         request_delay_ms: float = 0.0,
         routes: tuple[tuple[str, str], ...] = (),
+        auth_rules: tuple = (),
+        post_rules: tuple = (),
     ):
         import re as _re
 
@@ -154,6 +156,12 @@ class SyntheticFetchExtract:
         # from the fixture's optional set_cookie column
         self.cookies = CookieJar()
         self.dns = DnsCache()
+        # T9 — request overlays (auth/POST) consulted per request
+        from ..state.clientcache import SendDataCache
+
+        self.send_data = SendDataCache(auth_rules, post_rules)
+        self._overlay_posts = 0
+        self._overlay_auths = 0
         # The page/image stores are Arrow tables broadcast through the object
         # store — ray.get of an Arrow table is ZERO-COPY out of plasma, so
         # every worker on a node shares ONE physical copy of the bodies and
@@ -244,6 +252,10 @@ class SyntheticFetchExtract:
         url, md5, host = fr["url"], fr["url_md5"], fr["host"]
         depth, prio, seq = fr["depth"], fr["priority"], fr["enqueue_seq"]
         self.dns.get(host)  # T4: memoized resolution (identity on the synthetic wire)
+        if self.send_data._auth or self.send_data._post:  # T9 overlays
+            ov = self.send_data.request_overlay(url)
+            self._overlay_posts += ov["method"] == "POST"
+            self._overlay_auths += "Authorization" in ov["headers"]
         if self.cookies._by_domain:  # T3: request would carry these cookies
             self._last_cookie_header = self.cookies.header_for(url)
         status, ctype, body, loc, attempts, truncated = self._fetch(url)

@@ -71,6 +71,8 @@ class CrawlSpec:
     aggressive_links: bool = False           # M4 pass 3
     synthesize_pagination: bool = False      # M29
     request_delay_ms: float = 0.0            # T7 politeness budget (recorded)
+    auth_rules: tuple[tuple[str, str, str], ...] = ()   # T9 (url_regex, user, pass)
+    post_rules: tuple[tuple[str, tuple], ...] = ()      # T9 (url_regex, ((k,v),...))
     seed_hosts: tuple[str, ...] = ()         # filled from seeds at job start
     seed_domains: tuple[str, ...] = ()
     seed_paths: tuple[str, ...] = ()

@@ -119,6 +119,44 @@ class CookieJar:
         )
 
 
+class SendDataCache:
+    """T9 — per-URL request overlays: basic-auth and POST data keyed by URL
+    regex (vendor/PHPCrawl_083/libs/PHPCrawlerUserSendDataCache.class.php via
+    PHPCrawler.class.php:721-733 — first matching auth applies, ALL matching
+    post-data entries merge)."""
+
+    def __init__(self, auth_rules=(), post_rules=()):
+        self._auth = [(re.compile(rx), user, pw) for rx, user, pw in auth_rules]
+        self._post = [(re.compile(rx), tuple(kv)) for rx, kv in post_rules]
+
+    def auth_for(self, url: str) -> tuple[str, str] | None:
+        for rx, user, pw in self._auth:
+            if rx.search(url):
+                return (user, pw)
+        return None
+
+    def post_for(self, url: str) -> dict[str, str]:
+        out: dict[str, str] = {}
+        for rx, kv in self._post:
+            if rx.search(url):
+                out.update(dict(kv))
+        return out
+
+    def request_overlay(self, url: str) -> dict:
+        """What the HTTP request would carry: method, form body, auth
+        header (the production fetch plumbs this into its client)."""
+        import base64
+
+        post = self.post_for(url)
+        auth = self.auth_for(url)
+        headers = {}
+        if auth is not None:
+            headers["Authorization"] = "Basic " + base64.b64encode(
+                f"{auth[0]}:{auth[1]}".encode()
+            ).decode()
+        return {"method": "POST" if post else "GET", "post": post, "headers": headers}
+
+
 class DnsCache:
     """T4 — memoized host resolution; inject the resolver."""
 

@@ -91,3 +91,50 @@ def test_fetcher_accumulates_cookies_and_dns(tmp_path):
                     "referer": "", "linktext": ""})
     assert f._last_cookie_header == "sid=tok42"
     assert f.dns.misses == 1 and f.dns.hits == 1  # one host, memoized
+
+
+class TestSendDataCache:
+    """T9 — per-URL auth/POST overlays."""
+
+    def test_first_auth_match_and_post_merge(self):
+        from lightcrawler_ray.state.clientcache import SendDataCache
+
+        c = SendDataCache(
+            auth_rules=((r"^http://secure\.", "u1", "p1"), (r".", "u2", "p2")),
+            post_rules=((r"/search", (("q", "law"),)), (r"/search\?page", (("page", "2"),))),
+        )
+        assert c.auth_for("http://secure.test/x") == ("u1", "p1")
+        assert c.auth_for("http://open.test/") == ("u2", "p2")
+        assert c.post_for("http://h.test/search?page=2") == {"q": "law", "page": "2"}
+        ov = c.request_overlay("http://secure.test/search")
+        assert ov["method"] == "POST" and ov["post"] == {"q": "law"}
+        assert ov["headers"]["Authorization"].startswith("Basic ")
+
+    def test_fetcher_counts_overlays(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lightcrawler_ray.stages.fetch import SyntheticFetchExtract
+
+        pages_t = pa.table({
+            "url": pa.array(["http://s.test/search"]),
+            "host": pa.array(["s.test"]),
+            "status": pa.array([200], pa.int16()),
+            "content_type": pa.array(["text/html"]),
+            "body": pa.array([b"<html><body>" + b"y" * 200 + b"</body></html>"], pa.large_binary()),
+            "location": pa.array([""]),
+            "fail_attempts": pa.array([0], pa.int32()),
+        })
+        images_t = pa.table({"image_id": pa.array([], pa.string()),
+                             "bytes": pa.array([], pa.large_binary()),
+                             "fmt": pa.array([], pa.string())})
+        pp, ip = str(tmp_path / "p.parquet"), str(tmp_path / "i.parquet")
+        pq.write_table(pages_t, pp)
+        pq.write_table(images_t, ip)
+        f = SyntheticFetchExtract(pp, ip,
+                                  auth_rules=((r"s\.test", "u", "p"),),
+                                  post_rules=((r"/search", (("q", "x"),)),))
+        f._process_one({"url": "http://s.test/search", "url_md5": "0" * 32,
+                        "host": "s.test", "depth": 0, "priority": 0,
+                        "enqueue_seq": 0, "referer": "", "linktext": ""})
+        assert f._overlay_posts == 1 and f._overlay_auths == 1

@@ -236,3 +236,16 @@ def test_gzip_body_decode_m30():
     assert htmltools.decode_body(gz).count("正文内容") == 1
     # corrupt gzip falls back to raw decode without raising
     assert isinstance(htmltools.decode_body(b"\x1f\x8b broken"), str)
+
+
+def test_toc_markers_m27():
+    """M27 — 第N章/节/条 statute outline markers."""
+    from lightcrawler_ray.functions import texttools as tt
+
+    text = "第一章 总则\n第一条 为了规范数据处理活动。\n第二条 适用范围。\n第二章 数据安全\n第十一节 细则"
+    marks = tt.toc_markers(text)
+    assert marks == [("第一章", "zhang"), ("第一条", "tiao"), ("第二条", "tiao"),
+                     ("第二章", "zhang"), ("第十一节", "section")]
+    outline = tt.toc_outline(text)
+    assert outline[0] == {"marker": "第一章", "kind": "zhang", "heading": "第一章 总则"}
+    assert tt.toc_markers("没有目录的普通段落") == []
