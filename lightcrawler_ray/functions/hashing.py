@@ -39,27 +39,47 @@ def doc_id(content: str) -> str:
     return hashlib.md5(squash_ws(content).encode("utf-8", "surrogatepass")).hexdigest()
 
 
+# token-hash memo: tokens repeat heavily (CJK docs reuse a small vocabulary),
+# so each worker amortizes the blake2b cost to once per distinct token
+_TOK_CACHE: dict[str, int] = {}
+_TOK_CACHE_MAX = 1 << 20
+
+
+def _tok_hash(t: str) -> int:
+    h = _TOK_CACHE.get(t)
+    if h is None:
+        h = int.from_bytes(
+            hashlib.blake2b(t.encode("utf-8", "surrogatepass"), digest_size=8).digest(),
+            "little",
+        )
+        if len(_TOK_CACHE) < _TOK_CACHE_MAX:
+            _TOK_CACHE[t] = h
+    return h
+
+
 def token_hashes(text: str) -> np.ndarray:
     """Stable 64-bit hashes of the text's tokens (words + CJK runs)."""
     toks = _TOKEN_RE.findall(text.lower())
     if not toks:
         return np.empty(0, dtype=np.uint64)
-    out = np.empty(len(toks), dtype=np.uint64)
-    for i, t in enumerate(toks):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(t.encode("utf-8", "surrogatepass"), digest_size=8).digest(),
-            "little",
-        )
-    return out
+    return np.fromiter(map(_tok_hash, toks), dtype=np.uint64, count=len(toks))
 
 
 def simhash64(text: str) -> int:
-    """T8/D3 — 64-bit simhash (unsigned int returned as python int)."""
-    hs = token_hashes(text)
-    if hs.size == 0:
+    """T8/D3 — 64-bit simhash (unsigned int returned as python int).
+
+    Computed over (distinct token, count) pairs — identical to the per-
+    occurrence formulation but hashes each distinct token once."""
+    toks = _TOKEN_RE.findall(text.lower())
+    if not toks:
         return 0
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
-    votes = bits.sum(axis=0) * 2 - hs.size  # +1 per set bit, -1 per clear bit
+    counts: dict[str, int] = {}
+    for t in toks:
+        counts[t] = counts.get(t, 0) + 1
+    hs = np.fromiter(map(_tok_hash, counts.keys()), dtype=np.uint64, count=len(counts))
+    w = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    votes = (bits * w[:, None]).sum(axis=0) * 2 - w.sum()
     sig = (votes > 0).astype(np.uint64)
     return int((sig << np.arange(64, dtype=np.uint64)).sum())
 
