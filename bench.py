@@ -18,14 +18,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Heavier-than-test fixture: ~45 KB detail bodies and 2-4 images per page so
+# Heavier-than-test fixture: ~90 KB detail bodies and 2-4 images per page so
 # the benchmark measures extraction/decode compute, not just scheduling.
 # 512 seeds / depth<=3: the frontier profile is dominated by two huge
 # middle rounds (the 10^10-frontier shape the north rule scales on), not a
 # long small-round tail whose fixed costs would mask pool scaling.
 BENCH_GRAPH = dict(
     n_pages=400000, n_hosts=32, n_images=20000, out_degree=12, seed=42,
-    body_repeat=120, images_per_detail=2, n_seeds=512,
+    body_repeat=240, images_per_detail=2, n_seeds=512,
 )
 
 
@@ -153,7 +153,7 @@ def main() -> None:
     ray.shutdown()
 
 
-def _wait_quiet(max_wait_s: float = 120.0, thresh: float = 2.0) -> float:
+def _wait_quiet(max_wait_s: float = 300.0, thresh: float = 2.0) -> float:
     """This sandbox host is SHARED and neighbor load only ever deflates the
     32-CPU leg (8 cores are almost always free; 32 are not) — wait briefly
     for a quiet window before measuring.  Returns the 1-min loadavg seen."""

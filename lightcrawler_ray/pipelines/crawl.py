@@ -859,6 +859,18 @@ _DOC_META_SCHEMA = pa.schema(
 _ATT_META_SCHEMA = pa.schema([("enqueue_seq", pa.int64()), ("doc_id", pa.string())])
 
 
+def _limit_arrow_threads(n: int = 2) -> None:
+    """Every Ray worker process gets its own Arrow thread pool sized to ALL
+    cores by default — dozens of single-CPU workers each spawning 32 Arrow
+    threads oversubscribe the node during the fetch wave.  Cap it."""
+    try:
+        if pa.cpu_count() > n:
+            pa.set_cpu_count(n)
+            pa.set_io_thread_count(n)
+    except Exception:
+        pass
+
+
 _COALESCE_ROWS = 4096  # target candidate rows per filter task
 
 
@@ -885,6 +897,7 @@ def _filter_extract(spec: CrawlSpec, robots, k: int, redirect_only: bool, *table
     coalesced group of link blocks (one task hop instead of two).  Returns
     the filtered block followed by k key parts (``num_returns=1+k`` at the
     call site); concat + mask filter preserve (parent_seq, link_idx) order."""
+    _limit_arrow_threads()
     t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
     filt = CandidateFilter.__new__(CandidateFilter)
     import re
@@ -966,6 +979,7 @@ def _split_sink(out: pa.Table, links_dir: str, part: int):
     (the next round consumes the ref directly — no parquet re-read)."""
     import pyarrow.parquet as pq
 
+    _limit_arrow_threads()
     kinds = {
         k: out.filter(pc.equal(out.column("kind"), k))
         for k in ("fetch", "link", "image", "doc", "attach")

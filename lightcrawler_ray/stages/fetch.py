@@ -146,6 +146,15 @@ class SyntheticFetchExtract:
     ):
         import re as _re
 
+        try:  # cap this worker's Arrow pool (see crawl._limit_arrow_threads)
+            import pyarrow as _pa
+
+            if _pa.cpu_count() > 2:
+                _pa.set_cpu_count(2)
+                _pa.set_io_thread_count(2)
+        except Exception:
+            pass
+
         from ..state.clientcache import CookieJar, DnsCache
 
         # M11 — ordered (compiled regex, kind); every match runs
