@@ -364,8 +364,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "crawl_report": (
-            "SELECT count(*) AS links_followed, sum(value) AS bytes_received, "
-            "avg(value) AS avg_ms, max(value) AS max_ms FROM events"
+            # decimal semantics (values are 2-decimal): integer-cent sums,
+            # bit-identical to the Ray pipeline's partial sums in any order
+            "SELECT count(*) AS links_followed, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS bytes_received, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*) AS avg_ms, "
+            "CAST(max(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS max_ms FROM events"
         ),
         "status_gate": (
             "SELECT event_id, user_id, value FROM events "
@@ -404,8 +408,9 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY l_returnflag, l_linestatus"
         ),
         "top_revenue": (
-            "SELECT o_custkey, sum(o_totalprice) AS revenue FROM orders "
-            "GROUP BY o_custkey ORDER BY revenue DESC, o_custkey LIMIT 10"
+            "SELECT o_custkey, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue "
+            "FROM orders GROUP BY o_custkey ORDER BY revenue DESC, o_custkey LIMIT 10"
         ),
         "union_seeds": (
             "SELECT event_id FROM events WHERE event_type = 'purchase' AND value > 50 "

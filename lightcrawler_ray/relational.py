@@ -35,15 +35,28 @@ def _pq(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset
 def crawl_report(sf_dir: str) -> pd.DataFrame:
     """A1 — the crawler's global report (links_followed / bytes / averages) as
     a one-row aggregate; partial-per-block then tiny final combine is what
-    ``Dataset.aggregate`` does internally."""
+    ``Dataset.aggregate`` does internally.  Sums accumulate in integer cents
+    (values are 2-decimal) so the result is block-order independent and
+    bit-identical to the decimal oracle."""
     ds = _pq(sf_dir, "events", ["event_id", "value"])
-    agg = ds.aggregate(
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.rint(t.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table({"value_c": pa.array(v, pa.int64())})
+
+    agg = ds.map_batches(cents, batch_format="pyarrow").aggregate(
         Count(alias_name="links_followed"),
-        Sum("value", alias_name="bytes_received"),
-        Mean("value", alias_name="avg_ms"),
-        Max("value", alias_name="max_ms"),
+        Sum("value_c", alias_name="sum_c"),
+        Max("value_c", alias_name="max_c"),
     )
-    return pd.DataFrame([agg])
+    n = agg["links_followed"]
+    total = float(agg["sum_c"]) / 100.0
+    return pd.DataFrame([{
+        "links_followed": n,
+        "bytes_received": total,
+        "avg_ms": total / n,
+        "max_ms": float(agg["max_c"]) / 100.0,
+    }])
 
 
 def status_gate(sf_dir: str) -> rd.Dataset:
@@ -201,10 +214,29 @@ def pricing_summary(sf_dir: str) -> rd.Dataset:
 
 def top_revenue(sf_dir: str) -> rd.Dataset:
     """O1+A1 — aggregate then top-k: revenue per customer, top 10
-    (deterministic tie-break on the key)."""
+    (deterministic tie-break on the key).  Per-customer sums accumulate in
+    integer cents (prices are 2-decimal) — block-order independent, matching
+    the decimal oracle bit-for-bit."""
     ds = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    agg = ds.groupby("o_custkey").aggregate(Sum("o_totalprice", alias_name="revenue"))
-    return agg.sort(["revenue", "o_custkey"], descending=[True, False]).limit(10)
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.rint(t.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        return pa.table({"o_custkey": t.column("o_custkey"),
+                         "rev_c": pa.array(v, pa.int64())})
+
+    agg = (
+        ds.map_batches(cents, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    )
+    top = agg.sort(["rev_c", "o_custkey"], descending=[True, False]).limit(10)
+    return top.map_batches(
+        lambda t: pa.table({
+            "o_custkey": t.column("o_custkey"),
+            "revenue": pc.divide(pc.cast(t.column("rev_c"), pa.float64()), 100.0),
+        }),
+        batch_format="pyarrow",
+    )
 
 
 def union_seeds(sf_dir: str) -> rd.Dataset:
