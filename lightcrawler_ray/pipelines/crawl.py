@@ -17,9 +17,11 @@ Each round (epoch):
                   ─ persistent fetch pool        fused fetch+extract — bodies never
                     (plasma-shared page store)     leave the worker
                   ─ _split_sink tasks            links checkpoint + forward refs;
-                                                   small metas to driver
-                  ─ driver verdicts + deferred   content dedup D2/D3/D4; image/doc
-                    finalize writes                writes overlap the next round
+                                                   per-shard content-key parts
+                  ─ content-shard gate_parts +   content dedup D2/D3/D4 + J3 sim
+                    sim band shards + deferred     gate — sharded like the URL-seen
+                    finalize writes                set; keep-rows travel by ref and
+                                                   writes overlap the next round
 
 Adaptive execution: a BFS crawl has a characteristic frontier profile — a few
 huge middle rounds flanked by tiny head/tail rounds (seed fan-out, redirect
@@ -394,28 +396,30 @@ class CrawlJob:
         }
         self._note_content(kinds["fetch"].column("status").to_pylist(),
                            kinds["fetch"].column("url").to_pylist())
-        # content verdicts run through the SAME code as the distributed path
-        # (within-round keep-first dedup, cross-round content gate, near-dup
-        # map, doc_ori_no rule) — local/dist parity by construction
+        # content verdicts run through the SAME sharded flow as the
+        # distributed path (a one-block round) — local/dist parity by
+        # construction, and the content-shard / sim-shard state stays
+        # consistent across path switches
         images = CrawlJob._image_rows(kinds["image"])
-        img_keep, dup_map = self._image_verdicts(
-            images.select(["enqueue_seq", "url_md5", "image_id", "phash"]).cast(_IMG_META_SCHEMA)
-        )
-        images = _apply_image_verdicts(images, img_keep, dup_map)
-        storage.commit_table(images, os.path.join(ed, "images"))
-
         docs = _doc_rows(kinds["doc"])
-        doc_keep = self._doc_verdicts(
-            docs.select(["enqueue_seq", "doc_id", "doc_ori_no", "simhash"]).cast(_DOC_META_SCHEMA)
-        )
-        docs = _filter_by_seq(docs, doc_keep)
-        storage.commit_table(docs, os.path.join(ed, "docs"))
-
         atts = _att_rows(kinds["attach"])
-        att_keep = self._att_verdicts(
-            atts.select(["enqueue_seq", "doc_id"]).cast(_ATT_META_SCHEMA)
+        img_meta = images.select(["enqueue_seq", "url_md5", "image_id", "phash"]).cast(_IMG_META_SCHEMA)
+        doc_meta = docs.select(["enqueue_seq", "doc_id", "doc_ori_no", "simhash"]).cast(_DOC_META_SCHEMA)
+        att_meta = atts.select(["enqueue_seq", "doc_id"]).cast(_ATT_META_SCHEMA)
+        kc = self.content_seen.k
+        img_kept, dup_ref, doc_keep, att_w = self._content_flow(
+            1, [img_meta], [doc_meta],
+            [[p] for p in _content_key_parts(img_meta, "url_md5", kc)],
+            [[p] for p in _content_key_parts(doc_meta, "doc_id", kc)],
+            [[p] for p in _content_key_parts(att_meta, "doc_id", kc)],
         )
-        storage.commit_table(_filter_by_seq(atts, att_keep), os.path.join(ed, "attachments"))
+        images = _with_near_dup(images, ray.get(img_kept[0]), ray.get(dup_ref))
+        storage.commit_table(images, os.path.join(ed, "images"))
+        docs = docs.take(pa.array(ray.get(doc_keep[0]), pa.int64()))
+        storage.commit_table(docs, os.path.join(ed, "docs"))
+        arows = np.sort(np.concatenate(ray.get([att_w[s][0] for s in range(kc)])))
+        storage.commit_table(atts.take(pa.array(arows, pa.int64())),
+                             os.path.join(ed, "attachments"))
 
         links = kinds["link"].select(_LINK_COLS)
         metrics = _metrics_from_table(kinds["fetch"], images.num_rows, epoch)
@@ -559,13 +563,26 @@ class CrawlJob:
         take_l = [int(c) for c in take]
         nb = sum((c + bs - 1) // bs for c in take_l)
         split_refs: list = [None] * nb
+        kc = self.content_seen.k
 
         def _on_batch_done(i: int, ref) -> None:
-            split_refs[i] = _split_sink.remote(ref, links_dir, i)
+            split_refs[i] = _split_sink.options(num_returns=8 + 3 * kc).remote(
+                ref, links_dir, i, kc
+            )
 
         self.fetch_pool.submit_dynamic(ranked, take_l, bs, on_done=_on_batch_done)
+        cols = list(zip(*split_refs))
         (fetch_metas, img_metas, doc_metas, att_metas,
-         img_fulls, doc_fulls, att_fulls, link_refs) = zip(*split_refs)
+         img_fulls, doc_fulls, att_fulls, link_refs) = cols[:8]
+        img_parts = cols[8:8 + kc]            # [shard][block]
+        doc_parts = cols[8 + kc:8 + 2 * kc]
+        att_parts = cols[8 + 2 * kc:8 + 3 * kc]
+        # content dedup verdicts (D2/D3/D4, J2/J3) — sharded off the driver:
+        # key parts flow worker → content shard → finalize by ref; the driver
+        # only wires the task graph (no verdict rows, no barrier)
+        img_kept, dup_ref, doc_keep, att_w = self._content_flow(
+            nb, img_metas, doc_metas, img_parts, doc_parts, att_parts
+        )
 
         # speculate the NEXT round's filter + key extraction against the
         # link refs now, while this round's fetch wave is still running —
@@ -588,28 +605,18 @@ class CrawlJob:
                 "filt": pf_filt, "keymat": pf_keymat,
             }
 
-        metas = ray.get(
-            list(fetch_metas) + list(img_metas) + list(doc_metas) + list(att_metas)
-        )
-        fetch_small = _concat_nonempty(metas[:nb], _FETCH_META_SCHEMA)
+        metas = ray.get(list(fetch_metas))
+        fetch_small = _concat_nonempty(metas, _FETCH_META_SCHEMA)
         if fetch_small.num_rows:
             self.bytes_total += int(pc.sum(fetch_small.column("bytes_received")).as_py() or 0)
             self._note_content(fetch_small.column("status").to_pylist(),
                                fetch_small.column("url").to_pylist())
         _mark("fetch+split")
-        img_meta = _concat_nonempty(metas[nb:2 * nb], _IMG_META_SCHEMA)
-        doc_meta = _concat_nonempty(metas[2 * nb:3 * nb], _DOC_META_SCHEMA)
-        att_meta = _concat_nonempty(metas[3 * nb:], _ATT_META_SCHEMA)
         # every rank task is transitively complete once the split metas landed
         storage.mark_complete(frontier_dir)
         storage.mark_complete(links_dir)
         n_links = int(pc.sum(fetch_small.column("n_links")).as_py() or 0)
         self._avg_links = max(1.0, n_links / max(1, n_frontier))
-
-        # content dedup verdicts (D2/D3/D4), driver-side on small columns
-        img_keep, dup_map = self._image_verdicts(img_meta)
-        doc_keep = self._doc_verdicts(doc_meta)
-        att_keep = self._att_verdicts(att_meta)
 
         img_dir = os.path.join(ed, "images")
         doc_dir = os.path.join(ed, "docs")
@@ -617,41 +624,42 @@ class CrawlJob:
         os.makedirs(img_dir, exist_ok=True)
         os.makedirs(doc_dir, exist_ok=True)
         os.makedirs(att_dir, exist_ok=True)
-        keep_ref = ray.put(img_keep)
-        dup_ref = ray.put(dup_map)
-        dkeep_ref = ray.put(doc_keep)
-        akeep_ref = ray.put(att_keep)
         # the previous epoch's deferred writes have had this whole round to
         # finish — drain them now, BEFORE stashing ours (done markers must
         # land in epoch order for resume correctness)
         self._drain_pending()
         writes = [
-            _finalize_images.remote(f, keep_ref, dup_ref, img_dir, i)
-            for i, f in enumerate(img_fulls)
+            _finalize_images.remote(img_fulls[b], img_kept[b], dup_ref, img_dir, b)
+            for b in range(nb)
         ] + [
-            _finalize_docs.remote(f, dkeep_ref, doc_dir, i)
-            for i, f in enumerate(doc_fulls)
+            _finalize_rows.remote(doc_fulls[b], doc_dir, b, doc_keep[b])
+            for b in range(nb)
         ] + [
-            _finalize_docs.remote(f, akeep_ref, att_dir, i)
-            for i, f in enumerate(att_fulls)
+            _finalize_rows.remote(att_fulls[b], att_dir, b,
+                                  *[att_w[s][b] for s in range(kc)])
+            for b in range(nb)
         ]
         _mark("sinks")
 
-        # seen snapshot is synchronous (it must reflect exactly this epoch);
-        # the payload writes + metrics + done marker are deferred — they
-        # overlap the next round's filter/sort/fetch and drain there.
+        # state snapshots are SUBMITTED synchronously (actor mailboxes pin
+        # them to exactly this epoch's position) but GATHERED in the next
+        # round's drain — the payload writes + metrics + done marker defer
+        # the same way, so nothing verdict-shaped blocks this round.
         # Snapshots every `snapshot_every` epochs: resume re-enters at the
         # last snapshotted epoch and deterministically re-crawls the rest.
+        snap_refs = None
         if epoch % max(1, self.spec.snapshot_every) == 0:
-            _save_seen_snapshot(
-                os.path.join(ed, "seen.npz"),
-                {"seen": self.seen.snapshot(), "content": self.content_seen.snapshot(),
-                 "hosts": self.sched.snapshot(), "docsim": self.docsim.snapshot()},
-            )
+            snap_refs = {
+                "seen": self.seen.snapshot_refs(),
+                "content": self.content_seen.snapshot_refs(),
+                "hosts": self.sched.snapshot_refs(),
+                "docsim": self.docsim.snapshot_refs(),
+            }
         self._pending = dict(
             ed=ed, epoch=epoch, img_dir=img_dir, doc_dir=doc_dir, att_dir=att_dir,
-            fetch_small=fetch_small, writes=writes, n_img=len(img_fulls),
-            sched_futs=sched_futs, sched_dir=sched_dir,
+            fetch_small=fetch_small, writes=writes, n_img=nb,
+            sched_futs=sched_futs, sched_dir=sched_dir, snap_refs=snap_refs,
+            snap_path=os.path.join(ed, "seen.npz"),
             meta={"next_seq": self.next_seq, "fetched": self.fetched,
                   "rows": n_frontier, "links": n_links,
                   "bytes_total": self.bytes_total,
@@ -660,68 +668,75 @@ class CrawlJob:
         )
         return n_frontier, list(link_refs), n_links
 
-    def _image_verdicts(self, img_meta: pa.Table) -> tuple[set, dict]:
-        """Round-level exact content dedup (min enqueue_seq per content md5)
-        + cross-round content-seen gate + near-dup map.  Operates on the
-        small (seq, md5, image_id, phash) projection only."""
-        if img_meta.num_rows == 0:
-            return set(), {}
-        df = img_meta.to_pandas().sort_values("enqueue_seq", kind="stable")
-        df = df.drop_duplicates("url_md5", keep="first")
-        new = self.content_seen.check_and_add(df["url_md5"].tolist())
-        df = df[new]
-        keep = set(df["enqueue_seq"].tolist())
-        dup_map = _near_dup_map(
-            df["image_id"].tolist(),
-            df["phash"].to_numpy(dtype=np.int64),
-            df["enqueue_seq"].to_numpy(dtype=np.int64),
-        )
-        return keep, dup_map
+    def _content_flow(self, nb: int, img_metas, doc_metas,
+                      img_parts, doc_parts, att_parts):
+        """Content-dedup verdicts (D2/D3/D4, J2/J3) with NO round-sized state
+        on the driver — the SeenShard pattern applied to content keys.
 
-    def _doc_verdicts(self, doc_meta: pa.Table) -> set:
-        """doc_id exact dedup (D2) + doc_ori_no unique-when-present (D4,
-        within AND across rounds) + simhash near-dup gate with the
-        doc_ori_no override (J3 — a near-dup doc survives only when it
-        carries an unseen official document number,
-        worker/SpiderFrame.class.php:281-293)."""
-        import pandas as pd
+        Per content shard s (one fused ``gate_parts`` call per kind per
+        round, the actor mailbox keeping kinds in the reference's probe
+        order images → doc_id → doc_ori_no → attachments,
+        DaoXlegalLawContentRecord.class.php:98-101):
 
-        if doc_meta.num_rows == 0:
-            return set()
-        df = doc_meta.to_pandas().sort_values("enqueue_seq", kind="stable")
-        df = df.drop_duplicates("doc_id", keep="first")
-        new = self.content_seen.check_and_add(df["doc_id"].tolist())
-        df = df[new]
-        with_no = df[df["doc_ori_no"] != ""].drop_duplicates("doc_ori_no", keep="first")
-        if len(with_no):
-            # cross-round D4: the doc_ori_no key space is namespaced so it
-            # cannot collide with the doc_id (content-md5) key space
-            keys = [hashlib.md5(("no:" + n).encode()).hexdigest()
-                    for n in with_no["doc_ori_no"]]
-            with_no = with_no[self.content_seen.check_and_add(keys)]
-        without = df[df["doc_ori_no"] == ""]
-        surv = pd.concat([with_no, without]).sort_values("enqueue_seq", kind="stable")
-        if self.spec.doc_near_dup_hamming >= 0 and len(surv):
-            dup = self.docsim.query_insert(
-                surv["simhash"].to_numpy(dtype=np.int64),
-                surv["doc_id"].tolist(),
-                self.spec.doc_near_dup_hamming,
+          images  key = content md5   → keep-first winners        (D2/J2)
+          docs    key = doc_id        → stage-2 task extracts the
+                  surviving rows' namespaced doc_ori_no keys      (D4)
+                  → stage-3 task merges the ori winners and feeds
+                  the sim band shards; a per-block resolve task
+                  applies the near-dup + doc_ori_no-override rule (D3/J3)
+          attach  key = content md5   → keep-first winners
+
+        Everything returned is an ObjectRef: per-block kept-image metas, the
+        round's image near-dup annotation map, per-block doc keep-row
+        arrays, and per-shard-per-block attachment winner rows.  The caller
+        wires them straight into the finalize writers."""
+        kc = self.content_seen.k
+        shards = self.content_seen.shards
+        nr = 1 + nb
+
+        def _gate(parts_by_shard):
+            w = [[None] * nb for _ in range(kc)]
+            for s in range(kc):
+                rets = shards[s].gate_parts.options(num_returns=nr).remote(
+                    *parts_by_shard[s]
+                )
+                for b in range(nb):
+                    w[s][b] = rets[1 + b]
+            return w
+
+        img_w = _gate(img_parts)
+        doc_w = _gate(doc_parts)
+        surv, oparts = [None] * nb, [[None] * nb for _ in range(kc)]
+        for b in range(nb):
+            rets = _doc_stage2.options(num_returns=1 + kc).remote(
+                doc_metas[b], kc, *[doc_w[s][b] for s in range(kc)]
             )
-            is_dup = np.array([bool(x) for x in dup])
-            override = (surv["doc_ori_no"] != "").to_numpy()
-            surv = surv[~is_dup | override]
-        return set(surv["enqueue_seq"])
-
-    def _att_verdicts(self, att_meta: pa.Table) -> set:
-        """Attachment dedup: keep-first by content md5 (the reference inserts
-        records keyed on md5(source), SpiderFrame.class.php:355-380) +
-        cross-round content-seen gate."""
-        if att_meta.num_rows == 0:
-            return set()
-        df = att_meta.to_pandas().sort_values("enqueue_seq", kind="stable")
-        df = df.drop_duplicates("doc_id", keep="first")
-        df = df[self.content_seen.check_and_add(df["doc_id"].tolist())]
-        return set(df["enqueue_seq"])
+            surv[b] = rets[0]
+            for s in range(kc):
+                oparts[s][b] = rets[1 + s]
+        ori_w = _gate(oparts)
+        att_w = _gate(att_parts)
+        sim_parts = [
+            _doc_stage3.remote(surv[b], *[ori_w[s][b] for s in range(kc)])
+            for b in range(nb)
+        ]
+        h = self.spec.doc_near_dup_hamming
+        if h >= 0:
+            band_hits = self.docsim.query_parts_refs(h, sim_parts)
+            doc_keep = [
+                _doc_resolve.remote(
+                    sim_parts[b], *[band_hits[band][b] for band in range(len(band_hits))]
+                )
+                for b in range(nb)
+            ]
+        else:
+            doc_keep = [_doc_resolve.remote(sim_parts[b]) for b in range(nb)]
+        img_kept = [
+            _img_kept.remote(img_metas[b], *[img_w[s][b] for s in range(kc)])
+            for b in range(nb)
+        ]
+        dup_ref = _image_dup_task.remote(*img_kept)
+        return img_kept, dup_ref, doc_keep, att_w
 
     def _drain_pending(self) -> None:
         """Complete the previous epoch's deferred sink writes: gather the
@@ -738,6 +753,19 @@ class CrawlJob:
         storage.mark_complete(p["sched_dir"])
         metrics = _metrics_from_table(p["fetch_small"], n_images, p["epoch"])
         storage.commit_table(metrics, os.path.join(p["ed"], "metrics"))
+        if p.get("snap_refs"):
+            # the refs were submitted during the epoch (mailbox-ordered), so
+            # this gather observes exactly that epoch's state; the snapshot
+            # must land before the done marker for resume correctness
+            sr = p["snap_refs"]
+            hosts: dict[str, float] = {}
+            for part in ray.get(sr["hosts"]):
+                hosts.update(part)
+            _save_seen_snapshot(
+                p["snap_path"],
+                {"seen": ray.get(sr["seen"]), "content": ray.get(sr["content"]),
+                 "hosts": hosts, "docsim": ray.get(sr["docsim"])},
+            )
         _write_done(p["ed"], p["meta"])
 
     def _finish_epoch(self, ed: str, links, rows: int, n_links: int | None = None) -> None:
@@ -761,7 +789,7 @@ class CrawlJob:
         content md5 as url_md5 for the content-seen gate."""
         if t.num_rows == 0:
             t = OUT_SCHEMA.empty_table()
-        md5s = ["" if b is None else hashlib.md5(b).hexdigest()
+        md5s = [hashlib.md5(b or b"").hexdigest()
                 for b in t.column("image_bytes").to_pylist()]
         return pa.table(
             {
@@ -971,12 +999,14 @@ def _rank_sched_write_block(
     return (t, *sched)
 
 
-@ray.remote(num_returns=8)
-def _split_sink(out: pa.Table, links_dir: str, part: int):
+@ray.remote
+def _split_sink(out: pa.Table, links_dir: str, part: int, kc: int):
     """Split a fetch-output block by kind: write the links checkpoint part,
-    project the small metadata for driver-side dedup verdicts, hand back the
-    full image/doc tables for the finalize writers AND the links table itself
-    (the next round consumes the ref directly — no parquet re-read)."""
+    project the small per-kind metadata AND its per-content-shard gate parts
+    (so the dedup verdicts never touch the driver), hand back the full
+    image/doc/attachment tables for the finalize writers plus the links
+    table itself (the next round consumes the ref directly — no re-read).
+    ``num_returns=8 + 3*kc`` at the call site."""
     import pyarrow.parquet as pq
 
     _limit_arrow_threads()
@@ -1008,43 +1038,176 @@ def _split_sink(out: pa.Table, links_dir: str, part: int):
     doc_meta = docs.select(["enqueue_seq", "doc_id", "doc_ori_no", "simhash"]).cast(_DOC_META_SCHEMA)
     atts = _att_rows(kinds["attach"])
     att_meta = atts.select(["enqueue_seq", "doc_id"]).cast(_ATT_META_SCHEMA)
-    return fetch_meta, img_meta, doc_meta, att_meta, images, docs, atts, links
+    return (fetch_meta, img_meta, doc_meta, att_meta, images, docs, atts, links,
+            *_content_key_parts(img_meta, "url_md5", kc),
+            *_content_key_parts(doc_meta, "doc_id", kc),
+            *_content_key_parts(att_meta, "doc_id", kc))
 
 
-def _filter_by_seq(t: pa.Table, keep: set) -> pa.Table:
-    if t.num_rows == 0:
-        return t
-    return t.filter(pa.array([s in keep for s in t.column("enqueue_seq").to_pylist()]))
+def _content_key_parts(meta: pa.Table, key_col: str, k: int) -> list[dict]:
+    """Per-content-shard ``gate_parts`` inputs from a meta block: md5-hex key
+    + its (hi, lo) u64 split, enqueue_seq as the winner order, block row
+    index.  Same key→shard mapping as ``seenset.shard_of``."""
+    from ..state.cuckoo import md5hex_to_u64_pairs
 
-
-def _apply_image_verdicts(images: pa.Table, keep: set, dup_map: dict) -> pa.Table:
-    """Shared by the local round and the distributed finalize task: apply the
-    keep-set then attach the near-dup verdict column."""
-    kept = _filter_by_seq(images, keep)
-    col = pa.array(
-        [dup_map.get(i, "") for i in kept.column("image_id").to_pylist()], pa.string()
+    md5s = meta.column(key_col).to_pylist()
+    seqs = np.asarray(
+        meta.column("enqueue_seq").to_numpy(zero_copy_only=False), dtype=np.int64
     )
-    return kept.append_column("near_dup_of", col)
+    rows = np.arange(len(md5s), dtype=np.int64)
+    hi, lo = md5hex_to_u64_pairs(md5s)
+    sh = ((lo & np.uint64(0xFFFFFFFF)) % np.uint64(k)).astype(np.int64)
+    parts = []
+    for s in range(k):
+        r = np.nonzero(sh == s)[0]
+        parts.append({"md5": [md5s[i] for i in r], "hi": hi[r], "lo": lo[r],
+                      "seq": seqs[r], "idx": rows[r], "row": rows[r]})
+    return parts
+
+
+def _merge_winner_rows(winners) -> np.ndarray:
+    """Ascending union of per-shard winner row arrays (ascending row index ⇒
+    enqueue_seq order is preserved downstream)."""
+    arrs = [np.asarray(w, dtype=np.int64) for w in winners if np.asarray(w).size]
+    if not arrs:
+        return np.zeros(0, dtype=np.int64)
+    return np.sort(np.concatenate(arrs))
 
 
 @ray.remote
-def _finalize_images(images: pa.Table, keep: set, dup_map: dict, out_dir: str, part: int) -> int:
-    import pyarrow.parquet as pq
+def _doc_stage2(doc_meta: pa.Table, kc: int, *winners):
+    """Apply the doc_id stage winners, then emit the surviving rows'
+    namespaced doc_ori_no gate parts (D4: ``md5("no:"+n)`` so the official
+    number key space cannot collide with content md5s).  Returns the
+    survivor projection followed by kc ori parts (``num_returns=1+kc``)."""
+    rows = _merge_winner_rows(winners)
+    t = doc_meta.take(pa.array(rows, pa.int64()))
+    ori = t.column("doc_ori_no").to_pylist()
+    seqs = np.asarray(t.column("enqueue_seq").to_numpy(zero_copy_only=False), dtype=np.int64)
+    has = np.fromiter((o != "" for o in ori), dtype=bool, count=len(ori))
+    widx = np.nonzero(has)[0]
+    keys = [hashlib.md5(("no:" + ori[i]).encode()).hexdigest() for i in widx]
+    from ..state.cuckoo import md5hex_to_u64_pairs
 
-    kept = _apply_image_verdicts(images, keep, dup_map)
-    if kept.num_rows == 0:
-        return 0
-    pq.write_table(kept, os.path.join(out_dir, f"part-{part:05d}.parquet"))
-    return kept.num_rows
+    hi, lo = md5hex_to_u64_pairs(keys)
+    sh = ((lo & np.uint64(0xFFFFFFFF)) % np.uint64(kc)).astype(np.int64)
+    parts = []
+    for s in range(kc):
+        r = np.nonzero(sh == s)[0]
+        parts.append({
+            "md5": [keys[i] for i in r], "hi": hi[r], "lo": lo[r],
+            "seq": seqs[widx[r]], "idx": rows[widx[r]], "row": rows[widx[r]],
+        })
+    surv = {
+        "row": rows, "seq": seqs, "has_ori": has,
+        "sim": np.asarray(t.column("simhash").to_numpy(zero_copy_only=False), dtype=np.int64),
+    }
+    return (surv, *parts)
 
 
 @ray.remote
-def _finalize_docs(docs: pa.Table, keep: set, out_dir: str, part: int) -> int:
+def _doc_stage3(surv: dict, *ori_winners) -> dict:
+    """Merge the ori-gate winners into the doc survivor set (a numbered doc
+    must win its doc_ori_no gate; unnumbered docs pass) and emit the sim-gate
+    part for the band shards."""
+    wrows = _merge_winner_rows(ori_winners)
+    mask = ~surv["has_ori"] | np.isin(surv["row"], wrows)
+    return {
+        "row": surv["row"][mask], "seq": surv["seq"][mask],
+        "sim": surv["sim"][mask], "override": surv["has_ori"][mask],
+    }
+
+
+@ray.remote
+def _doc_resolve(part: dict, *band_hits) -> np.ndarray:
+    """J3: drop near-dups unless numbered (the doc_ori_no override) — a doc
+    is a near-dup when ANY sim band reported a stored hit."""
+    if not band_hits:
+        return part["row"]
+    h = np.stack([np.asarray(b, dtype=np.int64) for b in band_hits])
+    is_dup = (h != -1).any(axis=0)
+    return part["row"][~is_dup | part["override"]]
+
+
+@ray.remote
+def _img_kept(img_meta: pa.Table, *winners) -> dict:
+    """Kept-image projection for the near-dup annotation + finalize write."""
+    rows = _merge_winner_rows(winners)
+    t = img_meta.take(pa.array(rows, pa.int64()))
+    return {
+        "row": rows,
+        "id": t.column("image_id").to_pylist(),
+        "phash": np.asarray(t.column("phash").to_numpy(zero_copy_only=False), dtype=np.int64),
+        "seq": np.asarray(t.column("enqueue_seq").to_numpy(zero_copy_only=False), dtype=np.int64),
+    }
+
+
+@ray.remote
+def _image_dup_task(*kept: dict) -> dict:
+    """Round-level image near-dup ANNOTATION (D3 for the image sink): banded
+    phash LSH over the round's kept images.  Per band bucket the earliest
+    (min-seq) member is canonical; later members within hamming ≤ 8 of it
+    map to it, multi-band hits resolving to the earliest canonical.  Blocks
+    arrive in seq order so concatenation preserves it.  Pure within-round
+    metadata → one task per round, never the driver; the cross-ROUND image
+    dedup is the exact md5 content gate (images are annotated, not dropped,
+    matching the sink's near_dup_of column contract)."""
+    ids: list[str] = []
+    for p in kept:
+        ids.extend(p["id"])
+    if not ids:
+        return {}
+    ph = np.concatenate([np.asarray(p["phash"], dtype=np.int64) for p in kept]).view(np.uint64)
+    seqs = np.concatenate([np.asarray(p["seq"], dtype=np.int64) for p in kept])
+    bands = hashing.simhash_bands(ph, 4)
+    best_seq: dict[str, int] = {}
+    best_id: dict[str, str] = {}
+    for b in range(4):
+        keys = bands[:, b]
+        order = np.argsort(keys, kind="stable")  # stable: seq order per key
+        bounds = np.nonzero(np.diff(keys[order]))[0] + 1
+        for grp in np.split(order, bounds):
+            if grp.size < 2:
+                continue
+            first = grp[0]
+            d = hashing.hamming64(ph[grp[1:]], np.full(grp.size - 1, ph[first], dtype=np.uint64))
+            fseq = int(seqs[first])
+            for j in np.nonzero(d <= 8)[0]:
+                i = ids[grp[1 + j]]
+                if fseq < best_seq.get(i, np.iinfo(np.int64).max):
+                    best_seq[i] = fseq
+                    best_id[i] = ids[first]
+    return best_id
+
+
+def _with_near_dup(images: pa.Table, kept: dict, dup_map: dict) -> pa.Table:
+    """Apply the keep rows then attach the near-dup verdict column — shared
+    by the local round and the distributed finalize task."""
+    t = images.take(pa.array(kept["row"], pa.int64()))
+    col = pa.array([dup_map.get(i, "") for i in kept["id"]], pa.string())
+    return t.append_column("near_dup_of", col)
+
+
+@ray.remote
+def _finalize_images(images: pa.Table, kept: dict, dup_map: dict, out_dir: str, part: int) -> int:
     import pyarrow.parquet as pq
 
-    kept = _filter_by_seq(docs, keep)
-    if kept.num_rows == 0:
+    out = _with_near_dup(images, kept, dup_map)
+    if out.num_rows == 0:
         return 0
+    pq.write_table(out, os.path.join(out_dir, f"part-{part:05d}.parquet"))
+    return out.num_rows
+
+
+@ray.remote
+def _finalize_rows(t: pa.Table, out_dir: str, part: int, *winners) -> int:
+    """Write the block rows selected by the (per-shard) winner row arrays."""
+    import pyarrow.parquet as pq
+
+    rows = _merge_winner_rows(winners)
+    if rows.size == 0:
+        return 0
+    kept = t.take(pa.array(rows, pa.int64()))
     pq.write_table(kept, os.path.join(out_dir, f"part-{part:05d}.parquet"))
     return kept.num_rows
 
@@ -1069,28 +1232,6 @@ def _doc_rows(t: pa.Table) -> pa.Table:
     out = t.select([c for c in _DOC_COLS if c != "url_md5"])
     # content-seen gate keys on url_md5; for docs the key is doc_id (D2)
     return out.append_column("url_md5", t.column("doc_id"))
-
-
-def _near_dup_map(ids: list, phashes: np.ndarray, seqs: np.ndarray) -> dict:
-    """Banded near-dup detection on (id, phash, seq) triples — shared by the
-    local and distributed paths (distributed runs it per band bucket)."""
-    bands = hashing.simhash_bands(phashes.view(np.uint64), 4)
-    buckets: dict[tuple, list[int]] = {}
-    for i in range(len(ids)):
-        for b in range(4):
-            buckets.setdefault((b, int(bands[i, b])), []).append(i)
-    dup: dict = {}
-    for members in buckets.values():
-        if len(members) < 2:
-            continue
-        members = sorted(members, key=lambda i: seqs[i])
-        first = members[0]
-        ph = phashes.view(np.uint64)
-        d = hashing.hamming64(ph[members[1:]], np.full(len(members) - 1, ph[first], dtype=np.uint64))
-        for j, dd in enumerate(d):
-            if dd <= 8:
-                dup.setdefault(ids[members[1 + j]], ids[first])
-    return dup
 
 
 def _metrics_from_table(fetch: pa.Table, n_images: int, epoch: int) -> pa.Table:

@@ -179,6 +179,11 @@ class SchedulePool:
             merged.update(snap)
         return merged
 
+    def snapshot_refs(self) -> list:
+        """Mailbox-pinned snapshot submission (see SeenSet.snapshot_refs);
+        the caller merges the per-shard dicts when it gathers."""
+        return [s.snapshot.remote() for s in self.shards]
+
     def restore(self, snap: dict[str, float]) -> None:
         ray.get([s.restore.remote(snap, self.p) for s in self.shards])
 

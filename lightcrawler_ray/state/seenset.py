@@ -219,6 +219,12 @@ class SeenSet:
     def snapshot(self) -> list[dict]:
         return ray.get([s.snapshot.remote() for s in self.shards])
 
+    def snapshot_refs(self) -> list:
+        """Submit the snapshot calls without gathering — the actor mailbox
+        pins each to its submission point, so a deferred ``ray.get`` still
+        observes exactly the state as of submission (epoch-exact)."""
+        return [s.snapshot.remote() for s in self.shards]
+
     def restore(self, snaps: list[dict]) -> None:
         assert len(snaps) == self.k, "shard count mismatch on restore"
         ray.get([s.restore.remote(snap) for s, snap in zip(self.shards, snaps)])
