@@ -388,8 +388,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE s.s_suppkey IS NULL"
         ),
         "dim_enrich": (
+            # decimal semantics: acctbal is a 2-decimal value; sum in exact
+            # integer cents then divide, matching the Ray pipeline's
+            # integer-unit partial sums bit-for-bit
             "SELECT n.n_name AS nation, count(*) AS n_customers, "
-            "sum(c.c_acctbal) AS total_bal "
+            "CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_bal "
             "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
             "GROUP BY n.n_name"
         ),

@@ -125,24 +125,40 @@ def dim_enrich(sf_dir: str) -> rd.Dataset:
     import pyarrow.parquet as pq
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    nmap_ref = ray.put(dict(zip(nation.column("n_nationkey").to_pylist(),
-                                nation.column("n_name").to_pylist())))
+    nkeys = nation.column("n_nationkey").to_numpy().astype(np.int64)
+    order = np.argsort(nkeys)
+    # broadcast the sorted (key, name) arrays once; probed with searchsorted
+    nmap_ref = ray.put((nkeys[order],
+                        np.array(nation.column("n_name").to_pylist(), dtype=object)[order]))
     ds = _pq(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
 
     def enrich_partial(t: pa.Table) -> pa.Table:
-        nmap = ray.get(nmap_ref)
-        df = t.to_pandas()
-        df["nation"] = df["c_nationkey"].map(nmap)
-        g = df.groupby("nation", as_index=False).agg(
-            n_customers=("c_acctbal", "size"), total_bal=("c_acctbal", "sum")
-        )
-        # strip the pandas schema metadata: its dict makes block schemas
-        # unhashable and Ray Data logs a warning per reduce task
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        # all-Arrow/numpy partial: vectorized dimension lookup + exact
+        # integer-cent block combine via the C++ hash-groupby kernel
+        keys, names = ray.get(nmap_ref)
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(keys, nk)  # FK guarantees every key resolves
+        bal_c = np.rint(t.column("c_acctbal").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        t2 = pa.table({
+            "nation": pa.array(names[idx].tolist(), pa.string()),
+            "bal_c": pa.array(bal_c, pa.int64()),
+        })
+        g = pa.TableGroupBy(t2, "nation").aggregate([("bal_c", "sum"), ("bal_c", "count")])
+        return pa.table({"nation": g["nation"], "bal_c": g["bal_c_sum"],
+                         "n_customers": g["bal_c_count"]})
 
-    partial = ds.map_batches(enrich_partial, batch_format="pyarrow")
-    return partial.groupby("nation").aggregate(
-        Sum("n_customers", alias_name="n_customers"), Sum("total_bal", alias_name="total_bal")
+    agg = (
+        ds.map_batches(enrich_partial, batch_format="pyarrow")
+        .groupby("nation")
+        .aggregate(Sum("n_customers", alias_name="n_customers"),
+                   Sum("bal_c", alias_name="bal_c"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table({
+            "nation": t["nation"], "n_customers": t["n_customers"],
+            "total_bal": pc.divide(pc.cast(t["bal_c"], pa.float64()), 100.0),
+        }),
+        batch_format="pyarrow",
     )
 
 
@@ -164,30 +180,25 @@ def pricing_summary(sf_dir: str) -> rd.Dataset:
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
-        if t.num_rows == 0:
-            return pa.table(
-                {"l_returnflag": pa.array([], pa.string()),
-                 "l_linestatus": pa.array([], pa.string()),
-                 "qty_u": pa.array([], pa.int64()),
-                 "base_u": pa.array([], pa.int64()),
-                 "disc_u": pa.array([], pa.int64()),
-                 "count_order": pa.array([], pa.int64())}
-            )
-        df = t.to_pandas()
-        qty_u = np.rint(df["l_quantity"].to_numpy() * 100).astype(np.int64)
-        base_u = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-        disc_h = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
-        df2 = pd.DataFrame({
-            "l_returnflag": df["l_returnflag"], "l_linestatus": df["l_linestatus"],
-            "qty_u": qty_u, "base_u": base_u, "disc_u": base_u * (100 - disc_h),
+        # all-Arrow partial: numpy for the exact-unit conversion, the C++
+        # hash-groupby kernel for the in-block combine — no pandas round-trip
+        qty_u = np.rint(t.column("l_quantity").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        base_u = np.rint(t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_h = np.rint(t.column("l_discount").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        t2 = pa.table({
+            "l_returnflag": t["l_returnflag"], "l_linestatus": t["l_linestatus"],
+            "qty_u": pa.array(qty_u, pa.int64()),
+            "base_u": pa.array(base_u, pa.int64()),
+            "disc_u": pa.array(base_u * (100 - disc_h), pa.int64()),
         })
-        g = df2.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            qty_u=("qty_u", "sum"), base_u=("base_u", "sum"),
-            disc_u=("disc_u", "sum"), count_order=("qty_u", "size"),
+        g = pa.TableGroupBy(t2, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_u", "sum"), ("base_u", "sum"), ("disc_u", "sum"), ("qty_u", "count")]
         )
-        # strip the pandas schema metadata: its dict makes block schemas
-        # unhashable and Ray Data logs a warning per reduce task
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        return pa.table({
+            "l_returnflag": g["l_returnflag"], "l_linestatus": g["l_linestatus"],
+            "qty_u": g["qty_u_sum"], "base_u": g["base_u_sum"],
+            "disc_u": g["disc_u_sum"], "count_order": g["qty_u_count"],
+        })
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -277,18 +288,39 @@ def tumbling_window(sf_dir: str) -> rd.Dataset:
     )
 
 
-def sessionize(sf_dir: str) -> rd.Dataset:
-    """Stateful per-key ordering (map_groups): sessions split at >30 min
-    gaps; partition by user, sort by ts inside the group — the pattern for
-    every 'ordered log per key' operator."""
+def sessionize(sf_dir: str, partitions: int = 32) -> rd.Dataset:
+    """Stateful per-key ordering: sessions split at >30 min gaps.
+
+    Scale shape — hash-repartition by key, then vectorize WITHIN the
+    partition: a per-user ``map_groups`` costs one Python call per user
+    (~2 ms each → hours at 10⁷ users), so the groupby key is the COARSE
+    partition ``hash(user) % P`` instead.  One shuffle, P Python calls
+    total; each call owns complete users and counts session starts with a
+    lexsort + segmented reduce — per-event work is pure numpy.  P sizes to
+    ~2× the cluster's cores (rows per call = n/P)."""
     ds = _pq(sf_dir, "events", ["user_id", "ts"])
 
-    def count_sessions(g: pd.DataFrame) -> pa.Table:
-        ts = g["ts"].sort_values()
-        gaps = ts.diff().dt.total_seconds().fillna(1e18)
-        return pa.table(
-            {"user_id": pa.array([g["user_id"].iloc[0]], pa.int64()),
-             "n_sessions": pa.array([int((gaps > 1800).sum())], pa.int64())}
-        )
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], partitions - 1), pa.int32())
+        return t.append_column("part", part)
 
-    return ds.groupby("user_id").map_groups(count_sessions, batch_format="pandas")
+    def count_partition(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        order = np.lexsort((ts, u))
+        us, tss = u[order], ts[order]
+        starts = np.ones(us.size, dtype=bool)
+        starts[1:] = (us[1:] != us[:-1]) | (tss[1:] - tss[:-1] > 1_800_000_000)
+        new_user = np.ones(us.size, dtype=bool)
+        new_user[1:] = us[1:] != us[:-1]
+        bounds = np.nonzero(new_user)[0]
+        return pa.table({
+            "user_id": pa.array(us[bounds], pa.int64()),
+            "n_sessions": pa.array(np.add.reduceat(starts.astype(np.int64), bounds), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(count_partition, batch_format="pyarrow")
+    )
