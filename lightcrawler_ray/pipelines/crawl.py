@@ -126,9 +126,10 @@ class CrawlJob:
         pages, images = load_fixture_tables(pages_path, images_path)
         self.pages_ref = ray.put(pages)
         self.images_ref = ray.put(images)
-        self._local_fetcher = SyntheticFetchExtract(
-            pages_ref=self.pages_ref, images_ref=self.images_ref,
-            **self._fetch_kwargs(),
+        from ..stages.fetch import make_fetcher
+
+        self._local_fetcher = make_fetcher(
+            self.pages_ref, self.images_ref, self._fetch_kwargs()
         )
         # robots rules (T5/T7): pre-parsed sidecar, or fetched+parsed
         # robots.txt bodies through the same fetch primitive (S4)
@@ -183,8 +184,9 @@ class CrawlJob:
         from ..functions import robotstxt
 
         out: dict[str, dict] = {}
-        for h in self.spec.seed_hosts:
-            status, _, body, _, _ = self._local_fetcher._fetch_raw(f"http://{h}/robots.txt")
+        for h, port in self._seed_hostports:
+            hp = h if port in (0, 80, 443) else f"{h}:{port}"
+            status, _, body, _, _ = self._local_fetcher._fetch_raw(f"http://{hp}/robots.txt")
             if status == 200 and body:
                 rules = robotstxt.parse_robots_txt(body.decode("utf-8", "replace"))
                 if rules["disallow"] or rules["delay_ms"]:
@@ -194,6 +196,10 @@ class CrawlJob:
     def _fetch_kwargs(self) -> dict:
         s = self.spec
         return dict(
+            fetcher=s.fetcher,
+            user_agent=s.user_agent,
+            connect_timeout_s=s.connect_timeout_s,
+            stream_timeout_s=s.stream_timeout_s,
             retry_limit=s.retry_limit,
             content_size_limit=s.content_size_limit,
             receive_rules=s.receive_rules,
@@ -209,7 +215,7 @@ class CrawlJob:
     def _derive_seed_scope(self) -> None:
         from ..functions import urltools as ut
 
-        hosts, domains, paths = [], [], []
+        hosts, domains, paths, hostports = [], [], [], []
         for u in self.seeds.column("url").to_pylist():
             c = ut.canonicalize(u)
             p = ut.split_url(c) if c else None
@@ -217,6 +223,10 @@ class CrawlJob:
                 hosts.append(str(p["host"]))
                 domains.append(str(p["domain"]))
                 paths.append(str(p["path"]))
+                hostports.append((str(p["host"]), int(p["port"])))
+        # (host, port) pairs for the robots fetch — the reference requests
+        # {scheme}://{host}:{port}/robots.txt (PHPCrawlerRobotsTxtParser)
+        self._seed_hostports = tuple(dict.fromkeys(hostports))
         self.spec.seed_hosts = tuple(dict.fromkeys(hosts))
         self.spec.seed_domains = tuple(dict.fromkeys(domains))
         self.spec.seed_paths = tuple(dict.fromkeys(paths))

@@ -390,6 +390,80 @@ class SyntheticFetchExtract:
         )
 
 
+_EMPTY_PAGES = pa.table({
+    "url": pa.array([], pa.string()), "status": pa.array([], pa.int16()),
+    "content_type": pa.array([], pa.string()), "body": pa.array([], pa.large_binary()),
+    "location": pa.array([], pa.string()), "fail_attempts": pa.array([], pa.int32()),
+})
+_EMPTY_IMAGES = pa.table({
+    "image_id": pa.array([], pa.string()), "bytes": pa.array([], pa.large_binary()),
+    "fmt": pa.array([], pa.string()),
+})
+
+
+class RealFetchExtract(SyntheticFetchExtract):
+    """S3 complete — the SAME extract engine over a real HTTP wire
+    (stages/httpfetch.HttpClient).  Every gate, route, retry count and
+    output row is the synthetic fetcher's code; only ``_fetch_raw`` and the
+    retry loop (which must re-issue the request, PHPCrawler.class.php:
+    735-751) differ.  Selected by ``CrawlSpec.fetcher = "http"``."""
+
+    def __init__(self, user_agent: str = "lightcrawler-ray/0.1",
+                 connect_timeout_s: float = 60.0, stream_timeout_s: float = 60.0,
+                 **kw):
+        import socket
+
+        from ..state.clientcache import DnsCache
+        from .httpfetch import HttpClient, TransportError
+
+        kw.pop("pages_ref", None)
+        kw.pop("images_ref", None)
+        super().__init__(pages_ref=_EMPTY_PAGES, images_ref=_EMPTY_IMAGES, **kw)
+        self.dns = DnsCache(resolver=socket.gethostbyname)  # T4, real resolver
+        self._TransportError = TransportError
+        self.http = HttpClient(
+            cookies=self.cookies, dns=self.dns, send_data=self.send_data,
+            user_agent=user_agent, connect_timeout_s=connect_timeout_s,
+            stream_timeout_s=stream_timeout_s,
+            content_size_limit=self.content_size_limit,
+        )
+
+    def _fetch_raw(self, url: str) -> tuple[int, str, bytes, str, int]:
+        try:
+            status, ctype, body, loc = self.http.fetch(url)
+        except self._TransportError:
+            return 599, "", b"", "", 0  # retryable transport failure
+        return status, ctype, body, loc, 0
+
+    def _fetch(self, url: str) -> tuple[int, str, bytes, str, int, bool]:
+        """Real retry loop: re-ISSUE the request on error/5xx up to
+        retry_limit attempts (the synthetic loop instead consumes the
+        fixture's fail_attempts budget)."""
+        attempts = 0
+        while True:
+            attempts += 1
+            status, ctype, body, loc, _ = self._fetch_raw(url)
+            if status < 500 or attempts >= max(1, self.retry_limit):
+                break
+        truncated = len(body) > self.content_size_limit
+        if truncated:
+            body = body[: self.content_size_limit]
+        return status, ctype, body, loc, attempts, truncated
+
+
+def make_fetcher(pages_ref, images_ref, fetch_kwargs: dict) -> SyntheticFetchExtract:
+    """Build the spec-selected fetch primitive (shared by the local round
+    driver and the FetchPool workers)."""
+    kw = dict(fetch_kwargs)
+    kind = kw.pop("fetcher", "synthetic")
+    if kind == "http":
+        return RealFetchExtract(**kw)
+    kw.pop("user_agent", None)
+    kw.pop("connect_timeout_s", None)
+    kw.pop("stream_timeout_s", None)
+    return SyntheticFetchExtract(pages_ref=pages_ref, images_ref=images_ref, **kw)
+
+
 def split_outputs(out_table: pa.Table) -> dict[str, pa.Table]:
     """Partition a fused-output table by kind (driver-side, small rounds) —
     the Dataset path uses ``ds.filter`` per kind instead."""

@@ -35,9 +35,9 @@ class FetchWorker:
     ``fetch_concurrency`` ≈ half the CPUs — the split-sink tasks pipeline on
     the other half as fetch batches complete."""
     def __init__(self, pages_ref, images_ref, fetch_kwargs: dict):
-        self.impl = SyntheticFetchExtract(
-            pages_ref=pages_ref, images_ref=images_ref, **fetch_kwargs
-        )
+        from .fetch import make_fetcher
+
+        self.impl = make_fetcher(pages_ref, images_ref, fetch_kwargs)
 
     def process(self, block: pa.Table, start: int, end: int) -> pa.Table:
         rows: list[dict] = []

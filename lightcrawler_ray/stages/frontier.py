@@ -66,6 +66,13 @@ class CrawlSpec:
     traffic_limit_bytes: int = 0             # 0 = unlimited; round-granular abort (A2)
     retry_limit: int = 3
     content_size_limit: int = 1 << 22
+    # S3 — the fetch primitive: "synthetic" (fixture tables) or "http"
+    # (stages/httpfetch.HttpClient over a real wire; same surrounding
+    # engine byte-for-byte)
+    fetcher: str = "synthetic"
+    user_agent: str = "lightcrawler-ray/0.1"
+    connect_timeout_s: float = 60.0          # CrawlerSettings.class.php:39
+    stream_timeout_s: float = 60.0           # CrawlerSettings.class.php:40
     receive_rules: tuple[str, ...] = ("text/", "image/")  # M10
     min_doc_bytes: int = 100                 # M12
     aggressive_links: bool = False           # M4 pass 3

@@ -47,7 +47,9 @@ def parse_set_cookie(header: str, source_url: str) -> Cookie | None:
     name, value = parts[0].split("=", 1)
     sp = ut.split_url(source_url)
     domain = str(sp["host"]) if sp else ""
-    path = "/"
+    # Path-less cookies default to the source URL's directory, not "/"
+    # (PHPCrawlerCookieDescriptor.class.php:117)
+    path = str(sp["path"]) if sp else "/"
     expire_ts: float | None = None
     for attr in parts[1:]:
         if "=" in attr:

@@ -20,8 +20,13 @@ class TestCookieJar:
         assert c.expire_ts is not None
 
     def test_defaults_from_source_url(self):
-        c = parse_set_cookie("k=v", "http://host.acme.test/x/y")
-        assert c.domain == "host.acme.test" and c.path == "/"
+        # Path-less cookie: domain = source host, path = source DIRECTORY
+        # (PHPCrawlerCookieDescriptor.class.php:113-117) — a cookie set by
+        # /x/a.html applies under /x/, not site-wide
+        c = parse_set_cookie("k=v", "http://host.acme.test/x/a.html")
+        assert c.domain == "host.acme.test" and c.path == "/x/"
+        c2 = parse_set_cookie("k=v; Path=/", "http://host.acme.test/x/a.html")
+        assert c2.path == "/"
 
     def test_domain_tail_match(self):
         jar = CookieJar()

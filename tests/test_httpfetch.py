@@ -1,0 +1,290 @@
+"""S3 complete — the real HTTP fetch path against an in-process http.server.
+
+Covers the client semantics the reference implements in
+PHPCrawlerHTTPRequest.class.php (gzip, redirects-not-followed, cookies,
+basic-auth, POST overlays, size cap, retry re-issue) AND the end-to-end
+observability of T3/T9: fixture endpoints 403 unless the expected
+Cookie / POST overlay is present, so the crawl OUTPUT — not just the
+counters — proves the client state works.
+"""
+
+from __future__ import annotations
+
+import base64
+import gzip
+import http.server
+import os
+import threading
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+AUTH_OK = "Basic " + base64.b64encode(b"user:pw").decode()
+
+_PAGE = (
+    "<html><head><title>{title}</title></head><body><p>{body}</p></body></html>"
+)
+
+
+def _doc(title: str, pad: str = "") -> bytes:
+    # distinct body per page (titles alone would trip the simhash near-dup gate)
+    body = (f"本{title}就数据要素流通与交易平台建设提出第{len(title)}号要求，" + pad) * 8
+    return _PAGE.format(title=title, body=body).encode("utf-8")
+
+
+class _Handler(http.server.BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"  # keep-alive → connection reuse observable
+    flaky_counts: dict[str, int] = {}
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    def _send(self, status: int, body: bytes, ctype: str = "text/html",
+              extra: dict | None = None) -> None:
+        self.send_response(status)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        for k, v in (extra or {}).items():
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        p = self.path
+        if p == "/robots.txt":
+            self._send(200, b"User-agent: *\nDisallow: /blocked/\n", "text/plain")
+        elif p == "/":
+            self._send(200, (
+                '<html><body>'
+                '<a href="/a.html">甲</a>'
+                '<a href="/sub/setcookie.html">cookie</a>'
+                '<a href="/private/secret.html">secret</a>'
+                '<a href="/redirect">moved</a>'
+                '<a href="/flaky">flaky</a>'
+                '<a href="/blocked/x.html">blocked</a>'
+                '</body></html>'
+            ).encode())
+        elif p == "/a.html":
+            self._send(200, _doc("甲页", "甲页包含与众不同的第一号正文材料。"))
+        elif p == "/target.html":
+            self._send(200, _doc("目标页", "重定向落点内容完全不同于其他页面。"))
+        elif p == "/redirect":
+            self._send(301, b"", extra={"Location": "/target.html"})
+        elif p == "/gz.html":
+            if "gzip" in (self.headers.get("Accept-Encoding") or ""):
+                raw = gzip.compress(_doc("压缩页"))
+                self._send(200, raw, extra={"Content-Encoding": "gzip"})
+            else:
+                self._send(200, _doc("压缩页"))
+        elif p == "/sub/setcookie.html":
+            self._send(200, _doc("授权页", "本页签发会话凭据并介绍签发流程。"), extra={"Set-Cookie": "sid=ok; Path=/"})
+        elif p == "/private/secret.html":
+            if "sid=ok" in (self.headers.get("Cookie") or ""):
+                self._send(200, _doc("机密页", "需要会话凭据方可访问的保密材料内容。"))
+            else:
+                self._send(403, b"forbidden")
+        elif p == "/auth/page.html":
+            if self.headers.get("Authorization") == AUTH_OK:
+                self._send(200, _doc("认证页"))
+            else:
+                self._send(401, b"auth required")
+        elif p == "/post.html":
+            self._send(403, b"POST only")
+        elif p == "/flaky":
+            n = _Handler.flaky_counts.get(p, 0)
+            _Handler.flaky_counts[p] = n + 1
+            if n < 2:
+                self._send(500, b"boom")
+            else:
+                self._send(200, _doc("终于成功", "前两次请求失败之后重试成功的页面。"))
+        elif p == "/big.bin":
+            self._send(200, b"x" * 100_000, "text/plain")
+        else:
+            self._send(404, b"not found")
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length") or 0)
+        body = self.rfile.read(n).decode()
+        if self.path == "/post.html" and "token=t123" in body:
+            self._send(200, _doc("表单页"))
+        else:
+            self._send(403, b"bad form")
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _client(**kw):
+    from lightcrawler_ray.stages.httpfetch import HttpClient
+
+    return HttpClient(**kw)
+
+
+class TestHttpClient:
+    def test_basic_get_and_reuse(self, server):
+        c = _client()
+        st, ct, body, loc = c.fetch(f"http://{server}/a.html")
+        assert st == 200 and ct == "text/html" and "甲页".encode() in body
+        c.fetch(f"http://{server}/target.html")
+        assert c.requests_sent == 2 and c.connections_opened == 1  # keep-alive reuse
+        c.close()
+
+    def test_gzip_decode(self, server):
+        c = _client()
+        st, _, body, _ = c.fetch(f"http://{server}/gz.html")
+        assert st == 200 and "压缩页".encode() in body  # decoded, not raw gzip
+        c.close()
+
+    def test_redirect_not_followed(self, server):
+        c = _client()
+        st, _, _, loc = c.fetch(f"http://{server}/redirect")
+        assert st == 301 and loc == "/target.html"
+        c.close()
+
+    def test_cookie_roundtrip(self, server):
+        c = _client()
+        st, _, _, _ = c.fetch(f"http://{server}/private/secret.html")
+        assert st == 403  # no cookie yet
+        c.fetch(f"http://{server}/sub/setcookie.html")  # Set-Cookie: sid=ok
+        st, _, body, _ = c.fetch(f"http://{server}/private/secret.html")
+        assert st == 200 and "机密页".encode() in body
+        c.close()
+
+    def test_basic_auth_overlay(self, server):
+        from lightcrawler_ray.state.clientcache import SendDataCache
+
+        c = _client(send_data=SendDataCache(auth_rules=((r"/auth/", "user", "pw"),)))
+        st, _, body, _ = c.fetch(f"http://{server}/auth/page.html")
+        assert st == 200 and "认证页".encode() in body
+        assert _client().fetch(f"http://{server}/auth/page.html")[0] == 401
+        c.close()
+
+    def test_post_overlay(self, server):
+        from lightcrawler_ray.state.clientcache import SendDataCache
+
+        c = _client(send_data=SendDataCache(post_rules=((r"/post\.html", (("token", "t123"),)),)))
+        st, _, body, _ = c.fetch(f"http://{server}/post.html")
+        assert st == 200 and "表单页".encode() in body
+        assert _client().fetch(f"http://{server}/post.html")[0] == 403  # GET without overlay
+        c.close()
+
+    def test_size_cap(self, server):
+        c = _client(content_size_limit=10_000)
+        st, _, body, _ = c.fetch(f"http://{server}/big.bin")
+        assert st == 200 and len(body) == 10_001  # cap + 1 → truncation detectable
+        c.close()
+
+    def test_transport_error(self, server):
+        from lightcrawler_ray.stages.httpfetch import TransportError
+
+        c = _client(connect_timeout_s=0.5)
+        with pytest.raises(TransportError):
+            c.fetch("http://127.0.0.1:9/never.html")  # closed port
+
+
+class TestRealFetchExtract:
+    def _fx(self, **kw):
+        from lightcrawler_ray.stages.fetch import RealFetchExtract
+
+        return RealFetchExtract(**kw)
+
+    def test_retry_reissues_request(self, server):
+        _Handler.flaky_counts.clear()
+        fx = self._fx(retry_limit=3)
+        status, ctype, body, loc, attempts, trunc = fx._fetch(f"http://{server}/flaky")
+        assert status == 200 and attempts == 3  # two 500s re-issued, then 200
+        assert "终于成功".encode() in body
+
+    def test_truncation_marks_incomplete(self, server):
+        fx = self._fx(content_size_limit=10_000)
+        status, _, body, _, _, trunc = fx._fetch(f"http://{server}/big.bin")
+        assert status == 200 and trunc and len(body) == 10_000
+
+    def test_transport_maps_to_599(self, server):
+        fx = self._fx(retry_limit=2, connect_timeout_s=0.5)
+        status, _, _, _, attempts, _ = fx._fetch("http://127.0.0.1:9/x")
+        assert status == 599 and attempts == 2
+
+    def test_process_one_doc_row(self, server):
+        fx = self._fx()
+        rows = fx._process_one({
+            "url": f"http://{server}/a.html", "url_md5": "0" * 32,
+            "host": "127.0.0.1", "depth": 0, "priority": 0, "enqueue_seq": 0,
+            "referer": "", "linktext": "",
+        })
+        kinds = {r["kind"] for r in rows}
+        assert "fetch" in kinds and "doc" in kinds
+        doc = next(r for r in rows if r["kind"] == "doc")
+        assert doc["doc_id"] and "甲页" in (doc["title"] or "")
+
+
+def _empty_fixture_paths(tmp_path) -> dict[str, str]:
+    from lightcrawler_ray.stages.fetch import _EMPTY_IMAGES, _EMPTY_PAGES
+
+    robots_t = pa.table({
+        "host": pa.array([], pa.string()), "delay_ms": pa.array([], pa.int64()),
+        "disallow": pa.array([], pa.list_(pa.string())),
+    })
+    paths = {}
+    for name, t in (("pages", _EMPTY_PAGES), ("images", _EMPTY_IMAGES), ("robots", robots_t)):
+        p = os.path.join(tmp_path, f"{name}.parquet")
+        pq.write_table(t, p)
+        paths[name] = p
+    return paths
+
+
+def test_crawl_over_real_http(ray_session, tmp_path, server):
+    """The full engine — frontier, seen set, politeness, routes, sinks —
+    crawling a live HTTP server, with robots.txt fetched over the wire and a
+    cookie-gated page whose fetch SUCCEEDS only because an earlier page's
+    Set-Cookie landed in the worker's jar (T3 observable end-to-end)."""
+    from lightcrawler_ray.pipelines.crawl import CrawlJob
+    from lightcrawler_ray.stages.frontier import CrawlSpec
+
+    _Handler.flaky_counts.clear()
+    paths = _empty_fixture_paths(tmp_path)
+    spec = CrawlSpec(
+        fetcher="http", max_depth=2, follow_mode=2, robots_source="fetch",
+        seen_shards=2, fetch_concurrency=1, local_round_threshold=4096,
+        redirects_till_content=False,
+    )
+    seeds = pa.table({
+        "url": pa.array([f"http://{server}/"]),
+        "depth": pa.array([0], pa.int32()),
+        "priority": pa.array([0], pa.int32()),
+    })
+    job = CrawlJob(spec, seeds, paths["pages"], paths["images"], paths["robots"],
+                   str(tmp_path / "httpjob"))
+    s = job.run(max_rounds=5)
+    from lightcrawler_ray import storage
+
+    fetched = {}
+    docs = {}
+    for d in sorted(os.listdir(job.job_dir)):
+        fdir = os.path.join(job.job_dir, d, "frontier")
+        ddir = os.path.join(job.job_dir, d, "docs")
+        if d.startswith("epoch=") and os.path.isdir(fdir):
+            t = storage.load_table(fdir)
+            if t.num_columns:
+                for u in t.column("url").to_pylist():
+                    fetched[u] = True
+        if d.startswith("epoch=") and os.path.isdir(ddir):
+            t = storage.load_table(ddir)
+            if t.num_columns:
+                for r in t.select(["url", "title"]).to_pylist():
+                    docs[r["url"]] = r["title"]
+    job.shutdown()
+    base = f"http://{server}"
+    assert f"{base}/a.html" in docs
+    assert f"{base}/target.html" in docs, "redirect Location must be followed"
+    assert f"{base}/private/secret.html" in docs, "cookie from earlier page must unlock"
+    assert not any("/blocked/" in u for u in fetched), "fetched robots.txt must gate"
+    assert s["retries"] >= 2, "flaky page retries re-issued over the wire"
+    assert s["documents_received"] >= 4
