@@ -137,6 +137,8 @@ class CrawlJob:
             self.robots = {}
         elif spec.robots_source == "fetch":
             self.robots = self._fetch_robots()
+        elif spec.robots_source == "lazy":
+            self.robots = {}  # discovered per host inside the politeness shards
         else:
             self.robots = load_robots(robots_path)
         self.robots_ref = ray.put(self.robots)
@@ -146,7 +148,15 @@ class CrawlJob:
         # rows ever gather on the driver; the driver-side HostClock is kept
         # for delay audits only (assert_polite), not ledger state
         self.host_clock = HostClock(spec.request_delay_ms, self.robots)
-        self.sched = SchedulePool(spec.politeness_shards, spec.request_delay_ms, self.robots)
+        lazy = spec.respect_robots and spec.robots_source == "lazy"
+        self.sched = SchedulePool(
+            spec.politeness_shards, spec.request_delay_ms, self.robots,
+            fetch_ctx=(self.pages_ref, self.images_ref, self._fetch_kwargs()) if lazy else None,
+            robots_ttl_s=spec.robots_ttl_s,
+        )
+        self._lazy_robots_handles = tuple(self.sched.shards) if lazy else ()
+        if lazy:
+            self._local_filter.robots_lookup = self.sched.robots_for
         from ..state.simindex import SimIndex
 
         self.docsim = SimIndex()
@@ -488,7 +498,8 @@ class CrawlJob:
             filt_refs, keymat = [], []
             for grp in grouped:
                 rets = _filter_extract.options(num_returns=1 + k).remote(
-                    spec, self.robots_ref, k, not self._content_found, *grp
+                    spec, self.robots_ref, k, not self._content_found,
+                    self._lazy_robots_handles, *grp
                 )
                 filt_refs.append(rets[0])
                 keymat.append(rets[1:])
@@ -606,7 +617,8 @@ class CrawlJob:
             pf_filt, pf_keymat = [], []
             for grp in pf_grouped:
                 rets = _filter_extract.options(num_returns=1 + k).remote(
-                    spec, self.robots_ref, k, False, *grp
+                    spec, self.robots_ref, k, False,
+                    self._lazy_robots_handles, *grp
                 )
                 pf_filt.append(rets[0])
                 pf_keymat.append(rets[1:])
@@ -930,11 +942,15 @@ def _noop() -> None:
 
 
 @ray.remote
-def _filter_extract(spec: CrawlSpec, robots, k: int, redirect_only: bool, *tables: pa.Table):
+def _filter_extract(spec: CrawlSpec, robots, k: int, redirect_only: bool,
+                    sched_handles: tuple, *tables: pa.Table):
     """Fused CandidateFilter + per-seen-shard key extraction over one
     coalesced group of link blocks (one task hop instead of two).  Returns
     the filtered block followed by k key parts (``num_returns=1+k`` at the
-    call site); concat + mask filter preserve (parent_seq, link_idx) order."""
+    call site); concat + mask filter preserve (parent_seq, link_idx) order.
+
+    ``sched_handles``: non-empty in lazy-robots mode — the politeness shard
+    actors answering hosts → robots rules (fetched on first sight)."""
     _limit_arrow_threads()
     t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
     filt = CandidateFilter.__new__(CandidateFilter)
@@ -947,6 +963,26 @@ def _filter_extract(spec: CrawlSpec, robots, k: int, redirect_only: bool, *table
     filt.follow_res = [re.compile(r) for r in spec.url_follow_regexes]
     filt.prio_res = [(re.compile(r), lvl) for r, lvl in spec.priority_rules]
     filt.robots = robots if isinstance(robots, dict) else ray.get(robots)
+    filt._robots_checked = set()
+    if sched_handles:
+        from ..stages.politeness import host_shard
+
+        P = len(sched_handles)
+
+        def _lookup(hosts: list[str]) -> dict:
+            futs = []
+            for s in range(P):
+                hs = [h for h in hosts if host_shard(h, P) == s]
+                if hs:
+                    futs.append(sched_handles[s].robots_for.remote(hs))
+            merged: dict = {}
+            for d in ray.get(futs):
+                merged.update(d)
+            return merged
+
+        filt.robots_lookup = _lookup
+    else:
+        filt.robots_lookup = None
     out = filt(t, redirect_only=redirect_only)
     md5s = out.column("url_md5").to_pylist()
     hi, lo = md5hex_to_u64_pairs(md5s)

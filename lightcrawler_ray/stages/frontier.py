@@ -56,7 +56,13 @@ class CrawlSpec:
     url_follow_regexes: tuple[str, ...] = () # whitelist (OR); empty = allow all
     priority_rules: tuple[tuple[str, int], ...] = ()  # first-match regex → level
     respect_robots: bool = True              # T5
-    robots_source: str = "sidecar"           # sidecar parquet | "fetch" robots.txt (S4)
+    # S4 — "sidecar" pre-parsed parquet; "fetch" = seed hosts' robots.txt
+    # fetched at job start (the reference's exact behavior,
+    # PHPCrawler.class.php:843-853); "lazy" = robots.txt fetched per host on
+    # FIRST SIGHT inside its politeness shard (the 10^10-URL multi-host
+    # path: no prefetch, Crawl-delay lands where it is enforced)
+    robots_source: str = "sidecar"
+    robots_ttl_s: float | None = None        # lazy-mode re-fetch age; None = once per job
     # M9 — until the FIRST 200-content fetch, non-seed candidates keep only
     # redirect links (follow rules bypassed, redirect chains don't consume
     # depth), and the first content URL re-anchors the follow scope
@@ -114,6 +120,25 @@ class CandidateFilter:
         self.follow_res = [re.compile(r) for r in spec.url_follow_regexes]
         self.prio_res = [(re.compile(r), lvl) for r, lvl in spec.priority_rules]
         self.robots = ray.get(robots_ref) if robots_ref is not None else {}
+        # lazy robots (S4 at scale): a callable hosts → rules, backed by the
+        # politeness shards; None = static broadcast rules only
+        self.robots_lookup = None
+        self._robots_checked: set[str] = set()
+
+    def _lazy_robots(self, urls: list[str]) -> None:
+        """Fetch rules for hosts this batch sees for the first time — one
+        shard call per round per filter task, answered from the shard's
+        cache after a host's first sight anywhere in the crawl."""
+        hosts: dict[str, None] = {}
+        for u in urls:
+            if u:
+                p = ut.split_url(u)
+                if p:
+                    hosts.setdefault(str(p["host"]))
+        missing = [h for h in hosts if h not in self._robots_checked]
+        if missing:
+            self._robots_checked.update(missing)
+            self.robots = {**self.robots, **self.robots_lookup(missing)}
 
     def __call__(self, t: pa.Table, redirect_only: bool = False) -> pa.Table:
         """``redirect_only`` (M9): no 200-content fetch has landed yet — keep
@@ -123,6 +148,8 @@ class CandidateFilter:
         if t.num_rows == 0:
             return _empty_candidates()
         urls = [ut.canonicalize(u) or "" for u in t.column("url").to_pylist()]
+        if getattr(self, "robots_lookup", None) is not None:
+            self._lazy_robots(urls)
         linktexts = t.column("linktext").to_pylist() if "linktext" in t.column_names else [""] * len(urls)
         depths = t.column("depth").to_pylist()
         redirs = (

@@ -111,9 +111,56 @@ class ScheduleShard:
     (T7 at north_rule scale — the driver gather this replaces was O(round)).
     """
 
-    def __init__(self, shard_id: int, default_delay_ms: float, robots: dict):
+    def __init__(self, shard_id: int, default_delay_ms: float, robots: dict,
+                 fetch_ctx: tuple | None = None, robots_ttl_s: float | None = None):
         self.shard_id = shard_id
-        self.clock = HostClock(default_delay_ms, robots)
+        # the shard OWNS its hosts' robots dict — Crawl-delay updates land
+        # exactly where the delay is enforced (the ledger walk below)
+        self.clock = HostClock(default_delay_ms, dict(robots))
+        self._fetch_ctx = fetch_ctx
+        self._fetcher = None
+        self._robots_ts: dict[str, float] = {}
+        self.robots_ttl_s = robots_ttl_s
+
+    # -- lazy per-host robots (S4 at north_rule scale) ----------------------
+    def robots_for(self, hosts: list[str]) -> dict[str, dict]:
+        """Rules for hosts, fetching+parsing ``http://<host>/robots.txt``
+        through the engine's own fetch primitive the first time a host is
+        seen (and again after ``robots_ttl_s``).  The shard also owns these
+        hosts' politeness clocks (same hash), so a Crawl-delay takes effect
+        for the host's very first scheduled round."""
+        import time as _time
+
+        out: dict[str, dict] = {}
+        for h in dict.fromkeys(hosts):
+            now = _time.time()
+            ts = self._robots_ts.get(h)
+            if ts is None or (self.robots_ttl_s is not None and now - ts > self.robots_ttl_s):
+                self._robots_ts[h] = now
+                rules = self._fetch_robots(h)
+                if rules:
+                    self.clock.robots[h] = rules
+                else:
+                    self.clock.robots.pop(h, None)
+            r = self.clock.robots.get(h)
+            if r:
+                out[h] = r
+        return out
+
+    def _fetch_robots(self, host: str) -> dict | None:
+        if self._fetcher is None:
+            from .fetch import make_fetcher
+
+            pages_ref, images_ref, kw = self._fetch_ctx
+            self._fetcher = make_fetcher(pages_ref, images_ref, kw)
+        from ..functions import robotstxt
+
+        status, _, body, _, _ = self._fetcher._fetch_raw(f"http://{host}/robots.txt")
+        if status == 200 and body:
+            rules = robotstxt.parse_robots_txt(body.decode("utf-8", "replace"))
+            if rules["disallow"] or rules["delay_ms"]:
+                return rules
+        return None
 
     def schedule_parts(self, out_path: str, use_priority: bool, *parts) -> int:
         """Concatenate this shard's parts (one per block, already in seq
@@ -156,11 +203,26 @@ class ScheduleShard:
 class SchedulePool:
     """Driver facade over P ScheduleShard actors."""
 
-    def __init__(self, p: int, default_delay_ms: float, robots: dict):
+    def __init__(self, p: int, default_delay_ms: float, robots: dict,
+                 fetch_ctx: tuple | None = None, robots_ttl_s: float | None = None):
         self.p = p
         self.shards = [
-            ScheduleShard.remote(i, default_delay_ms, robots) for i in range(p)
+            ScheduleShard.remote(i, default_delay_ms, robots, fetch_ctx, robots_ttl_s)
+            for i in range(p)
         ]
+
+    def robots_for(self, hosts: list[str]) -> dict[str, dict]:
+        """Driver-side lazy-robots lookup (local rounds): scatter hosts to
+        their owning shards, merge the rules."""
+        futs = []
+        for s in range(self.p):
+            hs = [h for h in hosts if host_shard(h, self.p) == s]
+            if hs:
+                futs.append(self.shards[s].robots_for.remote(hs))
+        out: dict[str, dict] = {}
+        for d in ray.get(futs):
+            out.update(d)
+        return out
 
     def schedule_round(self, out_path: str, use_priority: bool,
                        part_matrix: list[list]) -> list:

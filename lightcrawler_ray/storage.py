@@ -74,16 +74,27 @@ def read_dataset(path: str, columns: list[str] | None = None,
 
 def read_parquet_clean(path: str, columns: list[str] | None = None,
                        **kwargs: Any) -> "ray.data.Dataset":
-    """read_parquet + schema-metadata scrub: pandas-written parquet embeds a
-    b'pandas' metadata dict that makes block schemas unhashable, so every
-    groupby/sort reduce task logs 'Failed to hash the schemas' and skips the
-    schema-dedup fast path.  The scrub map fuses with downstream stages."""
+    """read_parquet with the pandas schema metadata stripped AT THE READ:
+    pandas-written parquet embeds a b'pandas' metadata dict that makes block
+    schemas unhashable, so every operator (including the read itself) logs
+    'Failed to hash the schemas' per task and skips the schema-dedup fast
+    path.  Passing an explicit clean ``schema=`` fixes the blocks at the
+    source — no scrub stage, no warning."""
     import ray.data as rd
 
-    ds = rd.read_parquet(path, columns=columns, **kwargs)
-    return ds.map_batches(
-        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
-    )
+    if "schema" not in kwargs:
+        f = path
+        if os.path.isdir(path):
+            parts = [p for p in sorted(os.listdir(path)) if p.endswith(".parquet")]
+            f = os.path.join(path, parts[0]) if parts else path
+        try:
+            schema = pq.read_schema(f).remove_metadata()
+            if columns:
+                schema = pa.schema([schema.field(c) for c in columns])
+            kwargs["schema"] = schema
+        except (OSError, KeyError):
+            pass  # unreadable/missing columns: let read_parquet handle it
+    return rd.read_parquet(path, columns=columns, **kwargs)
 
 
 def commit_table(table: pa.Table, path: str) -> None:
