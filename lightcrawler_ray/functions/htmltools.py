@@ -57,9 +57,17 @@ _TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title\s*>", re.IGNORECASE | re.DOTAL
 _CHARSET_RE = re.compile(
     rb"<meta[^>]+charset\s*=?\s*[\"']?\s*([a-zA-Z0-9_-]+)", re.IGNORECASE
 )
-_COUNTPAGE_RE = re.compile(
-    r"var\s+(?:countPage|m_nRecordCount)\s*=\s*(\d+)", re.IGNORECASE
+_COUNTPAGE_RE = re.compile(r"var\s+countPage\s*=\s*(\d+)", re.IGNORECASE)
+# m_nRecordCount appears quoted or bare (SpiderCsrcGov.class.php:146-149)
+_RECCOUNT_RE = re.compile(r"var\s+m_nRecordCount\s*=\s*\"?(\d+)\"?\s*;", re.IGNORECASE)
+_PAGESIZE_RE = re.compile(r"var\s+m_nPageSize\s*=\s*(\d+)\s*;", re.IGNORECASE)
+# the JS pager's file-series shape: location.href = url+"index"+"."+"htm"
+# (SpiderCsrcGov.class.php:228-236)
+_HREF_SERIES_RE = re.compile(
+    r"location\.href\s*=\s*url\s*\+\s*\"([a-z0-9]+)\"\s*\+\s*\"\.\"\s*\+\s*\"([a-z0-9]+)\"",
+    re.IGNORECASE,
 )
+_PAGE_PARAM_RE = re.compile(r"page=\d+")
 
 
 @dataclass
@@ -175,13 +183,45 @@ def page_title(html: str) -> str:
 
 
 def synthesize_pagination(list_url: str, html: str, max_pages: int = 10) -> list[str]:
-    """M29 — read ``var countPage=N`` and synthesize the sibling list-page
-    series as ``?page=i`` variants of the list URL, capped at ``max_pages``
-    (the reference caps reseeding at MAX_PAGE=10,
-    worker/SpiderGovCnZhengce.class.php:87-96)."""
-    m = _COUNTPAGE_RE.search(html)
-    if not m:
-        return []
-    n = min(int(m.group(1)), max_pages)
+    """M29 — synthesize the sibling list-page series from the pager's JS
+    variables, capped at ``max_pages`` (the reference caps reseeding at
+    MAX_PAGE=10, worker/SpiderGovCnZhengce.class.php:87-96).  Three variants
+    (worker/SpiderCsrcGov.class.php:117-258):
+
+    1. ``var m_nRecordCount = "T"; var m_nPageSize = S;`` → pages = T // S
+       (computePages1 :144-199); without a page size no series is emitted.
+    2. ``var countPage = N`` → pages = N (computePages :117-138).
+    3. URL shape: a ``page=K`` query param is substituted per page
+       (:213-216); else a ``location.href = url+"name"+"."+"ext"`` pager
+       yields the file series ``name.ext, name_1.ext, …`` in the list URL's
+       directory (:228-248); else ``?page=i`` is appended (the generic
+       ``_handleListPage`` fallback, worker/SpiderFrame.class.php:184-199).
+    """
+    pages = 0
+    m = _RECCOUNT_RE.search(html)
+    if m:
+        total = int(m.group(1))
+        ps = _PAGESIZE_RE.search(html)
+        if not ps:
+            return []  # reference: "FATAL get pagesize failed" → no series
+        pages = total // int(ps.group(1))
+    else:
+        m = _COUNTPAGE_RE.search(html)
+        if not m:
+            return []
+        pages = int(m.group(1))
+    if _PAGE_PARAM_RE.search(list_url):
+        n = min(pages, max_pages)
+        return [_PAGE_PARAM_RE.sub(f"page={i}", list_url) for i in range(1, n + 1)]
+    hs = _HREF_SERIES_RE.search(html)
+    if hs:
+        name, ext = hs.group(1), hs.group(2)
+        prefix = list_url[: list_url.rstrip("/").rfind("/") + 1]
+        n = min(pages, max_pages)
+        return [
+            f"{prefix}{name}.{ext}" if i == 1 else f"{prefix}{name}_{i - 1}.{ext}"
+            for i in range(1, n + 1)
+        ]
+    n = min(pages, max_pages)
     sep = "&" if "?" in list_url else "?"
     return [f"{list_url}{sep}page={i}" for i in range(1, n)]

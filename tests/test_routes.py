@@ -144,6 +144,75 @@ def test_routed_crawl_engine_vs_simulator(ray_session, tmp_path):
     assert {a["url"]} == {r["url"] for r in golden.attachments}
 
 
+def test_pagination_file_series_e2e(ray_session, tmp_path):
+    """M29 file-series variant through the routed engine: a list page whose
+    JS pager is ``location.href = url+"index"+"."+"htm"`` with
+    ``var countPage = 3`` reseeds ``index_1.htm`` / ``index_2.htm`` in its
+    own directory (SpiderCsrcGov.class.php:205-258)."""
+    from lightcrawler_ray.pipelines.crawl import CrawlJob
+
+    host = "fs.test"
+    pager = (
+        "<script>var countPage = 3;"
+        'function t(){location.href = url+"index"+"."+"htm";}</script>'
+    )
+
+    def _list(links: str) -> bytes:
+        return f"<html><body>{pager}{links}</body></html>".encode()
+
+    pages = {
+        f"http://{host}/zc/index.htm": _list('<a href="/c/1.htm">一</a>'),
+        f"http://{host}/zc/index_1.htm": _list('<a href="/c/2.htm">二</a>'),
+        f"http://{host}/zc/index_2.htm": _list(""),
+        f"http://{host}/c/1.htm": _detail_body(11),
+        f"http://{host}/c/2.htm": _detail_body(12),
+    }
+    urls = list(pages)
+    pages_t = pa.table({
+        "url": pa.array(urls), "host": pa.array([host] * len(urls)),
+        "status": pa.array([200] * len(urls), pa.int16()),
+        "content_type": pa.array(["text/html"] * len(urls)),
+        "body": pa.array(list(pages.values()), pa.large_binary()),
+        "location": pa.array([""] * len(urls)),
+        "fail_attempts": pa.array([0] * len(urls), pa.int32()),
+    })
+    images_t = pa.table(
+        {"image_id": pa.array([], pa.string()), "bytes": pa.array([], pa.large_binary()),
+         "w": pa.array([], pa.int32()), "h": pa.array([], pa.int32()),
+         "fmt": pa.array([], pa.string()), "caption": pa.array([], pa.string()),
+         "phash": pa.array([], pa.int64())}
+    )
+    robots_t = pa.table(
+        {"host": pa.array([], pa.string()), "delay_ms": pa.array([], pa.int64()),
+         "disallow": pa.array([], pa.list_(pa.string()))}
+    )
+    paths = {}
+    for name, t in (("pages", pages_t), ("images", images_t), ("robots", robots_t)):
+        p = os.path.join(tmp_path, f"fs-{name}.parquet")
+        pq.write_table(t, p)
+        paths[name] = p
+    seeds = pa.table({
+        "url": pa.array([f"http://{host}/zc/index.htm"]),
+        "depth": pa.array([0], pa.int32()), "priority": pa.array([0], pa.int32()),
+    })
+    spec = CrawlSpec(
+        max_depth=2, follow_mode=2, seen_shards=2, fetch_concurrency=1,
+        synthesize_pagination=True,
+        routes=((r"/zc/", "list"), (r"/c/\d+\.htm$", "detail")),
+    )
+    job = CrawlJob(spec, seeds, paths["pages"], paths["images"], paths["robots"],
+                   str(tmp_path / "fsjob"))
+    job.run(max_rounds=6)
+    fetched = {r["url"] for r in _load(job.job_dir, "frontier")}
+    docs = {d["url"] for d in _load(job.job_dir, "docs")}
+    job.shutdown()
+    assert f"http://{host}/zc/index_1.htm" in fetched, "file series reseeded"
+    assert f"http://{host}/zc/index_2.htm" in fetched
+    assert docs == {f"http://{host}/c/1.htm", f"http://{host}/c/2.htm"}, (
+        "details found only via the synthesized series pages"
+    )
+
+
 def test_pagination_only_on_list_routes(ray_session, tmp_path):
     """synthesize_pagination with routes present fires only on list pages."""
     from lightcrawler_ray.pipelines.crawl import CrawlJob
