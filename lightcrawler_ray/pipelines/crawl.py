@@ -119,6 +119,10 @@ class CrawlJob:
         # M9: until the first 200-content fetch, candidate filtering keeps
         # only redirect links (mode off => treat content as already found)
         self._content_found = not spec.redirects_till_content
+        # enqueue_seq of the first 200-content fetch: candidates with
+        # parent_seq below it are filtered redirect-only (per-PAGE M9
+        # granularity, matching the reference's per-processed-page flip)
+        self._content_seq = -1 if self._content_found else (1 << 62)
         self._anchor_url = ""
         self._derive_seed_scope()
         # fixture stores: loaded once, broadcast once (the production analog
@@ -170,16 +174,19 @@ class CrawlJob:
         n_task_cpus = max(1, int(ray.cluster_resources().get("CPU", 8)) - spec.fetch_concurrency)
         ray.get([_noop.remote() for _ in range(n_task_cpus)])
 
-    def _note_content(self, statuses, urls) -> None:
-        """M9 — flip the redirect-only mode off at the first 200 fetch and
-        re-anchor the follow scope on that URL (rows arrive in seq order)."""
+    def _note_content(self, statuses, urls, seqs) -> None:
+        """M9 — flip the redirect-only mode off at the first 200 fetch,
+        recording its enqueue_seq (per-page filter granularity) and
+        re-anchoring the follow scope on that URL (rows arrive in seq
+        order)."""
         if self._content_found:
             return
         from ..stages.frontier import anchor_scope
 
-        for st, u in zip(statuses, urls):
+        for st, u, sq in zip(statuses, urls, seqs):
             if st == 200:
                 self._content_found = True
+                self._content_seq = int(sq)
                 self._anchor_url = u
                 anchor_scope(self.spec, u)
                 return
@@ -294,6 +301,7 @@ class CrawlJob:
         self.bytes_total = meta.get("bytes_total", 0)
         if meta.get("content_found"):
             self._content_found = True
+            self._content_seq = int(meta.get("content_seq", -1))
             self._anchor_url = meta.get("anchor_url", "")
             if self._anchor_url:
                 from ..stages.frontier import anchor_scope
@@ -358,7 +366,7 @@ class CrawlJob:
             passed = cand  # filter already ran in the speculative tasks
         else:
             passed = (
-                self._local_filter(cand, redirect_only=not self._content_found)
+                self._local_filter(cand, content_seq=self._content_seq)
                 if cand.num_rows else cand
             )
         if passed.num_rows:
@@ -415,7 +423,8 @@ class CrawlJob:
             for k in ("fetch", "link", "image", "doc", "attach")
         }
         self._note_content(kinds["fetch"].column("status").to_pylist(),
-                           kinds["fetch"].column("url").to_pylist())
+                           kinds["fetch"].column("url").to_pylist(),
+                           kinds["fetch"].column("enqueue_seq").to_pylist())
         # content verdicts run through the SAME sharded flow as the
         # distributed path (a one-block round) — local/dist parity by
         # construction, and the content-shard / sim-shard state stays
@@ -498,7 +507,7 @@ class CrawlJob:
             filt_refs, keymat = [], []
             for grp in grouped:
                 rets = _filter_extract.options(num_returns=1 + k).remote(
-                    spec, self.robots_ref, k, not self._content_found,
+                    spec, self.robots_ref, k, self._content_seq,
                     self._lazy_robots_handles, *grp
                 )
                 filt_refs.append(rets[0])
@@ -617,7 +626,7 @@ class CrawlJob:
             pf_filt, pf_keymat = [], []
             for grp in pf_grouped:
                 rets = _filter_extract.options(num_returns=1 + k).remote(
-                    spec, self.robots_ref, k, False,
+                    spec, self.robots_ref, k, -1,
                     self._lazy_robots_handles, *grp
                 )
                 pf_filt.append(rets[0])
@@ -632,7 +641,8 @@ class CrawlJob:
         if fetch_small.num_rows:
             self.bytes_total += int(pc.sum(fetch_small.column("bytes_received")).as_py() or 0)
             self._note_content(fetch_small.column("status").to_pylist(),
-                               fetch_small.column("url").to_pylist())
+                               fetch_small.column("url").to_pylist(),
+                               fetch_small.column("enqueue_seq").to_pylist())
         _mark("fetch+split")
         # every rank task is transitively complete once the split metas landed
         storage.mark_complete(frontier_dir)
@@ -686,6 +696,7 @@ class CrawlJob:
                   "rows": n_frontier, "links": n_links,
                   "bytes_total": self.bytes_total,
                   "content_found": self._content_found,
+                  "content_seq": self._content_seq,
                   "anchor_url": self._anchor_url},
         )
         return n_frontier, list(link_refs), n_links
@@ -803,6 +814,7 @@ class CrawlJob:
                          "rows": rows, "links": n_links,
                          "bytes_total": self.bytes_total,
                          "content_found": self._content_found,
+                         "content_seq": self._content_seq,
                          "anchor_url": self._anchor_url})
 
     @staticmethod
@@ -896,7 +908,7 @@ class CrawlJob:
 _FETCH_META_SCHEMA = pa.schema(
     [("status", pa.int16()), ("bytes_received", pa.int64()), ("error", pa.string()),
      ("attempts", pa.int16()), ("fetch_ms", pa.float64()), ("n_links", pa.int64()),
-     ("url", pa.string())]
+     ("url", pa.string()), ("enqueue_seq", pa.int64())]
 )
 _IMG_META_SCHEMA = pa.schema(
     [("enqueue_seq", pa.int64()), ("url_md5", pa.string()),
@@ -942,7 +954,7 @@ def _noop() -> None:
 
 
 @ray.remote
-def _filter_extract(spec: CrawlSpec, robots, k: int, redirect_only: bool,
+def _filter_extract(spec: CrawlSpec, robots, k: int, content_seq: int,
                     sched_handles: tuple, *tables: pa.Table):
     """Fused CandidateFilter + per-seen-shard key extraction over one
     coalesced group of link blocks (one task hop instead of two).  Returns
@@ -983,7 +995,7 @@ def _filter_extract(spec: CrawlSpec, robots, k: int, redirect_only: bool,
         filt.robots_lookup = _lookup
     else:
         filt.robots_lookup = None
-    out = filt(t, redirect_only=redirect_only)
+    out = filt(t, content_seq=content_seq)
     md5s = out.column("url_md5").to_pylist()
     hi, lo = md5hex_to_u64_pairs(md5s)
     seq = np.asarray(out.column("parent_seq").to_numpy(zero_copy_only=False), dtype=np.int64)
@@ -1075,6 +1087,7 @@ def _split_sink(out: pa.Table, links_dir: str, part: int, kc: int):
             if f.num_rows
             else pa.array([], pa.int64()),
             "url": f.column("url"),
+            "enqueue_seq": f.column("enqueue_seq"),
         },
         schema=_FETCH_META_SCHEMA,
     )

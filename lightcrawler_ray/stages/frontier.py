@@ -140,11 +140,17 @@ class CandidateFilter:
             self._robots_checked.update(missing)
             self.robots = {**self.robots, **self.robots_lookup(missing)}
 
-    def __call__(self, t: pa.Table, redirect_only: bool = False) -> pa.Table:
-        """``redirect_only`` (M9): no 200-content fetch has landed yet — keep
-        only redirect links among non-seed candidates, bypassing the follow
-        rules entirely (the reference's keepRedirectUrls path); seed rows
+    def __call__(self, t: pa.Table, redirect_only: bool = False,
+                 content_seq: int = -1) -> pa.Table:
+        """M9 redirect-till-content, at per-PAGE granularity: candidates
+        whose parent was fetched BEFORE the first 200-content page (``0 <=
+        parent_seq < content_seq``) keep only redirect links, bypassing the
+        follow rules entirely (the reference's keepRedirectUrls path,
+        PHPCrawlerURLFilter.class.php:121-135 — the reference flips the flag
+        per processed page, not per crawl round).  ``redirect_only=True`` is
+        the no-content-yet shorthand (content_seq = +inf); seed rows
         (parent_seq < 0) always go through the normal rules."""
+        cs = (1 << 62) if redirect_only else content_seq
         if t.num_rows == 0:
             return _empty_candidates()
         urls = [ut.canonicalize(u) or "" for u in t.column("url").to_pylist()]
@@ -173,7 +179,7 @@ class CandidateFilter:
             p = ut.split_url(u)
             host = str(p["host"])
             hosts.append(host)
-            if redirect_only and pseqs[i] >= 0:
+            if 0 <= pseqs[i] < cs:
                 keep[i] = bool(redirs[i])
                 prios.append(self._priority(u))
                 continue
