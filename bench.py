@@ -223,9 +223,12 @@ def scaling(pairs: int = 3) -> None:
     pair is reported separately under ``best_pair``."""
     trials = []
     for _ in range(pairs):
-        load8 = _wait_quiet()
+        # wait below QUIET_LOAD before EACH leg: the previous leg's own
+        # 1-min loadavg (~6-8 after a 90 s 8-CPU run) takes ~2 min to decay,
+        # so without this no pair can ever register as quiet
+        load8 = _wait_quiet(max_wait_s=420.0, thresh=QUIET_LOAD)
         r8 = _crawl_once(8)
-        load32 = _loadavg()
+        load32 = _wait_quiet(max_wait_s=420.0, thresh=QUIET_LOAD)
         r32 = _crawl_once(32)
         trials.append(
             {

@@ -414,10 +414,12 @@ class CrawlJob:
             out_refs = self.fetch_pool.submit([block], [n_frontier], bs)
             out = pa.concat_tables(ray.get(out_refs))
         else:
-            rows: list[dict] = []
+            from ..stages.fetch import OutBuilder
+
+            ob = OutBuilder()
             for fr in frontier_cols.to_dict("records"):
-                rows.extend(self._local_fetcher._process_one(fr))
-            out = pa.Table.from_pylist(rows, schema=OUT_SCHEMA) if rows else OUT_SCHEMA.empty_table()
+                self._local_fetcher._process_into(fr, ob)
+            out = ob.build()
         kinds = {
             k: out.filter(pc.equal(out.column("kind"), k))
             for k in ("fetch", "link", "image", "doc", "attach")

@@ -98,13 +98,67 @@ def _att_ext_of(url: str) -> str:
     m = _ATT_EXT_RE.search(url)
     return m.group(1).lower() if m else ""
 
-_DEFAULTS = {f.name: None for f in OUT_SCHEMA}
+# Fields each kind actually populates — the columnar output builder appends
+# only these per row and fills the rest of OUT_SCHEMA with null arrays at
+# build time (a 400k-URL bench batch emits ~150k rows; 41-key dict rows +
+# Table.from_pylist was ~20% of fetch wall time).
+_KIND_FIELDS: dict[str, tuple[str, ...]] = {
+    "fetch": ("url", "url_md5", "host", "status", "content_type",
+              "bytes_received", "error", "attempts", "fetch_ms",
+              "enqueue_seq", "depth", "priority", "referer"),
+    "link": ("url", "link_raw", "linktext", "referer", "depth",
+             "is_redirect", "link_idx", "parent_seq", "priority"),
+    "image": ("url", "url_md5", "image_id", "image_bytes", "h", "w", "fmt",
+              "caption", "phash", "referer", "enqueue_seq", "depth"),
+    "doc": ("url", "url_md5", "doc_id", "title", "doc_ori_no", "author",
+            "tags", "publish_time", "t_valid", "content", "negs", "simhash",
+            "enqueue_seq", "doc_lang", "doc_quality", "doc_tokens",
+            "attachments"),
+    "attach": ("url", "url_md5", "image_bytes", "att_ext", "att_type",
+               "doc_id", "referer", "enqueue_seq", "depth"),
+}
+_FIELD_TYPES = {f.name: f.type for f in OUT_SCHEMA}
 
 
-def _row(**kw) -> dict:
-    d = dict(_DEFAULTS)
-    d.update(kw)
-    return d
+class OutBuilder:
+    """Per-kind columnar accumulator for the fused fetch/extract output.
+
+    Rows of one kind stay in append order; ``build()`` groups kinds in a
+    fixed (fetch, link, image, doc, attach) order — every consumer filters
+    by ``kind`` (and links are re-ranked by (parent_seq, link_idx)), so
+    inter-kind interleaving carries no information."""
+
+    __slots__ = ("bufs",)
+
+    def __init__(self):
+        self.bufs = {k: {f: [] for f in flds} for k, flds in _KIND_FIELDS.items()}
+
+    def add(self, kind: str, **kw) -> None:
+        for f, lst in self.bufs[kind].items():
+            lst.append(kw.get(f))
+
+    def patch_last(self, kind: str, field: str, value) -> None:
+        self.bufs[kind][field][-1] = value
+
+    def build(self) -> pa.Table:
+        tables = []
+        for kind in ("fetch", "link", "image", "doc", "attach"):
+            cols = self.bufs[kind]
+            n = len(cols["url"])
+            if not n:
+                continue
+            arrays = []
+            for f in OUT_SCHEMA:
+                if f.name == "kind":
+                    arrays.append(pa.array([kind] * n, f.type))
+                elif f.name in cols:
+                    arrays.append(pa.array(cols[f.name], f.type))
+                else:
+                    arrays.append(pa.nulls(n, f.type))
+            tables.append(pa.Table.from_arrays(arrays, schema=OUT_SCHEMA))
+        if not tables:
+            return OUT_SCHEMA.empty_table()
+        return tables[0] if len(tables) == 1 else pa.concat_tables(tables)
 
 
 def load_fixture_tables(pages_path: str, images_path: str) -> tuple[pa.Table, pa.Table]:
@@ -248,16 +302,21 @@ class SyntheticFetchExtract:
 
     # -- per-batch ----------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows: list[dict] = []
+        ob = OutBuilder()
         for fr in batch.select(
             ["url", "url_md5", "host", "depth", "priority", "enqueue_seq", "referer", "linktext"]
         ).to_pylist():
-            rows.extend(self._process_one(fr))
-        if not rows:
-            return OUT_SCHEMA.empty_table()
-        return pa.Table.from_pylist(rows, schema=OUT_SCHEMA)
+            self._process_into(fr, ob)
+        return ob.build()
 
     def _process_one(self, fr: dict) -> list[dict]:
+        """Single-page convenience wrapper (simulator/tests) — full-schema
+        dict rows, fetch rows first then links/images/docs/attachments."""
+        ob = OutBuilder()
+        self._process_into(fr, ob)
+        return ob.build().to_pylist()
+
+    def _process_into(self, fr: dict, ob: OutBuilder) -> None:
         url, md5, host = fr["url"], fr["url_md5"], fr["host"]
         depth, prio, seq = fr["depth"], fr["priority"], fr["enqueue_seq"]
         self.dns.get(host)  # T4: memoized resolution (identity on the synthetic wire)
@@ -272,59 +331,51 @@ class SyntheticFetchExtract:
         kinds = {k for rx, k in self.routes if rx.search(url)}
         is_attach = "attachment" in kinds and status == 200 and body
         received = status == 200 and any(ctype.startswith(r) for r in self.receive_rules)
-        out = [
-            _row(
-                kind="fetch", url=url, url_md5=md5, host=host, status=status,
-                content_type=ctype, bytes_received=len(body) if (received or is_attach) else 0,
-                error="" if status < 400 else f"http {status}", attempts=attempts,
-                fetch_ms=self.request_delay_ms * attempts, enqueue_seq=seq,
-                depth=depth, priority=prio, referer=fr["referer"],
-            )
-        ]
+        ob.add(
+            "fetch", url=url, url_md5=md5, host=host, status=status,
+            content_type=ctype, bytes_received=len(body) if (received or is_attach) else 0,
+            error="" if status < 400 else f"http {status}", attempts=attempts,
+            fetch_ms=self.request_delay_ms * attempts, enqueue_seq=seq,
+            depth=depth, priority=prio, referer=fr["referer"],
+        )
         if is_attach:
             import hashlib as _hl
 
             ext = _att_ext_of(url)
-            out.append(
-                _row(
-                    kind="attach", url=url, url_md5=md5, image_bytes=body,
-                    att_ext=ext, att_type=ATT_TYPES.get(ext, 0),
-                    doc_id=_hl.md5(body).hexdigest(), referer=fr["referer"],
-                    enqueue_seq=seq, depth=depth,
-                )
+            ob.add(
+                "attach", url=url, url_md5=md5, image_bytes=body,
+                att_ext=ext, att_type=ATT_TYPES.get(ext, 0),
+                doc_id=_hl.md5(body).hexdigest(), referer=fr["referer"],
+                enqueue_seq=seq, depth=depth,
             )
             if not ctype.startswith("text/"):
-                return out  # binary payload: nothing further to extract
+                return  # binary payload: nothing further to extract
         if status in (301, 302) and loc:
             canon = ut.resolve(url, loc)
             if canon:
-                out.append(
-                    _row(
-                        kind="link", url=canon, link_raw=loc, linktext="",
-                        referer=url, depth=depth, is_redirect=True,  # depth kept (M9 semantics)
-                        link_idx=0, parent_seq=seq, priority=0,
-                    )
+                ob.add(
+                    "link", url=canon, link_raw=loc, linktext="",
+                    referer=url, depth=depth, is_redirect=True,  # depth kept (M9 semantics)
+                    link_idx=0, parent_seq=seq, priority=0,
                 )
-            return out
+            return
         if not received:
-            return out
+            return
         if ctype.startswith("image/"):
             try:
                 px = imagecodec.decode(body)
             except imagecodec.CodecError as e:
-                out[0]["error"] = f"decode: {e}"
-                return out
+                ob.patch_last("fetch", "error", f"decode: {e}")
+                return
             iid = url.rsplit("/", 1)[-1].rsplit(".", 1)[0]
-            out.append(
-                _row(
-                    kind="image", url=url, url_md5=md5, image_id=iid,
-                    image_bytes=body, h=px.shape[0], w=px.shape[1],
-                    fmt=ctype.split("/", 1)[1], caption=fr["linktext"] or "",
-                    phash=hashing.phash64(px), referer=fr["referer"],
-                    enqueue_seq=seq, depth=depth,
-                )
+            ob.add(
+                "image", url=url, url_md5=md5, image_id=iid,
+                image_bytes=body, h=px.shape[0], w=px.shape[1],
+                fmt=ctype.split("/", 1)[1], caption=fr["linktext"] or "",
+                phash=hashing.phash64(px), referer=fr["referer"],
+                enqueue_seq=seq, depth=depth,
             )
-            return out
+            return
         # HTML document.  Link FOLLOWING is the crawler core's job and happens
         # for every received page regardless of routes (PHPCrawl extracts
         # links before handleContent runs); routes gate only content
@@ -334,32 +385,36 @@ class SyntheticFetchExtract:
         links = htmltools.find_links(html, url, aggressive=self.aggressive_links)
         # <img alt> text is the caption for image links found by the attr pass
         alts = dict(htmltools.find_images(html, url))
+        lb = ob.bufs["link"]
+        l_url, l_raw, l_text = lb["url"], lb["link_raw"], lb["linktext"]
+        l_ref, l_depth, l_red = lb["referer"], lb["depth"], lb["is_redirect"]
+        l_idx, l_pseq, l_prio = lb["link_idx"], lb["parent_seq"], lb["priority"]
+        d1 = depth + 1
         for j, fl in enumerate(links):
-            out.append(
-                _row(
-                    kind="link", url=fl.url, link_raw=fl.link_raw,
-                    linktext=fl.linktext or alts.get(fl.url, ""), referer=url, depth=depth + 1,
-                    is_redirect=False, link_idx=j, parent_seq=seq, priority=0,
-                )
-            )
+            l_url.append(fl.url)
+            l_raw.append(fl.link_raw)
+            l_text.append(fl.linktext or alts.get(fl.url, ""))
+            l_ref.append(url)
+            l_depth.append(d1)
+            l_red.append(False)
+            l_idx.append(j)
+            l_pseq.append(seq)
+            l_prio.append(0)
         if self.synthesize_pagination and is_list:
             for k, purl in enumerate(htmltools.synthesize_pagination(url, html)):
                 canon = ut.canonicalize(purl)
                 if canon:
-                    out.append(
-                        _row(
-                            kind="link", url=canon, link_raw=purl, linktext="",
-                            referer=url, depth=depth + 1, is_redirect=False,
-                            link_idx=len(links) + k, parent_seq=seq, priority=0,
-                        )
+                    ob.add(
+                        "link", url=canon, link_raw=purl, linktext="",
+                        referer=url, depth=d1, is_redirect=False,
+                        link_idx=len(links) + k, parent_seq=seq, priority=0,
                     )
         want_doc = "detail" in kinds if self.routes else True
         if want_doc and len(body) > self.min_doc_bytes and not truncated:
-            out.append(self._doc_row(url, md5, html, seq, links))
-        return out
+            self._doc_row(ob, url, md5, html, seq, links)
 
-    def _doc_row(self, url: str, md5: str, html: str, seq: int,
-                 links: list | None = None) -> dict:
+    def _doc_row(self, ob: OutBuilder, url: str, md5: str, html: str, seq: int,
+                 links: list | None = None) -> None:
         lines = texttools.html_to_lines(html)
         # M18/M28/A3: content = extracted MAIN content (nav/link blocks
         # suppressed, p-ratio or line-density path) so every downstream
@@ -375,8 +430,8 @@ class SyntheticFetchExtract:
             if _att_ext_of(fl.url)
         ]
         sh = hashing.simhash64(content)
-        return _row(
-            kind="doc", url=url, url_md5=md5, doc_id=hashing.doc_id(content),
+        ob.add(
+            "doc", url=url, url_md5=md5, doc_id=hashing.doc_id(content),
             title=summary["title"], doc_ori_no=summary["doc_ori_no"],
             author=summary["author"], tags=summary["tags"],
             publish_time=summary["publish_time"], t_valid=summary["t_valid"],

@@ -21,7 +21,7 @@ from __future__ import annotations
 import pyarrow as pa
 import ray
 
-from .fetch import OUT_SCHEMA, SyntheticFetchExtract
+from .fetch import OutBuilder
 
 _FRONTIER_COLS = ["url", "url_md5", "host", "depth", "priority", "enqueue_seq",
                   "referer", "linktext"]
@@ -40,13 +40,11 @@ class FetchWorker:
         self.impl = make_fetcher(pages_ref, images_ref, fetch_kwargs)
 
     def process(self, block: pa.Table, start: int, end: int) -> pa.Table:
-        rows: list[dict] = []
+        ob = OutBuilder()
         sl = block.slice(start, end - start)
         for fr in sl.select(_FRONTIER_COLS).to_pylist():
-            rows.extend(self.impl._process_one(fr))
-        if not rows:
-            return OUT_SCHEMA.empty_table()
-        return pa.Table.from_pylist(rows, schema=OUT_SCHEMA)
+            self.impl._process_into(fr, ob)
+        return ob.build()
 
 
 class FetchPool:
