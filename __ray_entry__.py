@@ -290,6 +290,98 @@ def _q_crawl_routed(sf_dir: str):
     return pd.DataFrame(rows, columns=["url", "kind", "doc_id"]).sort_values("url").reset_index(drop=True)
 
 
+def _q_phash_near_dup(sf_dir: str):
+    """D3 image face — perceptual-hash near-dup pairs over the fixture image
+    corpus via the actor-pool decode stage + banded hamming shuffle
+    (rows-only: DCT phash has no SQL equivalent)."""
+    from lightcrawler_ray.extras import dedupe
+
+    _, paths = _fixture_paths()
+    return dedupe.phash_near_dups(paths["images"], max_hamming=7)
+
+
+def _q_politeness_audit(sf_dir: str):
+    """T7 audit — per-host ledger summary from the cached crawl: fetches per
+    host, min inter-fetch gap, and spacing violations (gap < the host's
+    crawl-delay).  The invariant itself (0 violations) is asserted in
+    tests/test_politeness.py; this exposes the evidence as a query."""
+    import pandas as pd
+
+    job = _run_crawl_cached(sf_dir)
+    sched = _q_crawl_schedule(sf_dir)
+    from lightcrawler_ray.pipelines.crawl import load_robots
+
+    _, paths = _fixture_paths()
+    delays = {h: r.get("delay_ms", 0) for h, r in load_robots(paths["robots"]).items()}
+    rows = []
+    for host, g in sched.groupby("host", sort=True):
+        ms = g.sort_values("sched_ms")["sched_ms"].to_numpy()
+        gaps = (ms[1:] - ms[:-1]) if len(ms) > 1 else []
+        delay = int(delays.get(host, 0))
+        rows.append({
+            "host": host, "n_fetches": int(len(ms)),
+            "min_gap_ms": int(min(gaps)) if len(gaps) else -1,
+            "delay_ms": delay,
+            "violations": int(sum(1 for x in gaps if x < delay)),
+        })
+    return pd.DataFrame(rows, columns=["host", "n_fetches", "min_gap_ms",
+                                       "delay_ms", "violations"])
+
+
+def _q_crawl_priority(sf_dir: str):
+    """O1 under non-uniform priority rules — reference-semantics fetch order
+    of a crawl where regex rules promote matching URLs.  The engine's
+    physical epoch order legitimately differs under preemption; the
+    reference queue order is reconstructed by the lineage replay
+    (`pipelines/replay.py`), same as tests/test_replay.py asserts."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from lightcrawler_ray.pipelines import replay
+    from lightcrawler_ray.pipelines.crawl import CrawlJob, load_robots
+    from lightcrawler_ray.stages.frontier import CrawlSpec
+
+    _, paths = _fixture_paths()
+    jd = "/tmp/lcray_prio_job"
+    shutil.rmtree(jd, ignore_errors=True)
+    spec = CrawlSpec(max_depth=2, follow_mode=1, seen_shards=2, fetch_concurrency=2,
+                     fetch_batch_size=64,
+                     priority_rules=((r"/p/1\d\.html", 5), (r"/p/2\d\.html", 2)))
+    seeds = pq.read_table(paths["seeds"])
+    job = CrawlJob(spec, seeds, paths["pages"], paths["images"], paths["robots"], jd)
+    job.run(max_rounds=10)
+    order = replay.replay_order(jd, spec, load_robots(paths["robots"])).order
+    job.shutdown()
+    shutil.rmtree(jd, ignore_errors=True)
+    return pd.DataFrame({"seq": range(len(order)), "url_md5": order})
+
+
+_INDEX_TOKENS = ("query", "window", "scan")
+
+
+def _q_index_lookup(sf_dir: str):
+    """S10 lookup face — build the token-ordered posting index once per
+    process, then answer fixed-token lookups via parquet row-group pruning.
+    SQL-oracled: postings are (token, doc_id) pairs."""
+    import pandas as pd
+
+    from lightcrawler_ray import storage
+    from lightcrawler_ray.pipelines import indexer
+
+    idx_dir = f"/tmp/lcray_index_{os.path.basename(sf_dir.rstrip('/'))}"
+    if not storage.is_complete(idx_dir):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        ds = storage.read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        indexer.build_index(ds, idx_dir)
+    rows = []
+    for tok in _INDEX_TOKENS:
+        for did in indexer.lookup(idx_dir, tok):
+            rows.append({"token": tok, "doc_id": did})
+    return pd.DataFrame(rows, columns=["token", "doc_id"])
+
+
 def _q_image_stats(sf_dir: str):
     from lightcrawler_ray.extras import multimodal
 
@@ -356,8 +448,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_docs": _q_crawl_docs,
         "crawl_schedule": _q_crawl_schedule,
         "crawl_routed": _q_crawl_routed,
+        "crawl_priority": _q_crawl_priority,
+        "politeness_audit": _q_politeness_audit,
+        "phash_near_dups": _q_phash_near_dup,
         "image_stats": _q_image_stats,
         "image_resize": _q_image_resize,
+        # S10 lookup face (SQL-oracled)
+        "index_lookup": _q_index_lookup,
     }
 
 
@@ -481,6 +578,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b "
             "ON a.label = b.label AND a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35"
+        ),
+        "index_lookup": (
+            "SELECT w AS token, doc_id FROM ("
+            "  SELECT DISTINCT doc_id, w FROM documents, "
+            "  unnest(string_split_regex(lower(text), '\\s+')) AS t(w) WHERE w != ''"
+            ") WHERE w IN ('query', 'window', 'scan')"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5) "

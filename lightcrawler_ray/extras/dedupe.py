@@ -196,6 +196,77 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def phash_near_dups(images_path: str, max_hamming: int = 7,
+                    n_bands: int = 8) -> pd.DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual hash — D3's image face over
+    the multimodal decode stage.  Decode + phash run on the actor pool
+    (``extras.multimodal.ImageDecodeStats``, codec loaded once per actor);
+    then the same banded-pigeonhole shuffle as ``simhash_near_dups``:
+    ``n_bands`` bands of 64/n_bands bits guarantee recall for hamming <
+    n_bands (8 bands → every pair within hamming ≤ 7 shares a band), verify
+    is vectorized hamming inside each bucket.  Scale shape: only
+    (band_key, image_id, phash) rows shuffle — payload bytes never leave
+    the decode stage."""
+    from .multimodal import image_stats
+
+    sigs = image_stats(images_path).map_batches(
+        lambda t: t.select(["image_id", "phash"]), batch_format="pyarrow"
+    )
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ph = np.array(t.column("phash").to_pylist(), dtype=np.int64).view(np.uint64)
+        bands = hashing.simhash_bands(ph, n_bands)
+        ids = t.column("image_id").to_pylist()
+        n = len(ids)
+        return pa.table(
+            {
+                "band_key": pa.array(
+                    [f"{b}:{bands[i, b]:04x}" for b in range(n_bands) for i in range(n)]
+                ),
+                "image_id": pa.array(
+                    [ids[i] for _ in range(n_bands) for i in range(n)], pa.string()
+                ),
+                "phash": pa.array(
+                    [int(np.int64(ph[i])) for _ in range(n_bands) for i in range(n)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"img_a": pa.array([], pa.string()),
+                          "img_b": pa.array([], pa.string()),
+                          "hamming": pa.array([], pa.int64())})
+        if len(g) < 2:
+            return empty
+        g = g.sort_values("image_id")
+        ids = g["image_id"].tolist()
+        hs = g["phash"].to_numpy(dtype=np.int64).view(np.uint64)
+        out_a, out_b, out_d = [], [], []
+        for i in range(len(ids)):
+            d = hashing.hamming64(hs[i + 1:], np.full(len(ids) - i - 1, hs[i], dtype=np.uint64))
+            for j, dd in enumerate(d):
+                out_a.append(ids[i])
+                out_b.append(ids[i + 1 + j])
+                out_d.append(int(dd))
+        return pa.table({"img_a": pa.array(out_a, pa.string()),
+                         "img_b": pa.array(out_b, pa.string()),
+                         "hamming": pa.array(out_d, pa.int64())})
+
+    df = (
+        sigs.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if df.empty:
+        return pd.DataFrame({"img_a": pd.Series([], dtype="string"),
+                             "img_b": pd.Series([], dtype="string"),
+                             "hamming": pd.Series([], dtype="int64")})
+    df = df[df["hamming"] <= max_hamming].drop_duplicates(["img_a", "img_b"])
+    return df.sort_values(["img_a", "img_b"]).reset_index(drop=True)
+
+
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.2) -> rd.Dataset:
     """Blocked exact n-gram Jaccard: pairs within the same ``source`` block
     (the coarse blocking key), word-3-gram shingle sets, jaccard ≥ threshold.

@@ -6,9 +6,11 @@ equality), plus resume-from-checkpoint equivalence."""
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -197,6 +199,52 @@ def test_resume_from_sparse_snapshot(ray_session, fixture_paths, golden, tmp_pat
     try:
         assert set(j2.seen.members()) == golden.seen
         assert j2.crawl_order() == golden.order
+    finally:
+        j2.shutdown()
+
+
+def test_resume_mid_epoch_kill(ray_session, fixture_paths, golden, tmp_path):
+    """Kill MID-epoch (between the split-sink writes and the drain): the
+    next epoch dir holds stale un-blessed parts but no _EPOCH_DONE.  Resume
+    must discard the stale parts (a shorter deterministic re-run must not
+    bless leftovers from the longer interrupted one) and converge to the
+    golden state."""
+    import json
+
+    from lightcrawler_ray.pipelines.crawl import CrawlJob
+
+    p, paths = fixture_paths
+    seeds = pq.read_table(paths["seeds"])
+    job_dir = str(tmp_path / "midkill")
+    j1 = CrawlJob(make_spec(), seeds, paths["pages"], paths["images"], paths["robots"], job_dir)
+    cand, hint = j1._seed_table(), j1.seeds.num_rows
+    for e in range(2):
+        n, cand, hint = j1._round(cand, e, hint)
+    j1._drain_pending()
+    j1.shutdown()
+    # fake a crash mid-epoch-2: partial links/docs parts on disk, no
+    # _EPOCH_DONE, no seen.npz
+    ed = os.path.join(job_dir, "epoch=0002")
+    os.makedirs(os.path.join(ed, "links"))
+    os.makedirs(os.path.join(ed, "docs"))
+    stale = pa.table({"stale": pa.array([1, 2, 3], pa.int64())})
+    pq.write_table(stale, os.path.join(ed, "links", "part-00007.parquet"))
+    pq.write_table(stale, os.path.join(ed, "docs", "part-00007.parquet"))
+
+    j2 = CrawlJob(make_spec(), seeds, paths["pages"], paths["images"],
+                  paths["robots"], job_dir)
+    j2.run(max_rounds=10)
+    try:
+        assert set(j2.seen.members()) == golden.seen
+        assert j2.crawl_order() == golden.order
+        # the stale parts were discarded, and epoch 2 was re-run cleanly
+        assert not os.path.exists(os.path.join(ed, "links", "part-00007.parquet")) or \
+            json.load(open(os.path.join(ed, "_EPOCH_DONE"))), "epoch 2 re-blessed"
+        docs_dir = os.path.join(ed, "docs")
+        if os.path.isdir(docs_dir):
+            for f in os.listdir(docs_dir):
+                if f.endswith(".parquet"):
+                    assert "stale" not in pq.read_schema(os.path.join(docs_dir, f)).names
     finally:
         j2.shutdown()
 

@@ -1,0 +1,82 @@
+"""Tests for the round-3 query additions: phash near-dup pipeline, the
+politeness audit, priority-rules crawl order, and the S10 index lookup face.
+
+The phash test is oracle-style: the banded pipeline must reproduce the
+brute-force all-pairs result exactly (pigeonhole guarantees recall for
+hamming < n_bands; the in-bucket hamming verify guarantees precision)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from lightcrawler_ray.functions import hashing, imagecodec
+from lightcrawler_ray.sources import synth
+
+
+def _fixture_paths():
+    p = synth.GraphParams(n_pages=300, n_hosts=6, n_images=120, out_degree=6)
+    return p, synth.ensure_fixtures(p)
+
+
+def test_phash_near_dups_matches_bruteforce(ray_session):
+    from lightcrawler_ray.extras import dedupe
+
+    _, paths = _fixture_paths()
+    got = dedupe.phash_near_dups(paths["images"], max_hamming=7)
+
+    t = pq.read_table(paths["images"], columns=["image_id", "bytes"])
+    ids = t.column("image_id").to_pylist()
+    hs = np.array(
+        [hashing.phash64(imagecodec.decode(b)) for b in t.column("bytes").to_pylist()],
+        dtype=np.int64,
+    ).view(np.uint64)
+    expect = set()
+    for i in range(len(ids)):
+        d = hashing.hamming64(hs[i + 1:], np.full(len(ids) - i - 1, hs[i], dtype=np.uint64))
+        for j, dd in enumerate(d):
+            if dd <= 7:
+                a, b = sorted((ids[i], ids[i + 1 + j]))
+                expect.add((a, b))
+    assert expect, "fixture plants ~1% phash near-dups; brute force must find some"
+    assert set(zip(got["img_a"], got["img_b"])) == expect
+
+
+def test_politeness_audit_no_violations(ray_session):
+    import __ray_entry__ as e
+
+    df = e._q_politeness_audit("/root/testdata/sf0.001")
+    assert len(df) > 0 and (df["n_fetches"] > 0).all()
+    assert (df["violations"] == 0).all()
+    # hosts with a crawl-delay actually have one recorded
+    assert (df["delay_ms"] >= 0).all()
+
+
+def test_crawl_priority_matches_simulator(ray_session):
+    import __ray_entry__ as e
+    from lightcrawler_ray.pipelines import simulator
+    from lightcrawler_ray.pipelines.crawl import load_robots
+    from lightcrawler_ray.stages.frontier import CrawlSpec
+
+    df = e._q_crawl_priority("/root/testdata/sf0.001")
+    _, paths = _fixture_paths()
+    spec = CrawlSpec(max_depth=2, follow_mode=1, seen_shards=2, fetch_concurrency=2,
+                     fetch_batch_size=64,
+                     priority_rules=((r"/p/1\d\.html", 5), (r"/p/2\d\.html", 2)))
+    g = simulator.simulate(spec, pq.read_table(paths["seeds"]), paths["pages"],
+                           paths["images"], load_robots(paths["robots"]))
+    assert df["url_md5"].tolist() == g.order
+
+
+def test_index_lookup_matches_duckdb(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = e._q_index_lookup(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute(e.oracle_sql()["index_lookup"]).df()
+    assert set(zip(got["token"], got["doc_id"])) == set(zip(want["token"], want["doc_id"]))
+    assert len(got) == len(want)
