@@ -518,8 +518,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "tumbling_window": (
+            # DECIMAL sum: exact integer-unit accumulation on the oracle side,
+            # matching the engine's int64-cents reduceat bit-for-bit
             "SELECT user_id, epoch_us(ts) // 3600000000 AS hour_bucket, "
-            "count(*) AS n_events, sum(value) AS sum_value "
+            "count(*) AS n_events, "
+            "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY user_id, epoch_us(ts) // 3600000000"
         ),
         "sessionize": (

@@ -268,23 +268,53 @@ def distinct_langs(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"lang": sorted(vals)})
 
 
-def tumbling_window(sf_dir: str) -> rd.Dataset:
-    """Streaming shape (SURVEY.md §2.9) — tumbling 1-hour window per user as
-    a derived-key groupby: bucket computed vectorized, then partial-agg +
-    final combine exactly like pricing_summary."""
+def tumbling_window(sf_dir: str, partitions: int = 32) -> rd.Dataset:
+    """Streaming shape (SURVEY.md §2.9) — tumbling 1-hour window per user.
+
+    Key cardinality ≈ row count here ((user, hour) is nearly unique), so a
+    map-side partial combiner reduces nothing and a fine-keyed
+    ``groupby(["user_id","hour_bucket"]).aggregate(...)`` pays a full
+    sort-based exchange over every row.  Instead: ONE shuffle on the coarse
+    key ``user_id % P`` (every (user, hour) group lands whole in exactly one
+    partition), then the in-partition aggregate is a numpy lexsort +
+    segmented ``reduceat`` — P Python calls total, same shape as
+    ``sessionize``."""
     ds = _pq(sf_dir, "events", ["user_id", "ts", "value"])
 
-    def bucketize(t: pa.Table) -> pa.Table:
-        secs = pc.cast(t["ts"], pa.int64())  # µs since epoch
-        hour = pc.divide(secs, 3_600_000_000)
-        return pa.table(
-            {"user_id": t["user_id"], "hour_bucket": hour, "value": t["value"]}
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], partitions - 1), pa.int32())
+        return t.append_column("part", part)
+
+    def agg_partition(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hour = (
+            g.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64) // 3_600_000_000
         )
+        # values are 2-decimal money — accumulate in exact integer cents so
+        # the sum is association-order independent and bit-identical to the
+        # decimal oracle (same trick as pricing_summary)
+        v = np.rint(g.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        order = np.lexsort((hour, u))
+        us, hs, vs = u[order], hour[order], v[order]
+        new = np.ones(us.size, dtype=bool)
+        new[1:] = (us[1:] != us[:-1]) | (hs[1:] != hs[:-1])
+        bounds = np.nonzero(new)[0]
+        return pa.table({
+            "user_id": pa.array(us[bounds], pa.int64()),
+            "hour_bucket": pa.array(hs[bounds], pa.int64()),
+            "n_events": pa.array(
+                np.diff(np.append(bounds, us.size)).astype(np.int64), pa.int64()
+            ),
+            "sum_value": pa.array(
+                np.add.reduceat(vs, bounds).astype(np.float64) / 100.0, pa.float64()
+            ),
+        })
 
     return (
-        ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby(["user_id", "hour_bucket"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(agg_partition, batch_format="pyarrow")
     )
 
 
