@@ -89,6 +89,64 @@ def bench_crawl(ncpu: int) -> dict:
     }
 
 
+def bench_routed(ncpu: int) -> dict:
+    """M11/M25/M29 at bench scale: the routed list/detail/attachment site
+    (~24.4k URLs: 400 list pages discovered only through record-count
+    pagination file series, 16k CJK detail docs, 8k PDF attachment payloads
+    fetched on the attachment route)."""
+    import pyarrow.parquet as pq
+
+    from lightcrawler_ray.pipelines.crawl import CrawlJob
+    from lightcrawler_ray.sources import synth
+    from lightcrawler_ray.stages.frontier import CrawlSpec
+
+    p = synth.RoutedSiteParams()
+    paths = synth.ensure_routed_fixtures(p)  # cached across runs (untimed)
+    seeds = pq.read_table(paths["seeds"])
+    job_dir = f"/dev/shm/lcray_bench_routed_{ncpu}"
+    shutil.rmtree(job_dir, ignore_errors=True)
+    spec = CrawlSpec(
+        max_depth=3,
+        follow_mode=2,
+        routes=synth.ROUTED_ROUTES,
+        synthesize_pagination=True,
+        seen_shards=8,
+        fetch_concurrency=max(2, ncpu // 2),
+        fetch_batch_size=256,
+        local_round_threshold=256,
+        snapshot_every=4,
+    )
+    job = CrawlJob(spec, seeds, paths["pages"], paths["images"], paths["robots"], job_dir)
+    t0 = time.perf_counter()
+    summary = job.run(max_rounds=12)
+    dt = time.perf_counter() - t0
+    job.shutdown()
+    atts = docs = 0
+    for ep in sorted(os.listdir(job_dir)):
+        if not ep.startswith("epoch="):
+            continue
+        for sub in ("attachments", "docs"):
+            d = os.path.join(job_dir, ep, sub)
+            if os.path.isdir(d):
+                n = sum(
+                    pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                )
+                if sub == "attachments":
+                    atts += n
+                else:
+                    docs += n
+    shutil.rmtree(job_dir, ignore_errors=True)
+    return {
+        "sec": dt,
+        "urls": summary["links_followed"],
+        "urls_per_sec": summary["links_followed"] / dt,
+        "docs": docs,
+        "attachments": atts,
+    }
+
+
 def _peak_rss_mb() -> float:
     try:
         with open("/proc/self/status") as f:
@@ -155,6 +213,9 @@ def main() -> None:
     # single-level measurement and would just add noise window)
     crawl_only = os.environ.get("LCRAY_BENCH_CRAWL_ONLY") == "1"
     queries = {} if crawl_only else bench_queries(sf_dir)
+    routed = None if crawl_only else bench_routed(ncpu)
+    if routed is not None:
+        queries["crawl_routed"] = round(routed["sec"], 3)
     queries["crawl_400k"] = round(crawl["sec"], 3)
     total = round(sum(queries.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -173,6 +234,16 @@ def main() -> None:
                 "crawl_images": crawl["images"],
                 "crawl_seen_mode": crawl["seen_mode"],
                 "crawl_driver_peak_rss_mb": crawl["driver_peak_rss_mb"],
+                **(
+                    {
+                        "routed_urls": routed["urls"],
+                        "routed_urls_per_sec": round(routed["urls_per_sec"], 1),
+                        "routed_docs": routed["docs"],
+                        "routed_attachments": routed["attachments"],
+                    }
+                    if routed is not None
+                    else {}
+                ),
             }
         )
     )

@@ -427,3 +427,168 @@ def ensure_fixtures(p: GraphParams | None = None, root: str = "/tmp/lcray_fixtur
     pq.write_table(robots, paths["robots"])
     pq.write_table(seeds, paths["seeds"])
     return paths
+
+
+# ---------------------------------------------------------------------------
+# F4 — routed site (M11/M25/M29 at bench scale)
+
+
+@dataclass
+class RoutedSiteParams:
+    """A list/detail/attachment site in the reference's worker-spider URL
+    shape (worker/SpiderCsrcGov.class.php:117-258): per host, S sections,
+    each a 10-page ``index[_k].htm`` file series discovered ONLY through M29
+    record-count pagination, each page listing ``page_size`` content pages,
+    every ``att_every``-th content page carrying a PDF attachment link
+    (M25) that the attachment route fetches as a binary payload (M11)."""
+
+    n_docs: int = 16000
+    n_hosts: int = 8
+    page_size: int = 40        # docs per list page; 10-page series → 400/section
+    body_repeat: int = 60      # filler paragraphs per content page (~6 KB)
+    att_every: int = 2         # every k-th doc links a /files/a{i}.pdf
+    seed: int = 42
+
+
+def _routed_host(s: int, p: RoutedSiteParams) -> str:
+    return f"rb{s % p.n_hosts:02d}.example.test"
+
+
+ROUTED_ROUTES = ((r"/list/", "list"), (r"/content/", "detail"), (r"\.pdf$", "attachment"))
+
+
+def build_routed_site(p: RoutedSiteParams) -> tuple[pa.Table, pa.Table, pa.Table]:
+    """Returns (pages, robots, seeds); deterministic in ``p``.
+
+    Sections hold contiguous doc ranges: section s → docs
+    [s*400, s*400+400) on host ``s % n_hosts`` under ``/list/s{s}/``; the
+    series pages past ``index.htm`` exist only as M29-synthesized URLs, so a
+    crawl that misses record-count pagination fetches <=page_size docs per
+    section instead of all of them."""
+    per_section = 10 * p.page_size
+    n_sections = max(1, p.n_docs // per_section)
+    n_docs = n_sections * per_section
+    urls: list[str] = []
+    hosts: list[str] = []
+    ctypes: list[str] = []
+    bodies: list[bytes] = []
+
+    def add(url: str, host: str, ctype: str, body: bytes) -> None:
+        urls.append(url)
+        hosts.append(host)
+        ctypes.append(ctype)
+        bodies.append(body)
+
+    for s in range(n_sections):
+        host = _routed_host(s, p)
+        base = f"http://{host}/list/s{s}"
+        lo = s * per_section
+        for k in range(10):
+            name = "index.htm" if k == 0 else f"index_{k}.htm"
+            links = "".join(
+                f'<a href="/content/{i}.htm">文件{i}</a>'
+                for i in range(lo + k * p.page_size, lo + (k + 1) * p.page_size)
+            )
+            pager = (
+                f'<script>var m_nRecordCount = "{per_section}";'
+                f"var m_nPageSize = {p.page_size};"
+                'function t(){location.href = url+"index"+"."+"htm";}</script>'
+            ) if k == 0 else ""
+            add(
+                f"{base}/{name}", host, "text/html",
+                f"<html><head><title>列表 s{s}/{k}</title></head>"
+                f"<body>{pager}{links}</body></html>".encode(),
+            )
+    rng = np.random.default_rng(np.uint64(p.seed) * np.uint64(2_000_003))
+    pdf_pad = rng.integers(32, 127, size=4096, dtype=np.uint8).tobytes()
+    for i in range(n_docs):
+        host = _routed_host(i // per_section, p)
+        word = _WORDS[i % len(_WORDS)]
+        # filler varies per doc (real corpora do): identical boilerplate
+        # would make the whole corpus one simhash near-dup flood and the
+        # leg would measure the SimIndex flood path, not routed dispatch
+        filler = "".join(
+            f"<p>正文段落{j}：依照《条例{(i * 7 + j) % 19}》第{(i * 13 + j * 3) % 87}条"
+            f"持续推进{_WORDS[(i + j) % len(_WORDS)]}{_WORDS[(i * 11 + j * 5) % len(_WORDS)]}"
+            "专项治理与督查工作安排。</p>"
+            for j in range(p.body_repeat)
+        )
+        att = (
+            f'<p>附件：<a href="/files/a{i}.pdf">附件{i}</a></p>'
+            if i % p.att_every == 0
+            else ""
+        )
+        # unique 发文字号 per doc (no=1+i): repeating numbers would send most
+        # of the corpus into the D4 doc_ori_no dedup + J3 near-dup gate and
+        # the leg would measure the drop path instead of detail extraction
+        cjk = _CJK_BODY.format(
+            i=i, yy=i % 30, no=1 + i, m=1 + i % 12, d=1 + i % 28, word=word
+        )
+        add(
+            f"http://{host}/content/{i}.htm", host, "text/html",
+            f"<html><head><title>政策文件{i}_公报</title></head>"
+            f"<body>{cjk}{filler}{att}</body></html>".encode(),
+        )
+        if i % p.att_every == 0:
+            add(
+                f"http://{host}/files/a{i}.pdf", host, "application/pdf",
+                b"%PDF-1.4 routed-bench " + str(i).encode() + b" " + pdf_pad[: 512 + (i * 37) % 3584],
+            )
+    n = len(urls)
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "host": pa.array(hosts, pa.string()),
+            "status": pa.array([200] * n, pa.int16()),
+            "content_type": pa.array(ctypes, pa.string()),
+            "body": pa.array(bodies, pa.large_binary()),
+            "location": pa.array([""] * n, pa.string()),
+            "fail_attempts": pa.array([0] * n, pa.int16()),
+        }
+    )
+    robots = pa.table(
+        {
+            "host": pa.array([f"rb{h:02d}.example.test" for h in range(p.n_hosts)]),
+            "delay_ms": pa.array([0] * p.n_hosts, pa.int32()),
+            "disallow": pa.array([[]] * p.n_hosts, pa.list_(pa.string())),
+        }
+    )
+    seeds = pa.table(
+        {
+            "url": pa.array([f"http://{_routed_host(s, p)}/list/s{s}/index.htm" for s in range(n_sections)]),
+            "depth": pa.array([0] * n_sections, pa.int32()),
+            "priority": pa.array([0] * n_sections, pa.int32()),
+        }
+    )
+    return pages, robots, seeds
+
+
+def ensure_routed_fixtures(p: RoutedSiteParams | None = None, root: str = "/tmp/lcray_fixtures") -> dict[str, str]:
+    """Materialize the routed site once; returns name → parquet path (plus an
+    empty images table so CrawlJob's image sink has a source to join)."""
+    p = p or RoutedSiteParams()
+    key = f"routed_v3_d{p.n_docs}_h{p.n_hosts}_g{p.page_size}_b{p.body_repeat}_a{p.att_every}_s{p.seed}"
+    d = os.path.join(root, key)
+    paths = {name: os.path.join(d, f"{name}.parquet") for name in ("pages", "robots", "seeds", "images")}
+    if all(os.path.exists(v) for v in paths.values()):
+        return paths
+    os.makedirs(d, exist_ok=True)
+    pages, robots, seeds = build_routed_site(p)
+    pq.write_table(pages, paths["pages"])
+    pq.write_table(robots, paths["robots"])
+    pq.write_table(seeds, paths["seeds"])
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": pa.array([], pa.string()),
+                "bytes": pa.array([], pa.large_binary()),
+                "w": pa.array([], pa.int32()),
+                "h": pa.array([], pa.int32()),
+                "fmt": pa.array([], pa.string()),
+                "caption": pa.array([], pa.string()),
+                "phash": pa.array([], pa.int64()),
+            }
+        ),
+        paths["images"],
+    )
+    return paths

@@ -36,6 +36,7 @@ import ray
 from ..functions import hashing
 
 N_BANDS = 4
+_SCAN_CHUNK = 2048  # stored members examined per early-exit scan step
 
 _EMPTY_PART = {"sim": np.zeros(0, np.int64), "seq": np.zeros(0, np.int64)}
 
@@ -65,26 +66,67 @@ def _query_insert_band(
         stored_u = np.array(bucket[0], dtype=np.uint64)
         m = grp.size
         if stored_u.size:
-            d = hashing.hamming64(
-                stored_u[None, :], u[grp][:, None]
-            ).reshape(m, stored_u.size)
-            ok = d <= max_hamming
-            first = np.argmax(ok, axis=1)
-            has = ok.any(axis=1)
+            # stored members are seq-ascending, so scan them in chunks and
+            # stop once every query has a hit: the earliest chunk that
+            # matches holds the exact earliest witness.  A near-dup FLOOD
+            # (boilerplate corpus: every doc within threshold of every
+            # other) then costs O(batch × chunk) instead of O(batch ×
+            # stored) — without the cap a 16k-doc flood is a 90 s round.
             stored_seqs = np.array(bucket[2], dtype=np.int64)
-            hit[grp[has]] = stored_seqs[first[has]]
+            gu = u[grp]
+            pending = np.arange(m)
+            for lo in range(0, stored_u.size, _SCAN_CHUNK):
+                su = stored_u[lo:lo + _SCAN_CHUNK]
+                d = hashing.hamming64(
+                    su[None, :], gu[pending][:, None]
+                ).reshape(pending.size, su.size)
+                ok = d <= max_hamming
+                has = ok.any(axis=1)
+                first = np.argmax(ok, axis=1)
+                hit[grp[pending[has]]] = stored_seqs[lo + first[has]]
+                pending = pending[~has]
+                if pending.size == 0:
+                    break
+        gu, gseq = u[grp], seqs[grp]
+        _, first_idx, inv = np.unique(gu, return_index=True, return_inverse=True)
         if m > 1:
-            # within-batch: doc i vs earlier batch members of the same bucket
-            gu, gseq = u[grp], seqs[grp]
-            for i in range(1, m):
+            # within-batch, flood-aware: only the FIRST occurrence of each
+            # distinct sim scans backward (against earlier first occurrences
+            # — an earlier dup's witness is its own first occurrence, which
+            # is earlier still); identical batch-mates then inherit that
+            # verdict exactly: their earliest in-threshold member is the
+            # first occurrence's hit when it has one, else the first
+            # occurrence itself (hamming 0).  A flood of b identical docs
+            # costs O(distinct²) + O(b) instead of O(b²).
+            fpos = np.sort(first_idx)  # first-occurrence positions, seq order
+            for k in range(1, fpos.size):
+                i = int(fpos[k])
                 if hit[grp[i]] != -1:
                     continue  # a stored hit is always earlier than batch-mates
-                d = hashing.hamming64(gu[:i], np.full(i, gu[i], dtype=np.uint64))
+                prev = fpos[:k]
+                d = hashing.hamming64(gu[prev], np.full(k, gu[i], dtype=np.uint64))
                 w = np.nonzero(d <= max_hamming)[0]
                 if w.size:
-                    hit[grp[i]] = int(gseq[w[0]])
-        bucket[0].extend(int(x) for x in sims[grp])
-        bucket[2].extend(int(x) for x in seqs[grp])
+                    hit[grp[i]] = int(gseq[prev[w[0]]])
+            if max_hamming >= 0:
+                dup = np.arange(m) != first_idx[inv]
+                if dup.any():
+                    f = first_idx[inv[dup]]
+                    fh = hit[grp[f]]
+                    inherited = np.where(fh != -1, fh, gseq[f])
+                    cur = hit[grp[dup]]
+                    hit[grp[dup]] = np.where(cur != -1, cur, inherited)
+        # identical-sim dominance on insert: an entry whose simhash already
+        # exists in the bucket can never change a future verdict (the older
+        # identical member is closer-or-equal to every query and earlier in
+        # seq, so earliest-hit resolution always prefers it) — skip storing
+        # it.  Bounds bucket growth by DISTINCT simhashes under dup floods.
+        keep = np.zeros(m, dtype=bool)
+        keep[first_idx] = True
+        if stored_u.size:
+            keep &= ~np.isin(gu, stored_u)
+        bucket[0].extend(int(x) for x in sims[grp][keep])
+        bucket[2].extend(int(x) for x in seqs[grp][keep])
     return hit
 
 

@@ -124,3 +124,37 @@ def test_gate_disabled_keeps_near_dups(ray_session, tmp_path):
     job.shutdown()
     assert "http://site.test/b.html" in docs
     assert "http://site.test/d.html" in docs
+
+
+def test_simindex_flood_stays_linear(ray_session):
+    """A boilerplate corpus where EVERY doc is a near-dup of every other
+    (the worst-case bucket skew for banded LSH): the index must stay exact
+    — earliest witness, dup inheritance — without going quadratic.  20k
+    docs, all within hamming 2 of one base value; pre-hardening this shape
+    cost ~90 s inside a crawl round, post-hardening it is sub-second
+    (identical-sim dominance bounds buckets at DISTINCT sims, the stored
+    scan early-exits, and batch dups inherit their first occurrence's
+    verdict)."""
+    import time
+
+    import numpy as np
+
+    from lightcrawler_ray.state.simindex import SimIndex
+
+    n = 20000
+    base = np.uint64(0x123456789ABCDEF0)
+    bits = np.random.default_rng(3).integers(0, 64, size=n).astype(np.uint64)
+    sims = (base ^ (np.uint64(1) << bits)).view(np.int64)
+    sims[0] = np.int64(base.view(np.int64))
+    idx = SimIndex()
+    try:
+        t0 = time.perf_counter()
+        out = idx.query_insert(sims, [f"d{i}" for i in range(n)], max_hamming=3)
+        dt = time.perf_counter() - t0
+    finally:
+        idx.shutdown()
+    assert out[0] == ""                       # the base doc has no witness
+    # every later doc is hamming 1 from base → 3 of 4 bands collide with d0,
+    # whose seq 0 is the global earliest witness
+    assert all(o == "d0" for o in out[1:])
+    assert dt < 10, f"flood went super-linear: {dt:.1f}s for {n} docs"

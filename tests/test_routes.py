@@ -226,3 +226,45 @@ def test_pagination_only_on_list_routes(ray_session, tmp_path):
     urls = {r["url"] for r in frontier}
     assert "http://rt.test/list/0.htm?page=1" in urls, "list pagination synthesized"
     assert not any("content/1.htm?page=" in u for u in urls), "no pagination off detail pages"
+
+
+def test_routed_site_fixture_full_discovery(ray_session, tmp_path):
+    """The bench-scale routed site (synth.build_routed_site) at tiny size:
+    every content page and attachment is reachable ONLY through the M29
+    record-count ``index_{k}.htm`` file series, so full discovery proves
+    list-route pagination + detail route + attachment route compose."""
+    from lightcrawler_ray.pipelines.crawl import CrawlJob
+    from lightcrawler_ray.sources import synth
+    from lightcrawler_ray.stages.frontier import CrawlSpec
+
+    p = synth.RoutedSiteParams(n_docs=100, n_hosts=2, page_size=5,
+                               body_repeat=2, att_every=2, seed=7)
+    paths = synth.ensure_routed_fixtures(p, root=str(tmp_path / "fx"))
+    seeds = pq.read_table(paths["seeds"])
+    assert seeds.num_rows == 2  # one section per host
+    spec = CrawlSpec(max_depth=3, follow_mode=2, routes=synth.ROUTED_ROUTES,
+                     synthesize_pagination=True, seen_shards=2,
+                     fetch_concurrency=2)
+    job = CrawlJob(spec, seeds, paths["pages"], paths["images"],
+                   paths["robots"], str(tmp_path / "job"))
+    summary = job.run(max_rounds=8)
+    docs = _load(job.job_dir, "docs")
+    atts = _load(job.job_dir, "attachments")
+    job.shutdown()
+
+    # 2 sections x (10 list pages + 50 content + 25 pdf) = 170 URLs
+    assert summary["links_followed"] == 170
+    assert sorted(d["url"] for d in docs) == sorted(
+        f"http://{synth._routed_host(i // 50, p)}/content/{i}.htm"
+        for i in range(100)
+    )
+    assert all(d["doc_ori_no"] for d in docs)
+    # every even doc's PDF payload was fetched on the attachment route
+    assert sorted(a["url"] for a in atts) == sorted(
+        f"http://{synth._routed_host(i // 50, p)}/files/a{i}.pdf"
+        for i in range(0, 100, 2)
+    )
+    assert all(a["att_ext"] == "pdf" for a in atts)
+    # harvested {title,url} links on the doc records point at the same PDFs
+    harvested = {l["url"] for d in docs for l in (d["attachments"] or [])}
+    assert harvested == {a["url"] for a in atts}
