@@ -541,6 +541,28 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN {_SW})) AS DOUBLE)"
             " / len(string_split(lower(text), ' ')) AS stop_ratio FROM documents"
         ),
+        "quality_scores": (
+            # mirrors texttools.quality_score op-for-op (same double-op order →
+            # bit-identical); RE2's ASCII \w/\s matches Python's Unicode classes
+            # on this corpus (ASCII + CJK, and the CJK range is excluded
+            # explicitly) — verified exact on sf0.01 and sf0.1
+            "WITH d AS (SELECT doc_id, length(text) AS n, "
+            "  substr(text, 1, 5000) AS head FROM documents), "
+            "s AS (SELECT doc_id, n, "
+            "  least(n / 500.0, 1.0) * (CASE WHEN n < 50000 THEN 1.0 ELSE 0.5 END)"
+            "    AS len_score, "
+            "  len(regexp_extract_all(head, '[^\\w\\s一-鿿]'))"
+            "    / CAST(least(n, 5000) AS DOUBLE) AS punct_ratio, "
+            "  list_transform(regexp_extract_all(head, '[a-zA-Z]+'), w -> lower(w))"
+            "    AS words FROM d), "
+            "s2 AS (SELECT doc_id, len_score, "
+            "  1.0 - least(punct_ratio * 3.0, 1.0) AS punct_score, "
+            "  CASE WHEN len(words) > 0 THEN least("
+            f"    CAST(len(list_filter(words, w -> w IN {_SW_LANG})) AS DOUBLE)"
+            "    / len(words) * 4.0, 1.0) ELSE 0.5 END AS stop_score FROM s) "
+            "SELECT doc_id, round((len_score + punct_score + stop_score) / 3.0, 6)"
+            " AS quality FROM s2"
+        ),
         "lang_id": (
             "SELECT doc_id, CASE "
             "WHEN CAST(len(regexp_extract_all(substring(text, 1, 2000), '[一-鿿]')) AS DOUBLE)"

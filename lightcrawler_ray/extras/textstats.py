@@ -66,8 +66,8 @@ def lang_id(sf_dir: str) -> rd.Dataset:
 
 
 def quality_scores(sf_dir: str) -> rd.Dataset:
-    """Composite quality heuristic (length/punct/stopword) — rows-only check
-    (the composite is not worth mirroring in SQL)."""
+    """Composite quality heuristic (length/punct/stopword); oracle-checked —
+    the SQL mirror replays the same double ops in the same order."""
 
     def f(t: pa.Table) -> pa.Table:
         out = [texttools.quality_score(x) for x in t.column("text").to_pylist()]
