@@ -382,6 +382,26 @@ def _q_index_lookup(sf_dir: str):
     return pd.DataFrame(rows, columns=["token", "doc_id"])
 
 
+def _q_audio_features(sf_dir: str):
+    from lightcrawler_ray.extras import multimodal
+    from lightcrawler_ray.sources import synth
+
+    paths = synth.ensure_av_fixtures()
+    return multimodal.audio_features(paths["audio"])
+
+
+def _q_video_frames(sf_dir: str):
+    from lightcrawler_ray.extras import multimodal
+    from lightcrawler_ray.sources import synth
+
+    paths = synth.ensure_av_fixtures()
+    ds = multimodal.video_frames(paths["video"])
+    return ds.map_batches(
+        lambda t: t.select(["video_id", "frame_idx", "ts_ms", "w", "h"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_image_stats(sf_dir: str):
     from lightcrawler_ray.extras import multimodal
 
@@ -453,12 +473,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_near_dups": _q_phash_near_dup,
         "image_stats": _q_image_stats,
         "image_resize": _q_image_resize,
+        "audio_features": _q_audio_features,
+        "video_frames": _q_video_frames,
         # S10 lookup face (SQL-oracled)
         "index_lookup": _q_index_lookup,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    # fingerprint oracle building blocks: texttools.fingerprint masks to 63
+    # bits at every rolling step, which equals the full window polynomial mod
+    # 2^63 — so the oracle computes each window's polynomial in HUGEINT (the
+    # raw sum can reach ~1.5e20, past INT64) and takes one mod at the end.
+    # 8 lead() terms with integer 257-power coefficients, HUGEINT bytes.
+    _pw = [257**k for k in range(8)]  # 257^0 .. 257^7
+    _fp_terms = " + ".join(
+        f"COALESCE(lead(bv, {j}) OVER w, 0) * {_pw[7 - j]}" for j in range(8)
+    )
+    _pw_list = "[" + ", ".join(str(p) for p in _pw) + "]"
+    _mask63 = "9223372036854775808"  # 2^63
     return {
         "crawl_report": (
             # decimal semantics (values are 2-decimal): integer-cent sums,
@@ -562,6 +595,30 @@ def oracle_sql() -> dict[str, str]:
             "    / len(words) * 4.0, 1.0) ELSE 0.5 END AS stop_score FROM s) "
             "SELECT doc_id, round((len_score + punct_score + stop_score) / 3.0, 6)"
             " AS quality FROM s2"
+        ),
+        "fingerprints": (
+            # bytes via hex(encode(text)) (UTF-8), per-window polynomial via 8
+            # lead() terms (see _fp_terms note above); n<=8 docs use the
+            # shorter-window polynomial, empty docs fingerprint 0
+            "WITH d AS (SELECT doc_id, lower(hex(encode(text))) AS hx, "
+            "  octet_length(encode(text)) AS n FROM documents), "
+            "b AS (SELECT doc_id, n, i, "
+            "  CAST((strpos('0123456789abcdef', substr(hx, 2*i-1, 1)) - 1) * 16 + "
+            "  (strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1) AS HUGEINT) AS bv "
+            "  FROM d, unnest(range(1, n+1)) AS t(i)), "
+            "h AS (SELECT doc_id, n, i, bv, "
+            f"  CAST(({_fp_terms}) % {_mask63} AS BIGINT) AS wh, "
+            "  count(*) OVER (PARTITION BY doc_id ORDER BY i "
+            "    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS tail "
+            "  FROM b WINDOW w AS (PARTITION BY doc_id ORDER BY i)) "
+            "SELECT doc_id, min(wh) AS fingerprint FROM h WHERE n > 8 AND tail = 8 "
+            "GROUP BY doc_id "
+            "UNION ALL "
+            f"SELECT doc_id, CAST(COALESCE(sum(bv * ({_pw_list})[n - i + 1]), 0) "
+            f"  % {_mask63} AS BIGINT) AS fingerprint "
+            "FROM b WHERE n <= 8 GROUP BY doc_id "
+            "UNION ALL "
+            "SELECT doc_id, 0 AS fingerprint FROM d WHERE n = 0"
         ),
         "lang_id": (
             "SELECT doc_id, CASE "

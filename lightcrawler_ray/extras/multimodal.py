@@ -1,12 +1,12 @@
 """Multimodal column operators — image/audio/video as opaque binary columns
 with typed metadata, processed by actor-pool map_batches stages.
 
-The container has no imaging/audio libraries, so the *codec* layer is the
-deterministic stand-in from functions/imagecodec.py (real PIL is picked up
-automatically when present) and the audio/video decoders are explicit
-NotImplementedError stubs — but the Ray-side plumbing (schemas, actor
-signatures, batch sizing for wide binary rows, output layout) is real and
-tested, per the build brief.
+The container has no imaging/audio/video libraries, so the *codec* layer is
+the deterministic stand-in from functions/imagecodec.py / avcodec.py (real
+PIL / soundfile / pyav are picked up automatically when present) — the
+Ray-side plumbing (schemas, actor signatures, batch sizing for wide binary
+rows, one-row-per-frame output layout) and the feature math (numpy DSP,
+frame sampling) are real and tested, per the build brief.
 
 Batch-size note: image rows are wide (binary payload). Stages here default to
 small batch_size so batch × concurrency stays inside a worker heap; callers
@@ -19,7 +19,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from ..functions import hashing, imagecodec
+from ..functions import avcodec, hashing, imagecodec
 
 
 class ImageDecodeStats:
@@ -87,27 +87,87 @@ def _pool(chan: np.ndarray, side: int) -> np.ndarray:
     return np.clip(_mean_pool(chan, side), 0, 255)
 
 
-class AudioFeatureStub:
-    """STUB: audio decode/feature-extract.  No audio stack in this container —
-    raises NotImplementedError at decode, but the stage signature, schema and
-    actor wiring are the production shape."""
+class AudioFeatures:
+    """Actor-pool stage: decode → per-clip DSP features.  The decode step is
+    the swap point (avcodec falls through to ``soundfile`` when present); the
+    features are real numpy DSP over the decoded PCM: duration, RMS level,
+    zero-crossing rate, and ``n_bands`` log-energy spectrum bands (the
+    mel-filterbank shape without the mel warp — no audio lib needed)."""
+
+    def __init__(self, n_bands: int = 8):
+        self.decode = avcodec.decode_audio  # real-codec swap point
+        self.n_bands = n_bands
+
+    def _bands(self, pcm: np.ndarray) -> list[float]:
+        spec = np.abs(np.fft.rfft(pcm.astype(np.float64))) ** 2
+        edges = np.linspace(0, len(spec), self.n_bands + 1).astype(np.int64)
+        return [
+            float(np.log1p(spec[lo:hi].sum())) for lo, hi in zip(edges[:-1], edges[1:])
+        ]
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "audio decoding requires an audio library not present in this "
-            "environment; swap in soundfile/librosa and emit "
-            "(clip_id, sr, duration_s, mfcc:list<float>)"
+        srs, durs, rms, zcr, bands, ok = [], [], [], [], [], []
+        for blob in t.column("bytes").to_pylist():
+            try:
+                pcm, sr = self.decode(blob)
+                x = pcm.astype(np.float64) / 32768.0
+                srs.append(sr)
+                durs.append(len(pcm) / sr)
+                rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+                zcr.append(float(np.mean(np.diff(np.signbit(x)) != 0)) if len(x) > 1 else 0.0)
+                bands.append(self._bands(pcm))
+                ok.append(True)
+            except avcodec.CodecError:
+                srs.append(0)
+                durs.append(0.0)
+                rms.append(0.0)
+                zcr.append(0.0)
+                bands.append([0.0] * self.n_bands)
+                ok.append(False)
+        return pa.table(
+            {
+                "clip_id": t.column("clip_id"),
+                "sr": pa.array(srs, pa.int32()),
+                "duration_s": pa.array(durs, pa.float64()),
+                "rms": pa.array(rms, pa.float64()),
+                "zcr": pa.array(zcr, pa.float64()),
+                "spec_bands": pa.array(bands, pa.list_(pa.float64(), self.n_bands)),
+                "decoded": pa.array(ok, pa.bool_()),
+            }
         )
 
 
-class VideoFrameSampleStub:
-    """STUB: video frame sampling — same contract as AudioFeatureStub."""
+class VideoFrameSample:
+    """Actor-pool stage: decode → sample every ``every_n``-th frame → ONE ROW
+    PER FRAME (map_batches legitimately returns more rows than it gets).
+    Sampled frames re-encode through the image codec so the output rows have
+    the IMAGES payload shape and flow into the image stages unchanged."""
+
+    def __init__(self, every_n: int = 4, fmt: str = "png"):
+        self.decode = avcodec.decode_video  # real-codec swap point
+        self.every_n = every_n
+        self.fmt = fmt
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "video decoding requires pyav/ffmpeg not present in this "
-            "environment; swap in a decoder and emit one row per sampled "
-            "frame (video_id, frame_idx, ts_ms, bytes)"
+        vids, idxs, ts, blobs, ws, hs = [], [], [], [], [], []
+        for vid, blob in zip(t.column("video_id").to_pylist(), t.column("bytes").to_pylist()):
+            frames, fps = self.decode(blob)
+            for i in range(0, len(frames), self.every_n):
+                vids.append(vid)
+                idxs.append(i)
+                ts.append(int(i * 1000 / fps) if fps else 0)
+                blobs.append(imagecodec.encode(frames[i], self.fmt))
+                hs.append(frames.shape[1])
+                ws.append(frames.shape[2])
+        return pa.table(
+            {
+                "video_id": pa.array(vids, pa.string()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "ts_ms": pa.array(ts, pa.int64()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+            }
         )
 
 
@@ -117,6 +177,34 @@ def image_stats(images_path: str) -> rd.Dataset:
     ds = storage.read_parquet_clean(images_path, columns=["image_id", "bytes"])
     return ds.map_batches(
         ImageDecodeStats, batch_format="pyarrow", batch_size=64, concurrency=2, num_cpus=1
+    )
+
+
+def audio_features(audio_path: str, n_bands: int = 8) -> rd.Dataset:
+    from .. import storage
+
+    ds = storage.read_parquet_clean(audio_path, columns=["clip_id", "bytes"])
+    return ds.map_batches(
+        AudioFeatures,
+        fn_constructor_kwargs={"n_bands": n_bands},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+def video_frames(video_path: str, every_n: int = 4) -> rd.Dataset:
+    from .. import storage
+
+    ds = storage.read_parquet_clean(video_path, columns=["video_id", "bytes"])
+    return ds.map_batches(
+        VideoFrameSample,
+        fn_constructor_kwargs={"every_n": every_n},
+        batch_format="pyarrow",
+        batch_size=16,  # frame fan-out widens rows ~len(frames)/every_n ×
+        concurrency=2,
+        num_cpus=1,
     )
 
 

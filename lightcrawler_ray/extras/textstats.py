@@ -77,7 +77,8 @@ def quality_scores(sf_dir: str) -> rd.Dataset:
 
 
 def fingerprints(sf_dir: str) -> rd.Dataset:
-    """Rolling-hash winnowing fingerprint per doc (rows-only check)."""
+    """Rolling-hash winnowing fingerprint per doc; oracle-checked — the SQL
+    mirror computes each window polynomial in HUGEINT mod 2^63."""
 
     def f(t: pa.Table) -> pa.Table:
         out = [texttools.fingerprint(x) for x in t.column("text").to_pylist()]

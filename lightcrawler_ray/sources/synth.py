@@ -592,3 +592,55 @@ def ensure_routed_fixtures(p: RoutedSiteParams | None = None, root: str = "/tmp/
         paths["images"],
     )
     return paths
+
+
+# ---------------------------------------------------------------------------
+# F5 — audio/video clip tables (multimodal binary columns, avcodec containers)
+
+
+def build_audio_clips(n: int, seed: int = 42, sr: int = 8000) -> pa.Table:
+    """Audio payload table: opaque ``bytes`` + typed metadata, one row per
+    clip.  Deterministic in (n, seed, sr); decode via avcodec.decode_audio."""
+    from ..functions import avcodec
+
+    blobs = [avcodec.synth_audio(seed * 1000 + i, sr) for i in range(n)]
+    return pa.table(
+        {
+            "clip_id": pa.array([f"au-{i:05d}" for i in range(n)], pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "codec": pa.array(["aud0"] * n, pa.string()),
+            "sr": pa.array([sr] * n, pa.int32()),
+        }
+    )
+
+
+def build_video_clips(n: int, seed: int = 42, w: int = 16, h: int = 16, fps: int = 10) -> pa.Table:
+    """Video payload table: opaque ``bytes`` + typed metadata, one row per
+    clip.  Deterministic in (n, seed, w, h, fps)."""
+    from ..functions import avcodec
+
+    blobs = [avcodec.synth_video(seed * 1000 + i, w, h, fps) for i in range(n)]
+    return pa.table(
+        {
+            "video_id": pa.array([f"vd-{i:05d}" for i in range(n)], pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "codec": pa.array(["vid0"] * n, pa.string()),
+            "fps": pa.array([fps] * n, pa.int32()),
+            "w": pa.array([w] * n, pa.int32()),
+            "h": pa.array([h] * n, pa.int32()),
+        }
+    )
+
+
+def ensure_av_fixtures(
+    n_audio: int = 64, n_video: int = 32, seed: int = 42, root: str = "/tmp/lcray_fixtures"
+) -> dict[str, str]:
+    """Materialize the audio/video clip tables once; name → parquet path."""
+    d = os.path.join(root, f"av_a{n_audio}_v{n_video}_s{seed}")
+    paths = {name: os.path.join(d, f"{name}.parquet") for name in ("audio", "video")}
+    if all(os.path.exists(v) for v in paths.values()):
+        return paths
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(build_audio_clips(n_audio, seed), paths["audio"])
+    pq.write_table(build_video_clips(n_video, seed), paths["video"])
+    return paths
