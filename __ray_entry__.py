@@ -620,6 +620,29 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT doc_id, 0 AS fingerprint FROM d WHERE n = 0"
         ),
+        "simhash_near_dups": (
+            # replays simhash64 bit-for-bit: _tok_hash == md5_number_lower
+            # (md5 low-64 little-endian), weighted bit votes over distinct
+            # tokens, sig bit = vote > 0.  The Ray side's 4-band pigeonhole
+            # is exact for hamming <= 3, so the oracle is the plain O(n²)
+            # hamming join — no banding needed.
+            "WITH tok AS (SELECT doc_id, t AS token, count(*) AS cnt "
+            "  FROM documents, "
+            "  unnest(regexp_extract_all(lower(text), '[\\w一-鿿]+')) u(t) "
+            "  GROUP BY doc_id, t), "
+            "bits AS (SELECT doc_id, b, "
+            "  sum(cnt * (CAST((md5_number_lower(token) >> b) & 1 AS BIGINT) * 2 - 1)) AS vote "
+            "  FROM tok, unnest(range(64)) r(b) GROUP BY doc_id, b), "
+            "sig0 AS (SELECT doc_id, bit_or(CASE WHEN vote > 0 "
+            "  THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS sim "
+            "  FROM bits GROUP BY doc_id), "
+            "sig AS (SELECT d.doc_id, COALESCE(s.sim, 0::UBIGINT) AS sim "
+            "  FROM documents d LEFT JOIN sig0 s USING (doc_id)) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming "
+            "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.sim, b.sim)) <= 3"
+        ),
         "lang_id": (
             "SELECT doc_id, CASE "
             "WHEN CAST(len(regexp_extract_all(substring(text, 1, 2000), '[一-鿿]')) AS DOUBLE)"

@@ -143,7 +143,11 @@ def simhash_docs(sf_dir: str) -> rd.Dataset:
 
 
 def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
-    """SimHash near-dup pairs via 4-band bucketing + hamming verify."""
+    """SimHash near-dup pairs via 4-band bucketing + hamming verify.
+
+    Oracle-checked: 4 bands are EXACT for hamming <= 3 (pigeonhole), and the
+    SQL mirror replays simhash64 itself (md5_number_lower token hashes +
+    weighted bit votes), so the output equals the full O(n²) hamming join."""
     sigs = simhash_docs(sf_dir)
 
     def band_rows(t: pa.Table) -> pa.Table:

@@ -40,7 +40,10 @@ def doc_id(content: str) -> str:
 
 
 # token-hash memo: tokens repeat heavily (CJK docs reuse a small vocabulary),
-# so each worker amortizes the blake2b cost to once per distinct token
+# so each worker amortizes the digest cost to once per distinct token.
+# The hash is md5 bytes [8:16] little-endian — the low 64 bits of md5 read as
+# a little-endian 128-bit number, i.e. DuckDB's md5_number_lower(token) —
+# chosen so SQL oracles can replay simhash signatures bit-for-bit.
 _TOK_CACHE: dict[str, int] = {}
 _TOK_CACHE_MAX = 1 << 20
 
@@ -49,8 +52,7 @@ def _tok_hash(t: str) -> int:
     h = _TOK_CACHE.get(t)
     if h is None:
         h = int.from_bytes(
-            hashlib.blake2b(t.encode("utf-8", "surrogatepass"), digest_size=8).digest(),
-            "little",
+            hashlib.md5(t.encode("utf-8", "surrogatepass")).digest()[8:], "little"
         )
         if len(_TOK_CACHE) < _TOK_CACHE_MAX:
             _TOK_CACHE[t] = h
