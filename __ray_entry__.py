@@ -492,6 +492,14 @@ def oracle_sql() -> dict[str, str]:
     )
     _pw_list = "[" + ", ".join(str(p) for p in _pw) + "]"
     _mask63 = "9223372036854775808"  # 2^63
+    # minhash oracle constants: the (a, b) permutation params are a pure
+    # function of seed 42 — inlined as literals so SQL replays the exact
+    # (a*x + b) mod 2^64 signature (x = md5_number_lower(shingle) & (2^61-1))
+    from lightcrawler_ray.functions import hashing as _hashing
+
+    _mh_a, _mh_b = _hashing.minhash_params(64)
+    _A = "[" + ",".join(f"{int(v)}::HUGEINT" for v in _mh_a) + "]"
+    _B = "[" + ",".join(f"{int(v)}::HUGEINT" for v in _mh_b) + "]"
     return {
         "crawl_report": (
             # decimal semantics (values are 2-decimal): integer-cent sums,
@@ -619,6 +627,47 @@ def oracle_sql() -> dict[str, str]:
             "FROM b WHERE n <= 8 GROUP BY doc_id "
             "UNION ALL "
             "SELECT doc_id, 0 AS fingerprint FROM d WHERE n = 0"
+        ),
+        "minhash_lsh_pairs": (
+            # replays the WHOLE LSH pipeline deterministically: tokenizer
+            # 3-gram shingles (chr(31)-joined) → md5_number_lower & (2^61-1)
+            # → 64 inlined (a*x+b) mod 2^64 permutations → 16 bands × 4 rows
+            # (band equality = minhash-list equality; the engine's band
+            # blake2b is just a grouping key) → candidate pairs → exact
+            # space-split 3-gram Jaccard >= 0.5, same float division.
+            "WITH tok AS (SELECT doc_id, "
+            "  regexp_extract_all(lower(text), '[\\w一-鿿]+') AS toks FROM documents), "
+            "sh AS (SELECT doc_id, "
+            "  CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[]) "
+            "       WHEN len(toks) < 3 THEN [array_to_string(toks, chr(31))] "
+            "       ELSE list_transform(range(1, len(toks) - 1), "
+            "            i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2]) "
+            "  END AS shingles FROM tok), "
+            "ux AS (SELECT doc_id, md5_number_lower(s) & 2305843009213693951 AS x "
+            "  FROM sh, unnest(shingles) u(s)), "
+            "mh AS (SELECT doc_id, k, "
+            f"  min(CAST((({_A})[k+1] * x + ({_B})[k+1]) "
+            "      % 18446744073709551616 AS UBIGINT)) AS mv "
+            "  FROM ux, unnest(range(64)) r(k) GROUP BY doc_id, k "
+            "  UNION ALL "
+            "  SELECT doc_id, k, 18446744073709551615::UBIGINT AS mv "
+            "  FROM sh, unnest(range(64)) r(k) WHERE len(shingles) = 0), "
+            "bk AS (SELECT doc_id, k // 4 AS band_id, list(mv ORDER BY k) AS key "
+            "  FROM mh GROUP BY doc_id, k // 4), "
+            "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "  FROM bk a JOIN bk b "
+            "  ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id), "
+            "vw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+            "vsh AS (SELECT doc_id, list_distinct(list_transform( "
+            "  range(1, greatest(len(w) - 2, 1) + 1), "
+            "  j -> array_to_string(list_slice(w, j, j + 2), ' '))) AS g FROM vw) "
+            "SELECT doc_a, doc_b, "
+            "  CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) "
+            "  / greatest(len(list_distinct(ga.g || gb.g)), 1) AS jaccard "
+            "FROM cand JOIN vsh ga ON ga.doc_id = cand.doc_a "
+            "JOIN vsh gb ON gb.doc_id = cand.doc_b "
+            "WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) "
+            "  / greatest(len(list_distinct(ga.g || gb.g)), 1) >= 0.5"
         ),
         "simhash_near_dups": (
             # replays simhash64 bit-for-bit: _tok_hash == md5_number_lower

@@ -64,6 +64,10 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     """Full MinHash-LSH near-dup: bucket groupby → candidate pairs →
     exact-Jaccard verification against the real shingle sets.
 
+    Oracle-checked end-to-end: shingle hashes are md5_number_lower, the
+    permutation params are seed-42 literals, and band equality is minhash-
+    list equality — the SQL mirror replays candidates AND verify exactly.
+
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
     The verify step re-reads only the candidate docs (point lookups on a
     broadcast id→text map here; at 100 TB it would be a secondary join keyed

@@ -176,7 +176,8 @@ def minhash_signature(hs: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
 
 
 def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Hashes of the text's word n-gram shingles."""
+    """Hashes of the text's word n-gram shingles (md5 low-64 little-endian,
+    i.e. DuckDB md5_number_lower — SQL oracles replay the minhash exactly)."""
     toks = _TOKEN_RE.findall(text.lower())
     if len(toks) < n:
         joined = ["\x1f".join(toks)] if toks else []
@@ -185,7 +186,6 @@ def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     out = np.empty(len(joined), dtype=np.uint64)
     for i, s in enumerate(joined):
         out[i] = int.from_bytes(
-            hashlib.blake2b(s.encode("utf-8", "surrogatepass"), digest_size=8).digest(),
-            "little",
+            hashlib.md5(s.encode("utf-8", "surrogatepass")).digest()[8:], "little"
         )
     return out
