@@ -595,7 +595,7 @@ def ensure_routed_fixtures(p: RoutedSiteParams | None = None, root: str = "/tmp/
 
 
 # ---------------------------------------------------------------------------
-# F5 — audio/video clip tables (multimodal binary columns, avcodec containers)
+# F7 — audio/video clip tables (multimodal binary columns, avcodec containers)
 
 
 def build_audio_clips(n: int, seed: int = 42, sr: int = 8000) -> pa.Table:
