@@ -249,6 +249,48 @@ def test_resume_mid_epoch_kill(ray_session, fixture_paths, golden, tmp_path):
         j2.shutdown()
 
 
+def test_resume_after_fetch_worker_death(ray_session, fixture_paths, golden, tmp_path):
+    """A fetch-worker ACTOR dying mid-crawl (node loss at cluster scale)
+    fails the in-flight round; a supervisor-style restart on the same job
+    dir resumes from the last blessed epoch and converges to the golden
+    state.  This drives the real failure path — ray.kill on a live actor,
+    error propagation through the dispatch/split chain — not just a
+    synthesized crash dir."""
+    import ray
+
+    from lightcrawler_ray.pipelines.crawl import CrawlJob
+
+    p, paths = fixture_paths
+    seeds = pq.read_table(paths["seeds"])
+    job_dir = str(tmp_path / "actorkill")
+    j1 = CrawlJob(make_spec(), seeds, paths["pages"], paths["images"], paths["robots"], job_dir)
+    cand, hint = j1._seed_table(), j1.seeds.num_rows
+    for e in range(2):
+        n, cand, hint = j1._round(cand, e, hint)
+    j1._drain_pending()
+    # the node holding the (only) fetch worker dies
+    ray.kill(j1.fetch_pool.workers[0])
+    with pytest.raises(Exception):
+        n, cand, hint = j1._round(cand, 2, hint)
+        j1._drain_pending()
+        j1._round(cand, 3, hint)  # belt-and-braces: error must surface by here
+    # crashed-driver teardown: kill job actors without draining errored refs
+    for comp in (j1.seen, j1.content_seen, j1.fetch_pool, j1.sched, j1.docsim):
+        try:
+            comp.shutdown()
+        except Exception:
+            pass
+
+    j2 = CrawlJob(make_spec(), seeds, paths["pages"], paths["images"],
+                  paths["robots"], job_dir)
+    j2.run(max_rounds=10)
+    try:
+        assert set(j2.seen.members()) == golden.seen
+        assert j2.crawl_order() == golden.order
+    finally:
+        j2.shutdown()
+
+
 def test_traffic_limit_aborts(ray_session, fixture_paths, tmp_path):
     """A2 — cumulative-bytes abort stops the crawl early (round granular)."""
     from lightcrawler_ray.pipelines.crawl import CrawlJob
