@@ -249,12 +249,14 @@ def test_resume_mid_epoch_kill(ray_session, fixture_paths, golden, tmp_path):
         j2.shutdown()
 
 
-def test_resume_after_fetch_worker_death(ray_session, fixture_paths, golden, tmp_path):
-    """A fetch-worker ACTOR dying mid-crawl (node loss at cluster scale)
+@pytest.mark.parametrize("victim", ["fetch", "seen", "content", "sched"])
+def test_resume_after_actor_death(ray_session, fixture_paths, golden, tmp_path, victim):
+    """A job-lifetime ACTOR dying mid-crawl (node loss at cluster scale) —
+    fetch worker, URL-seen shard, content-seen shard, or politeness shard —
     fails the in-flight round; a supervisor-style restart on the same job
     dir resumes from the last blessed epoch and converges to the golden
     state.  This drives the real failure path — ray.kill on a live actor,
-    error propagation through the dispatch/split chain — not just a
+    error propagation through the dispatch/split/gate chains — not just a
     synthesized crash dir."""
     import ray
 
@@ -262,14 +264,20 @@ def test_resume_after_fetch_worker_death(ray_session, fixture_paths, golden, tmp
 
     p, paths = fixture_paths
     seeds = pq.read_table(paths["seeds"])
-    job_dir = str(tmp_path / "actorkill")
+    job_dir = str(tmp_path / f"actorkill_{victim}")
     j1 = CrawlJob(make_spec(), seeds, paths["pages"], paths["images"], paths["robots"], job_dir)
     cand, hint = j1._seed_table(), j1.seeds.num_rows
     for e in range(2):
         n, cand, hint = j1._round(cand, e, hint)
     j1._drain_pending()
-    # the node holding the (only) fetch worker dies
-    ray.kill(j1.fetch_pool.workers[0])
+    ray.kill(
+        {
+            "fetch": lambda: j1.fetch_pool.workers[0],
+            "seen": lambda: j1.seen.shards[0],
+            "content": lambda: j1.content_seen.shards[0],
+            "sched": lambda: j1.sched.shards[0],
+        }[victim]()
+    )
     with pytest.raises(Exception):
         n, cand, hint = j1._round(cand, 2, hint)
         j1._drain_pending()
