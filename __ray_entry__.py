@@ -447,12 +447,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": rel.exact_dedup_first,
         "ngram_jaccard_pairs": dedupe.ngram_jaccard_pairs,
         "embedding_near_dups": dedupe.embedding_near_dups,
-        "minhash_lsh_pairs": dedupe.minhash_lsh_pairs,       # rows-only
-        "simhash_near_dups": dedupe.simhash_near_dups,       # rows-only
-        "embedding_near_dups_lsh": dedupe.embedding_near_dups_lsh,  # rows-only (approx, scale path)
+        "minhash_lsh_pairs": dedupe.minhash_lsh_pairs,       # SQL-oracled (full LSH replay)
+        "simhash_near_dups": dedupe.simhash_near_dups,       # SQL-oracled (bit-exact sigs)
+        "embedding_near_dups_lsh": dedupe.embedding_near_dups_lsh,  # SQL-oracled (plane replay)
         # similarity search
         "ann_topk": ann.topk_bruteforce,
-        "ann_topk_lsh": ann.topk_lsh,                        # rows-only (approx)
+        "ann_topk_lsh": ann.topk_lsh,                        # SQL-oracled (plane replay)
         # text extras (rows-only)
         "quality_scores": textstats.quality_scores,
         "fingerprints": textstats.fingerprints,
@@ -478,6 +478,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # S10 lookup face (SQL-oracled)
         "index_lookup": _q_index_lookup,
     }
+
+
+def _planes_values_sql(n_planes: int, dim: int = 64, seed: int = 42) -> str:
+    """The LSH hyperplanes as a SQL VALUES list.  Both LSH queries draw their
+    planes from ``np.random.default_rng(42).standard_normal((n_planes, dim))``;
+    ``repr(float)`` round-trips IEEE-754 doubles, so DuckDB parses the exact
+    same plane matrix and the sign bits (buckets) replay bit-for-bit."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(p, ", ".join(repr(float(v)) for v in planes[p]))
+        for p in range(n_planes)
+    )
+    return "(VALUES " + rows + ")"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -738,6 +753,43 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT DISTINCT doc_id, w FROM documents, "
             "  unnest(string_split_regex(lower(text), '\\s+')) AS t(w) WHERE w != ''"
             ") WHERE w IN ('query', 'window', 'scan')"
+        ),
+        "embedding_near_dups_lsh": (
+            # replays the random-hyperplane blocking exactly: bucket = sign
+            # bits of the 4 plane dot-products (normalization never flips a
+            # sign), and multi-probe (each row emitted into its bucket + all
+            # 1-bit flips) makes a pair collide iff the probe sets intersect
+            # ⇔ hamming(bucket_a, bucket_b) <= 2.  Cosine threshold is the
+            # same float64 compare on the same float32→float64 cast vectors.
+            "WITH planes(p, v) AS " + _planes_values_sql(4) + ", "
+            "bk AS (SELECT vec_id, embedding, CAST(sum(CASE WHEN "
+            "  list_dot_product(embedding::DOUBLE[], v) > 0 THEN 1 << p ELSE 0 END) "
+            "  AS BIGINT) AS bucket FROM embeddings, planes GROUP BY vec_id, embedding) "
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+            "FROM bk a JOIN bk b ON a.vec_id < b.vec_id "
+            " AND bit_count(xor(a.bucket, b.bucket)) <= 2 "
+            "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35"
+        ),
+        "ann_topk_lsh": (
+            # same plane replay with 8 planes; the engine probes each QUERY
+            # bucket plus its 1-bit flips, so a corpus row is scored iff
+            # hamming(q.bucket, e.bucket) <= 1.  Ranking mirrors the engine's
+            # (sim desc, neighbor_id asc) tie-break; fewer than k rows per
+            # query is expected when buckets run sparse (approximate recall,
+            # exact replay).
+            "WITH planes(p, v) AS " + _planes_values_sql(8) + ", "
+            "bk AS (SELECT vec_id, embedding, CAST(sum(CASE WHEN "
+            "  list_dot_product(embedding::DOUBLE[], v) > 0 THEN 1 << p ELSE 0 END) "
+            "  AS BIGINT) AS bucket FROM embeddings, planes GROUP BY vec_id, embedding), "
+            "q AS (SELECT * FROM bk ORDER BY vec_id LIMIT 5) "
+            "SELECT query_id, neighbor_id, rank FROM ("
+            "  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+            "  row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "    list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC, "
+            "    e.vec_id) AS rank "
+            "  FROM q JOIN bk e ON bit_count(xor(q.bucket, e.bucket)) <= 1 "
+            "   AND e.vec_id != q.vec_id"
+            ") WHERE rank <= 10"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5) "
