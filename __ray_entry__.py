@@ -453,6 +453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": ann.topk_bruteforce,
         "ann_topk_lsh": ann.topk_lsh,                        # SQL-oracled (plane replay)
+        "ann_topk_ivf": ann.topk_ivf,                        # rows-only (data-dependent centroids; recall pinned in tests)
         # text extras (rows-only)
         "quality_scores": textstats.quality_scores,
         "fingerprints": textstats.fingerprints,

@@ -5,8 +5,15 @@
   per-batch partial top-k; the driver merges partials (k × queries rows, not
   the corpus).  This is the scale baseline: corpus streams, queries ride the
   object store.
-- ``topk_lsh`` — the scale path: random-hyperplane LSH buckets both sides;
-  only colliding buckets are scored.  Approximate (rows-only check).
+- ``topk_lsh`` — a scale path: random-hyperplane LSH buckets both sides;
+  only colliding buckets are scored.  Exactly SQL-replayed by the oracle
+  (literal planes; probe condition = bucket hamming <= 1).
+- ``topk_ivf`` — the other scale path: streaming spherical k-means builds
+  ``n_lists`` coarse centroids (deterministic init, fixed iterations; each
+  pass is one map_batches emitting k x dim partial sums — no shuffle), then
+  queries probe their ``n_probe`` nearest lists and only rows assigned to a
+  probed list are scored.  Deterministic but data-dependent (centroids), so
+  rows-only; recall vs the brute-force oracle is pinned by a pytest.
 """
 
 from __future__ import annotations
@@ -123,6 +130,129 @@ def topk_lsh(sf_dir: str, k: int = 10, n_queries: int = 5, n_planes: int = 8, se
     out_rows = []
     for qid, g in partials.groupby("query_id"):
         g = g.drop_duplicates("neighbor_id")
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="stable").head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        out_rows.append(g[["query_id", "neighbor_id", "rank"]])
+    return (
+        pd.concat(out_rows, ignore_index=True)
+        if out_rows
+        else pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": []})
+    )
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+
+
+def _batch_vectors(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    m = np.stack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+    return ids, _normalize_rows(m)
+
+
+def train_ivf_centroids(sf_dir: str, n_lists: int = 16, iters: int = 3) -> np.ndarray:
+    """Streaming spherical k-means over the embeddings table.
+
+    Init is deterministic: the corpus's ``n_lists`` evenly-spaced rows in
+    vec_id order (no RNG, no data-dependent seeding pass beyond the cheap
+    id-column read).  Each iteration is ONE map_batches pass emitting per-list
+    partial sums + counts (k x dim floats per batch — tiny), reduced on the
+    driver; new centroid = normalized mean, empty lists keep their previous
+    centroid.  At cluster scale the corpus streams ``iters`` times and the
+    only driver state is the k x dim centroid matrix; a production variant
+    would train on a sample and persist the assignment as a column."""
+    import pyarrow.parquet as pq
+
+    from .. import storage
+
+    id_col = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    ids_sorted = np.sort(np.array(id_col.column("vec_id").to_pylist(), dtype=np.int64))
+    n = len(ids_sorted)
+    n_lists = min(n_lists, n)
+    pick = set(int(ids_sorted[int(i * n / n_lists)]) for i in range(n_lists))
+    seed_rows = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mask = np.isin(np.array(seed_rows.column("vec_id").to_pylist(), dtype=np.int64),
+                   np.array(sorted(pick), dtype=np.int64))
+    seed_m = np.stack(
+        seed_rows.column("embedding").to_numpy(zero_copy_only=False)
+    ).astype(np.float64)[mask]
+    centroids = _normalize_rows(seed_m)
+
+    ds = storage.read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    for _ in range(iters):
+        c_ref = ray.put(centroids)
+        kk, dim = centroids.shape
+
+        def partial_sums(t: pa.Table, _c=c_ref, _k=kk, _d=dim) -> pa.Table:
+            c = ray.get(_c)
+            _, m = _batch_vectors(t)
+            assign = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros((_k, _d))
+            np.add.at(sums, assign, m)
+            cnt = np.bincount(assign, minlength=_k).astype(np.int64)
+            return pa.table({
+                "list_id": pa.array(np.arange(_k), pa.int32()),
+                "vsum": pa.array(sums.tolist(), pa.list_(pa.float64(), _d)),
+                "cnt": pa.array(cnt, pa.int64()),
+            })
+
+        parts = ds.map_batches(partial_sums, batch_format="pyarrow").to_arrow_refs()
+        sums = np.zeros_like(centroids)
+        cnts = np.zeros(kk, dtype=np.int64)
+        for t in ray.get(parts):
+            if t.num_rows == 0:
+                continue
+            sums += np.array(t.column("vsum").to_pylist(), dtype=np.float64)
+            cnts += np.array(t.column("cnt").to_pylist(), dtype=np.int64)
+        nonempty = cnts > 0
+        centroids = centroids.copy()
+        centroids[nonempty] = _normalize_rows(sums[nonempty] / cnts[nonempty, None])
+    return centroids
+
+
+def topk_ivf(sf_dir: str, k: int = 10, n_queries: int = 5,
+             n_lists: int = 16, n_probe: int = 4, iters: int = 3) -> pd.DataFrame:
+    """IVF approximate top-k: each query probes its ``n_probe`` nearest
+    coarse lists; a corpus row is scored only when its assigned list is
+    probed by that query.  One scoring pass (corpus streams, centroid matrix
+    + query matrix broadcast once), per-batch partial top-k, driver merges
+    k x Q rows.  Returns (query_id, neighbor_id, rank) like the other ANN
+    faces — ties broken by neighbor_id asc."""
+    qids, qm = _load_queries(sf_dir, n_queries)
+    centroids = train_ivf_centroids(sf_dir, n_lists=n_lists, iters=iters)
+    # per-query probed lists: n_probe highest-cosine centroids, ties by
+    # index — materialized as a (Q, n_lists) bool lookup so the scoring pass
+    # tests membership with one fancy-index, no per-row Python
+    order = np.argsort(-(qm @ centroids.T), axis=1, kind="stable")[:, :n_probe]
+    probe_mask = np.zeros((len(qids), centroids.shape[0]), dtype=bool)
+    probe_mask[np.arange(len(qids))[:, None], order] = True
+    state = ray.put((qids, qm, centroids, probe_mask))
+    from .. import storage
+
+    ds = storage.read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        qids_, qm_, c_, probe_mask_ = ray.get(state)
+        ids, m = _batch_vectors(t)
+        assign = np.argmax(m @ c_.T, axis=1)
+        out_q, out_n, out_s = [], [], []
+        sims = qm_ @ m.T  # (Q, B)
+        for qi in range(len(qids_)):
+            keep = probe_mask_[qi][assign] & (ids != qids_[qi])
+            cand_ids, cand_s = ids[keep], sims[qi][keep]
+            order_ = np.lexsort((cand_ids, -cand_s))[:k]
+            out_q.extend([qids_[qi]] * len(order_))
+            out_n.extend(cand_ids[order_])
+            out_s.extend(cand_s[order_])
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()),
+             "neighbor_id": pa.array(out_n, pa.int64()),
+             "sim": pa.array(out_s, pa.float64())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    for qid, g in partials.groupby("query_id"):
         g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="stable").head(k)
         g = g.assign(rank=np.arange(1, len(g) + 1))
         out_rows.append(g[["query_id", "neighbor_id", "rank"]])

