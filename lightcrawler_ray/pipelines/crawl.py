@@ -385,6 +385,16 @@ class CrawlJob:
         else:
             df = passed.to_pandas()
             df["enqueue_seq"] = np.array([], dtype=np.int64)
+        return self._local_tail(df, epoch, ed)
+
+    def _local_tail(self, df, epoch: int, ed: str):
+        """Fetch + sinks for a driver-sized round: ``df`` is the gated,
+        budget-capped frontier with ``enqueue_seq`` assigned, sorted in pop
+        order.  Shared by the local path and by ``_round_dist``'s tail
+        collapse (a distributed round whose gate leaves only a handful of
+        winners delegates here instead of paying the rank/split/finalize
+        task machinery — the BFS tail's fixed cost at every pool size)."""
+        spec = self.spec
         n_frontier = len(df)
         if n_frontier == 0:
             self._drain_pending()
@@ -560,6 +570,28 @@ class CrawlJob:
             self._drain_pending()
             self._finish_epoch(ed, links=_empty_links_table(), rows=0)
             return 0, _empty_links_table(), 0
+        if n_frontier <= spec.local_round_threshold:
+            # tail collapse: the gate left a driver-sized round (the raw
+            # link count that routed us here was dominated by already-seen
+            # URLs).  Gather the winner rows — tiny by construction — and
+            # run the local tail; the seen/content/sched shard state is
+            # shared, so path switches stay exact.
+            kept = [
+                blocks[b] if not winner_mat[b]
+                else _apply_winners.remote(blocks[b], *winner_mat[b])
+                for b in range(len(blocks))
+            ]
+            parts = [
+                t.slice(0, int(take[b])) for b, t in enumerate(ray.get(kept))
+            ]
+            tbl = pa.concat_tables([t for t in parts if t.num_rows])
+            df = tbl.to_pandas().sort_values(["parent_seq", "link_idx"], kind="stable")
+            df["enqueue_seq"] = np.arange(self.next_seq, self.next_seq + len(df))
+            self.next_seq += len(df)
+            df = df.sort_values(["priority", "enqueue_seq"], ascending=[False, True],
+                                kind="stable")
+            _mark(f"tail_collapse n={n_frontier}")
+            return self._local_tail(df, epoch, ed)
         self.fetched += n_frontier
 
         frontier_dir = os.path.join(ed, "frontier")
