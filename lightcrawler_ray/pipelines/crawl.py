@@ -170,9 +170,18 @@ class CrawlJob:
             spec.fetch_concurrency, self.pages_ref, self.images_ref, self._fetch_kwargs()
         )
         # pre-spawn the task workers the round tasks will run on, so the
-        # first distributed round doesn't pay worker startup latency
+        # first distributed round doesn't pay worker startup latency; ditto
+        # the state shard actors (seen/content/schedule/sim) — a crawl
+        # service initializes its pools at deploy time, not inside round 0
         n_task_cpus = max(1, int(ray.cluster_resources().get("CPU", 8)) - spec.fetch_concurrency)
-        ray.get([_noop.remote() for _ in range(n_task_cpus)])
+        shard_actors = (
+            list(self.seen.shards) + list(self.content_seen.shards)
+            + list(self.sched.shards) + list(self.docsim.shards)
+        )
+        ray.get(
+            [_noop.remote() for _ in range(n_task_cpus)]
+            + [a.__ray_ready__.remote() for a in shard_actors]
+        )
 
     def _note_content(self, statuses, urls, seqs) -> None:
         """M9 — flip the redirect-only mode off at the first 200 fetch,
