@@ -116,6 +116,7 @@ class CrawlJob:
         # link refs (pure tasks — safe to speculate; the stateful gate is not)
         self._prefilter: dict | None = None
         self._avg_links = 8.0  # links-per-URL estimate for coalesce sizing
+        self.tail_collapses = 0  # dist rounds that gated down to the local tail
         # M9: until the first 200-content fetch, candidate filtering keeps
         # only redirect links (mode off => treat content as already found)
         self._content_found = not spec.redirects_till_content
@@ -600,6 +601,7 @@ class CrawlJob:
             df = df.sort_values(["priority", "enqueue_seq"], ascending=[False, True],
                                 kind="stable")
             _mark(f"tail_collapse n={n_frontier}")
+            self.tail_collapses += 1
             return self._local_tail(df, epoch, ed)
         self.fetched += n_frontier
 

@@ -338,3 +338,28 @@ def test_robots_disallow_respected(engine_run, golden):
     """host 0 disallows /private/ — nothing under it may be fetched."""
     job, _ = engine_run
     assert not any("/private/" in u for u in golden.order_urls)
+
+
+def test_tail_collapse_parity(ray_session, fixture_paths, golden, tmp_path):
+    """A distributed round whose seen gate leaves <= threshold winners must
+    collapse to the local tail (skipping the rank/split/finalize machinery)
+    WITHOUT changing order, membership, or sink contents — and the collapse
+    must actually fire on this fixture (the BFS tail rounds have large raw
+    link counts but tiny unseen remainders)."""
+    from lightcrawler_ray.pipelines.crawl import CrawlJob
+
+    p, paths = fixture_paths
+    # threshold below the biggest round but above the gated tail rounds; the
+    # raw-link hint routes mid-crawl rounds distributed, the gate then leaves
+    # a driver-sized remainder
+    spec = make_spec(local_round_threshold=60)
+    seeds = pq.read_table(paths["seeds"])
+    job = CrawlJob(spec, seeds, paths["pages"], paths["images"], paths["robots"],
+                   str(tmp_path / "collapse"))
+    job.run(max_rounds=10)
+    try:
+        assert job.tail_collapses > 0, "fixture never exercised the collapse path"
+        assert set(job.seen.members()) == golden.seen
+        assert job.crawl_order() == golden.order
+    finally:
+        job.shutdown()
