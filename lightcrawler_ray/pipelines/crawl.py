@@ -237,6 +237,7 @@ class CrawlJob:
             routes=s.routes,
             auth_rules=s.auth_rules,
             post_rules=s.post_rules,
+            parse_mode=s.parse_mode,
         )
 
     def _derive_seed_scope(self) -> None:

@@ -197,6 +197,7 @@ class SyntheticFetchExtract:
         routes: tuple[tuple[str, str], ...] = (),
         auth_rules: tuple = (),
         post_rules: tuple = (),
+        parse_mode: str = "fast",
     ):
         import re as _re
 
@@ -250,6 +251,15 @@ class SyntheticFetchExtract:
         self.aggressive_links = aggressive_links
         self.synthesize_pagination = synthesize_pagination
         self.request_delay_ms = request_delay_ms
+        # M15 — bind the HTML parse path once per worker (spec.parse_mode)
+        if parse_mode == "dom":
+            from ..functions import dom
+
+            self._html_to_lines = dom.html_to_lines
+            self._main_content = dom.main_content
+        else:
+            self._html_to_lines = texttools.html_to_lines
+            self._main_content = texttools.main_content
 
     # -- the swappable fetch primitive --------------------------------------
     def _fetch_raw(self, url: str) -> tuple[int, str, bytes, str, int]:
@@ -415,12 +425,12 @@ class SyntheticFetchExtract:
 
     def _doc_row(self, ob: OutBuilder, url: str, md5: str, html: str, seq: int,
                  links: list | None = None) -> None:
-        lines = texttools.html_to_lines(html)
+        lines = self._html_to_lines(html)
         # M18/M28/A3: content = extracted MAIN content (nav/link blocks
         # suppressed, p-ratio or line-density path) so every downstream
         # hash/quality/dedup value is boilerplate-free; summary fields still
         # scan the full line set (labels may sit outside the dense block)
-        content = texttools.main_content(html) or "\n".join(lines)
+        content = self._main_content(html) or "\n".join(lines)
         summary = texttools.extract_summary(lines, htmltools.page_title(html))
         # M25 — {title, url} attachment-link harvest into the doc record
         # (ExtractContent.class.php:741-788): page links with doc extensions

@@ -76,6 +76,11 @@ class CrawlSpec:
     # (stages/httpfetch.HttpClient over a real wire; same surrounding
     # engine byte-for-byte)
     fetcher: str = "synthetic"
+    # M15 — HTML parse for doc extraction: "fast" = vectorized regex path
+    # (value-identical on well-formed pages, ~several× cheaper — the 100 TB
+    # default); "dom" = stdlib-tokenizer DOM tree (functions/dom.py), the
+    # reference's DOMDocument::loadHTML shape for adversarial HTML
+    parse_mode: str = "fast"
     user_agent: str = "lightcrawler-ray/0.1"
     connect_timeout_s: float = 60.0          # CrawlerSettings.class.php:39
     stream_timeout_s: float = 60.0           # CrawlerSettings.class.php:40
