@@ -71,9 +71,11 @@ def bench_crawl(ncpu: int) -> dict:
         snapshot_every=4,
     )
     job = CrawlJob(spec, seeds, paths["pages"], paths["images"], paths["robots"], job_dir)
+    steal0 = _steal_cpu_s()
     t0 = time.perf_counter()
     summary = job.run(max_rounds=12)
     dt = time.perf_counter() - t0
+    steal = max(0.0, _steal_cpu_s() - steal0)
     rss_mb, anon_mb = _driver_mem_mb()
     job.shutdown()
     shutil.rmtree(job_dir, ignore_errors=True)
@@ -87,6 +89,9 @@ def bench_crawl(ncpu: int) -> dict:
         "seen_mode": seen_mode,
         "driver_peak_rss_mb": rss_mb,
         "driver_anon_rss_mb": anon_mb,
+        # steal DURING the timed window only (untimed fixture-load bursts
+        # don't pollute the throughput number and must not flag the leg)
+        "steal_frac": round(steal / (dt * len(os.sched_getaffinity(0))), 4),
     }
 
 
@@ -146,6 +151,18 @@ def bench_routed(ncpu: int) -> dict:
         "docs": docs,
         "attachments": atts,
     }
+
+
+def _steal_cpu_s() -> float:
+    """Cumulative STEAL seconds (/proc/stat field 8): CPU time the
+    hypervisor denied this VM's runnable vCPUs — the direct, attributable
+    neighbor-interference signal on this shared host.  (Only this sandbox's
+    own processes run inside the VM, so guest-visible busy time is all ours;
+    verified empirically: an idle-VM window shows busy≈0 even at loadavg 6,
+    while slow bench legs coincide with steal bursts of 7–10 CPUs.)"""
+    with open("/proc/stat") as f:
+        vals = list(map(int, f.readline().split()[1:]))
+    return vals[7] / os.sysconf("SC_CLK_TCK") if len(vals) > 7 else 0.0
 
 
 def _driver_mem_mb() -> tuple[float, float]:
@@ -217,6 +234,10 @@ def main() -> None:
     for t in ("lineitem", "events", "documents", "embeddings", "orders", "supplier"):
         pq.read_table(f"{sf_dir}/{t}.parquet")
 
+    # run-time pollution accounting: hypervisor steal time over the measured
+    # window.  Launch-time loadavg can't see a burst that arrives mid-leg;
+    # steal can, and it is attributable (it is never our own work).
+    steal0, wall0 = _steal_cpu_s(), time.perf_counter()
     crawl = bench_crawl(ncpu)
     # the --scaling legs time only the crawl (the operator suite is a
     # single-level measurement and would just add noise window)
@@ -228,6 +249,10 @@ def main() -> None:
     queries["crawl_400k"] = round(crawl["sec"], 3)
     total = round(sum(queries.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    ray.shutdown()
+    wall = time.perf_counter() - wall0
+    steal_cpu_s = max(0.0, _steal_cpu_s() - steal0)
+    n_host = len(os.sched_getaffinity(0))
     print(
         json.dumps(
             {
@@ -244,6 +269,9 @@ def main() -> None:
                 "crawl_seen_mode": crawl["seen_mode"],
                 "crawl_driver_peak_rss_mb": crawl["driver_peak_rss_mb"],
                 "crawl_driver_anon_rss_mb": crawl["driver_anon_rss_mb"],
+                "steal_cpu_s": round(steal_cpu_s, 1),
+                "steal_frac": round(steal_cpu_s / (wall * n_host), 4),
+                "crawl_steal_frac": crawl["steal_frac"],
                 **(
                     {
                         "routed_urls": routed["urls"],
@@ -257,7 +285,6 @@ def main() -> None:
             }
         )
     )
-    ray.shutdown()
 
 
 def _loadavg() -> float:
@@ -289,6 +316,11 @@ def _crawl_once(ncpu: int) -> dict:
 
 
 QUIET_LOAD = 1.0  # a leg counts as clean only when launched below this 1-min loadavg
+# a leg is RUN-TIME clean only when hypervisor steal stayed under 2% of the
+# host's CPU during the measured window (launch loadavg can't see a burst
+# arriving mid-leg; steal can, and is never our own work).  Measured steal
+# on polluted legs: 0.22-0.26; on visually quiet windows: <0.005.
+NEIGHBOR_QUIET_FRAC = 0.02
 
 
 def scaling(pairs: int = 3) -> None:
@@ -297,11 +329,12 @@ def scaling(pairs: int = 3) -> None:
     efficiency per pair = (thr_32 / thr_8) / (32 / 8).
 
     Headline ``scaling_efficiency`` = the MEDIAN over pairs whose legs BOTH
-    launched below ``QUIET_LOAD`` (neighbor load deflates the 32-CPU leg and
-    can inflate a pair when it hits the 8-CPU leg instead, so best-of-N is
-    upward-biased; the quiet-pair median is not).  When no pair is clean the
-    headline falls back to the median of all pairs and says so.  The best
-    pair is reported separately under ``best_pair``."""
+    launched below ``QUIET_LOAD`` AND ran with neighbor CPU below
+    ``NEIGHBOR_QUIET_FRAC`` (neighbor load deflates the 32-CPU leg and can
+    inflate a pair when it hits the 8-CPU leg instead, so best-of-N is
+    upward-biased; the run-time-quiet median is not).  When no pair is clean
+    the headline falls back to the median of all pairs and says so.  The
+    best pair is reported separately under ``best_pair``."""
     trials = []
     for _ in range(pairs):
         # wait below QUIET_LOAD before EACH leg: the previous leg's own
@@ -311,6 +344,10 @@ def scaling(pairs: int = 3) -> None:
         r8 = _crawl_once(8)
         load32 = _wait_quiet(max_wait_s=420.0, thresh=QUIET_LOAD)
         r32 = _crawl_once(32)
+        # the crawl-window steal is the leg's pollution verdict (the timed
+        # section); whole-leg steal_frac also rides in the raw leg JSON
+        nf8 = r8.get("crawl_steal_frac", 1.0)
+        nf32 = r32.get("crawl_steal_frac", 1.0)
         trials.append(
             {
                 "urls_per_sec_8": r8["crawl_urls_per_sec"],
@@ -321,7 +358,11 @@ def scaling(pairs: int = 3) -> None:
                 "crawl_sec_32": r32["queries"]["crawl_400k"],
                 "loadavg_at_8": load8,
                 "loadavg_at_32": load32,
-                "quiet": load8 < QUIET_LOAD and load32 < QUIET_LOAD,
+                "steal_frac_8": nf8,
+                "steal_frac_32": nf32,
+                "quiet": (load8 < QUIET_LOAD and load32 < QUIET_LOAD
+                          and nf8 < NEIGHBOR_QUIET_FRAC
+                          and nf32 < NEIGHBOR_QUIET_FRAC),
                 "scaling_efficiency": round(
                     (r32["crawl_urls_per_sec"] / r8["crawl_urls_per_sec"]) / 4.0, 3
                 ),
@@ -336,8 +377,10 @@ def scaling(pairs: int = 3) -> None:
     print(json.dumps({
         "scaling_efficiency": headline,
         "headline_basis": f"median of {len(basis)} "
-                          + ("quiet pairs" if quiet else "pairs (NO quiet pair this run)"),
+                          + ("runtime-quiet pairs" if quiet
+                             else "pairs (NO runtime-quiet pair this run)"),
         "quiet_load_threshold": QUIET_LOAD,
+        "neighbor_quiet_frac": NEIGHBOR_QUIET_FRAC,
         "best_pair": best,
         "pairs": trials,
     }))
