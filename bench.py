@@ -292,18 +292,19 @@ def _loadavg() -> float:
         return float(f.read().split()[0])
 
 
-def _wait_quiet(max_wait_s: float = 300.0, thresh: float = 2.0) -> float:
-    """This sandbox host is SHARED and neighbor load only ever deflates the
-    32-CPU leg (8 cores are almost always free; 32 are not) — wait briefly
-    for a quiet window before measuring.  Returns the 1-min loadavg seen."""
+def _wait_steal_quiet(max_wait_s: float = 600.0, sample_s: float = 5.0) -> float:
+    """Wait until the hypervisor steal RATE drops below half the pollution
+    threshold (or give up after ``max_wait_s``); returns the last sampled
+    rate.  Loadavg is NOT consulted: on this VM it reflects D-state/IO
+    artifacts, not CPU contention (an idle VM measures loadavg 6 at busy≈0),
+    while steal is the direct neighbor signal — see BASELINE.md."""
     t0 = time.time()
-    load = 99.0
-    while time.time() - t0 < max_wait_s:
-        load = _loadavg()
-        if load < thresh:
-            break
-        time.sleep(10)
-    return load
+    while True:
+        s0 = _steal_cpu_s()
+        time.sleep(sample_s)
+        rate = (_steal_cpu_s() - s0) / (sample_s * len(os.sched_getaffinity(0)))
+        if rate < NEIGHBOR_QUIET_FRAC / 2 or time.time() - t0 > max_wait_s:
+            return round(rate, 4)
 
 
 def _crawl_once(ncpu: int) -> dict:
@@ -315,11 +316,10 @@ def _crawl_once(ncpu: int) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
-QUIET_LOAD = 1.0  # a leg counts as clean only when launched below this 1-min loadavg
-# a leg is RUN-TIME clean only when hypervisor steal stayed under 2% of the
-# host's CPU during the measured window (launch loadavg can't see a burst
-# arriving mid-leg; steal can, and is never our own work).  Measured steal
-# on polluted legs: 0.22-0.26; on visually quiet windows: <0.005.
+# a leg is clean only when hypervisor steal stayed under 2% of the host's
+# CPU during its timed crawl window (steal is the attributable neighbor
+# signal on this VM; loadavg is a D-state artifact here).  Measured steal
+# on polluted legs: 0.08-0.26; on visually quiet windows: <0.005.
 NEIGHBOR_QUIET_FRAC = 0.02
 
 
@@ -329,20 +329,19 @@ def scaling(pairs: int = 3) -> None:
     efficiency per pair = (thr_32 / thr_8) / (32 / 8).
 
     Headline ``scaling_efficiency`` = the MEDIAN over pairs whose legs BOTH
-    launched below ``QUIET_LOAD`` AND ran with neighbor CPU below
-    ``NEIGHBOR_QUIET_FRAC`` (neighbor load deflates the 32-CPU leg and can
-    inflate a pair when it hits the 8-CPU leg instead, so best-of-N is
-    upward-biased; the run-time-quiet median is not).  When no pair is clean
-    the headline falls back to the median of all pairs and says so.  The
-    best pair is reported separately under ``best_pair``."""
+    ran with hypervisor steal below ``NEIGHBOR_QUIET_FRAC`` over their timed
+    windows (steal deflates the 32-CPU leg and can inflate a pair when it
+    hits the 8-CPU leg instead, so best-of-N is upward-biased; the
+    runtime-quiet median is not).  When no pair is clean the headline falls
+    back to the median of all pairs and says so.  The best pair is reported
+    separately under ``best_pair``."""
     trials = []
     for _ in range(pairs):
-        # wait below QUIET_LOAD before EACH leg: the previous leg's own
-        # 1-min loadavg (~6-8 after a 90 s 8-CPU run) takes ~2 min to decay,
-        # so without this no pair can ever register as quiet
-        load8 = _wait_quiet(max_wait_s=420.0, thresh=QUIET_LOAD)
+        # before each leg: wait for any ongoing steal burst to pass (launch
+        # gate only — the VERDICT on a pair is its measured in-window steal)
+        pre8 = _wait_steal_quiet()
         r8 = _crawl_once(8)
-        load32 = _wait_quiet(max_wait_s=420.0, thresh=QUIET_LOAD)
+        pre32 = _wait_steal_quiet()
         r32 = _crawl_once(32)
         # the crawl-window steal is the leg's pollution verdict (the timed
         # section); whole-leg steal_frac also rides in the raw leg JSON
@@ -356,18 +355,18 @@ def scaling(pairs: int = 3) -> None:
                 "images_per_sec_32": r32["crawl_images_per_sec"],
                 "crawl_sec_8": r8["queries"]["crawl_400k"],
                 "crawl_sec_32": r32["queries"]["crawl_400k"],
-                "loadavg_at_8": load8,
-                "loadavg_at_32": load32,
+                "steal_rate_at_launch_8": pre8,
+                "steal_rate_at_launch_32": pre32,
                 "steal_frac_8": nf8,
                 "steal_frac_32": nf32,
-                "quiet": (load8 < QUIET_LOAD and load32 < QUIET_LOAD
-                          and nf8 < NEIGHBOR_QUIET_FRAC
-                          and nf32 < NEIGHBOR_QUIET_FRAC),
+                "quiet": nf8 < NEIGHBOR_QUIET_FRAC and nf32 < NEIGHBOR_QUIET_FRAC,
                 "scaling_efficiency": round(
                     (r32["crawl_urls_per_sec"] / r8["crawl_urls_per_sec"]) / 4.0, 3
                 ),
             }
         )
+        # stream partial results so an interrupted run still reports pairs
+        print(json.dumps({"pair": trials[-1]}), flush=True)
     import statistics
 
     quiet = [t for t in trials if t["quiet"]]
@@ -379,7 +378,6 @@ def scaling(pairs: int = 3) -> None:
         "headline_basis": f"median of {len(basis)} "
                           + ("runtime-quiet pairs" if quiet
                              else "pairs (NO runtime-quiet pair this run)"),
-        "quiet_load_threshold": QUIET_LOAD,
         "neighbor_quiet_frac": NEIGHBOR_QUIET_FRAC,
         "best_pair": best,
         "pairs": trials,
@@ -388,6 +386,8 @@ def scaling(pairs: int = 3) -> None:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        scaling()
+        i = sys.argv.index("--scaling")
+        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit() else 3
+        scaling(pairs=n)
     else:
         main()
