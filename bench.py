@@ -323,7 +323,7 @@ def _crawl_once(ncpu: int) -> dict:
 NEIGHBOR_QUIET_FRAC = 0.02
 
 
-def scaling(pairs: int = 3) -> None:
+def scaling(pairs: int = 3, until_quiet: int = 0, max_pairs: int = 12) -> None:
     """Same crawl job at 8 and 32 CPUs (the sandbox stand-in for N vs 4N
     nodes), run as back-to-back interleaved pairs in fresh interpreters;
     efficiency per pair = (thr_32 / thr_8) / (32 / 8).
@@ -334,9 +334,19 @@ def scaling(pairs: int = 3) -> None:
     hits the 8-CPU leg instead, so best-of-N is upward-biased; the
     runtime-quiet median is not).  When no pair is clean the headline falls
     back to the median of all pairs and says so.  The best pair is reported
-    separately under ``best_pair``."""
+    separately under ``best_pair``.
+
+    ``until_quiet=K`` turns the run into a quiet-window hunt: pairs keep
+    accumulating (bounded by ``max_pairs``) until K runtime-quiet ones have
+    landed — the unattended way to wait out a steal storm."""
     trials = []
-    for _ in range(pairs):
+    while True:
+        n_quiet = sum(1 for t in trials if t["quiet"])
+        if until_quiet:
+            if n_quiet >= until_quiet or len(trials) >= max_pairs:
+                break
+        elif len(trials) >= pairs:
+            break
         # before each leg: wait for any ongoing steal burst to pass (launch
         # gate only — the VERDICT on a pair is its measured in-window steal)
         pre8 = _wait_steal_quiet()
@@ -385,7 +395,11 @@ def scaling(pairs: int = 3) -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-until" in sys.argv:
+        i = sys.argv.index("--scaling-until")
+        k = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit() else 3
+        scaling(until_quiet=k)
+    elif "--scaling" in sys.argv:
         i = sys.argv.index("--scaling")
         n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit() else 3
         scaling(pairs=n)
