@@ -71,11 +71,12 @@ def bench_crawl(ncpu: int) -> dict:
         snapshot_every=4,
     )
     job = CrawlJob(spec, seeds, paths["pages"], paths["images"], paths["robots"], job_dir)
-    steal0 = _steal_cpu_s()
+    steal0, busy0 = _steal_cpu_s(), _busy_cpu_s()
     t0 = time.perf_counter()
     summary = job.run(max_rounds=12)
     dt = time.perf_counter() - t0
     steal = max(0.0, _steal_cpu_s() - steal0)
+    busy = max(0.0, _busy_cpu_s() - busy0)
     rss_mb, anon_mb = _driver_mem_mb()
     job.shutdown()
     shutil.rmtree(job_dir, ignore_errors=True)
@@ -90,8 +91,10 @@ def bench_crawl(ncpu: int) -> dict:
         "driver_peak_rss_mb": rss_mb,
         "driver_anon_rss_mb": anon_mb,
         # steal DURING the timed window only (untimed fixture-load bursts
-        # don't pollute the throughput number and must not flag the leg)
+        # don't pollute the throughput number and must not flag the leg);
+        # busy_frac documents in-VM CPU so self-pollution is visible too
         "steal_frac": round(steal / (dt * len(os.sched_getaffinity(0))), 4),
+        "busy_frac": round(busy / (dt * len(os.sched_getaffinity(0))), 4),
     }
 
 
@@ -151,6 +154,16 @@ def bench_routed(ncpu: int) -> dict:
         "docs": docs,
         "attachments": atts,
     }
+
+
+def _busy_cpu_s() -> float:
+    """This VM's own busy CPU seconds (user+nice+system+irq+softirq) — with
+    no other in-VM workload this is all ours; a leg whose busy_frac is far
+    above its expected profile was polluted from INSIDE the VM (e.g. a test
+    run alongside the bench), which steal cannot see."""
+    with open("/proc/stat") as f:
+        v = list(map(int, f.readline().split()[1:]))
+    return (v[0] + v[1] + v[2] + v[5] + v[6]) / os.sysconf("SC_CLK_TCK")
 
 
 def _steal_cpu_s() -> float:
@@ -272,6 +285,7 @@ def main() -> None:
                 "steal_cpu_s": round(steal_cpu_s, 1),
                 "steal_frac": round(steal_cpu_s / (wall * n_host), 4),
                 "crawl_steal_frac": crawl["steal_frac"],
+                "crawl_busy_frac": crawl["busy_frac"],
                 **(
                     {
                         "routed_urls": routed["urls"],
@@ -369,6 +383,8 @@ def scaling(pairs: int = 3, until_quiet: int = 0, max_pairs: int = 12) -> None:
                 "steal_rate_at_launch_32": pre32,
                 "steal_frac_8": nf8,
                 "steal_frac_32": nf32,
+                "busy_frac_8": r8.get("crawl_busy_frac"),
+                "busy_frac_32": r32.get("crawl_busy_frac"),
                 "quiet": nf8 < NEIGHBOR_QUIET_FRAC and nf32 < NEIGHBOR_QUIET_FRAC,
                 "scaling_efficiency": round(
                     (r32["crawl_urls_per_sec"] / r8["crawl_urls_per_sec"]) / 4.0, 3
