@@ -69,6 +69,8 @@ def bench_crawl(ncpu: int) -> dict:
         # the pool; only the genuinely tiny head/tail rounds stay local
         local_round_threshold=256,
         snapshot_every=4,
+        # A/B hook for the wave-packing experiment (BASELINE.md)
+        fetch_batches_per_worker=int(os.environ.get("LCRAY_BPW", "4")),
     )
     job = CrawlJob(spec, seeds, paths["pages"], paths["images"], paths["robots"], job_dir)
     steal0, busy0 = _steal_cpu_s(), _busy_cpu_s()

@@ -430,8 +430,9 @@ class CrawlJob:
             # local frontier prep, pooled fetch: the round is small enough
             # that shuffles aren't worth it, but the fetch compute still is
             block = ray.put(pa.Table.from_pandas(frontier_cols, preserve_index=False))
+            bpw = self.spec.fetch_batches_per_worker
             bs = max(16, min(self.spec.fetch_batch_size,
-                             -(-n_frontier // (2 * self.fetch_pool.k))))
+                             -(-n_frontier // (bpw * self.fetch_pool.k))))
             out_refs = self.fetch_pool.submit([block], [n_frontier], bs)
             out = pa.concat_tables(ray.get(out_refs))
         else:
@@ -633,9 +634,11 @@ class CrawlJob:
         os.makedirs(links_dir, exist_ok=True)
         # adaptive batch size: a small round must still spread across the
         # whole pool (at batch_size=256 a 469-URL round is TWO tasks no
-        # matter how many workers exist) — target ~2 batches per worker
+        # matter how many workers exist) — target fetch_batches_per_worker
+        # batches per worker so the depth-2 stealing queue stays non-empty
         bs = max(16, min(spec.fetch_batch_size,
-                         -(-n_frontier // (2 * self.fetch_pool.k))))
+                         -(-n_frontier
+                           // (spec.fetch_batches_per_worker * self.fetch_pool.k))))
         take_l = [int(c) for c in take]
         nb = sum((c + bs - 1) // bs for c in take_l)
         split_refs: list = [None] * nb

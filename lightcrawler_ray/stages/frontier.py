@@ -101,6 +101,11 @@ class CrawlSpec:
     doc_near_dup_hamming: int = 3            # J3 simhash gate threshold; -1 disables
     fetch_concurrency: int = 4
     fetch_batch_size: int = 256
+    # adaptive batch sizing targets this many batches per pool worker on
+    # sub-cap rounds; at 2, the depth-2 work-stealing queue is fully drained
+    # by the initial fill (nothing left to steal — a straggler's second
+    # batch can't migrate), so 4 keeps half the round stealable
+    fetch_batches_per_worker: int = 4
     # rounds at or below this many candidate rows run on the driver through
     # the same operator code (adaptive execution — see pipelines/crawl.py);
     # 0 forces every round through the distributed path
