@@ -60,6 +60,7 @@ import ray
 import ray.data as rd
 
 from ..functions import hashing
+from ..functions.benchtimer import Benchmark
 from ..stages.fetch import OUT_SCHEMA, SyntheticFetchExtract, load_fixture_tables
 from ..stages.frontier import CandidateFilter, CrawlSpec, _empty_candidates
 from ..stages.politeness import HostClock, SchedulePool, split_sched_parts
@@ -105,6 +106,11 @@ class CrawlJob:
         self.spec = spec
         self.seeds = seeds
         self.job_dir = job_dir
+        # A4: named accumulating phase timers (PHPCrawlerBenchmark.class.php
+        # :16-145 semantics) — every distributed-round phase mark adds its
+        # inter-mark delta here, so benchmarks() yields the whole-job phase
+        # decomposition without parsing LCRAY_PROFILE output
+        self.bench = Benchmark()
         os.makedirs(job_dir, exist_ok=True)
         self.seen = SeenSet(spec.seen_shards, spec.seen_capacity, spec.seen_mode)
         self.content_seen = SeenSet(spec.seen_shards, spec.seen_capacity, "exact")
@@ -364,7 +370,11 @@ class CrawlJob:
                     pa.concat_tables(parts) if parts
                     else (_empty_candidates() if prefiltered else _empty_links_table())
                 )
-            return self._round_local(candidates, epoch, ed, prefiltered)
+            self.bench.start("local_round")
+            try:
+                return self._round_local(candidates, epoch, ed, prefiltered)
+            finally:
+                self.bench.stop("local_round")
         if isinstance(candidates, pa.Table):
             candidates = [ray.put(candidates)]
         return self._round_dist(candidates, epoch, ed, n_hint)
@@ -508,10 +518,12 @@ class CrawlJob:
 
         def _mark(label: str) -> None:
             nonlocal _t
+            now = _time.perf_counter()
+            # canonical phase name = label minus the per-round detail suffix
+            self.bench.add(label.split(" ")[0], now - _t)
             if _prof:
-                now = _time.perf_counter()
                 print(f"    [dist] {label}: {now - _t:.2f}s", flush=True)
-                _t = now
+            _t = now
 
         k, P = self.seen.k, self.sched.p
         if len(candidates) == 0:
@@ -889,6 +901,11 @@ class CrawlJob:
                 "url_md5": pa.array(md5s, pa.string()),  # content hash for dedup gate
             }
         )
+
+    def benchmarks(self) -> dict[str, float]:
+        """A4 — whole-job phase decomposition: phase name → accumulated
+        seconds across every distributed round (getAllBenchmarks analog)."""
+        return self.bench.all()
 
     def shutdown(self) -> None:
         """Kill the seen-set shards and fetch workers (job-lifetime actors)."""
