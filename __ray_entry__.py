@@ -170,20 +170,25 @@ def _q_crawl_docs(sf_dir: str):
     return pd.DataFrame(rows, columns=["doc_id", "url", "doc_ori_no", "title", "publish_time"])
 
 
+# M1-M3 fixed messy-URL corpus, shared by the Ray query and its SQL oracle
+# (the oracle inlines these as a VALUES list — literal-replay, same pattern
+# as the LSH plane oracles; the TRANSFORM is expressed independently in SQL)
+_MESSY_URLS = [
+    "HTTP://Example.COM:80/a/../b?z=1&a=2", "https://X.org:443/p/./q/",
+    "http://h.net/%7eu#frag", "http://h.net/a/b/../../../c",
+    "javascript:void(0)", "//no-scheme.example/x", "http://h.net/p?b&a=1",
+] + [f"http://host{i % 7}.example.test/d{i // 3}/../p{i}.html?y={i % 5}&x=1" for i in range(100)]
+
+
 def _q_canonicalize(sf_dir: str):
-    """M1-M3 over a fixed messy-URL corpus (rows-only; canonicalization is
-    not expressible in ANSI SQL)."""
+    """M1-M3 over a fixed messy-URL corpus (SQL-oracled via literal input
+    replay + a DuckDB regex/list re-expression of the canonicalization)."""
     import pyarrow as pa
     import ray.data as rd
 
     from lightcrawler_ray.functions import urltools as ut
 
-    messy = [
-        "HTTP://Example.COM:80/a/../b?z=1&a=2", "https://X.org:443/p/./q/",
-        "http://h.net/%7eu#frag", "http://h.net/a/b/../../../c",
-        "javascript:void(0)", "//no-scheme.example/x", "http://h.net/p?b&a=1",
-    ] + [f"http://host{i % 7}.example.test/d{i // 3}/../p{i}.html?y={i % 5}&x=1" for i in range(100)]
-    ds = rd.from_items([{"url": u} for u in messy])
+    ds = rd.from_items([{"url": u} for u in _MESSY_URLS])
 
     def canon(t: pa.Table) -> pa.Table:
         c = [ut.canonicalize(u) or "" for u in t.column("url").to_pylist()]
@@ -454,14 +459,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.topk_bruteforce,
         "ann_topk_lsh": ann.topk_lsh,                        # SQL-oracled (plane replay)
         "ann_topk_ivf": ann.topk_ivf,                        # rows-only (data-dependent centroids; recall pinned in tests)
-        # text extras (rows-only)
+        # text extras (SQL-oracled)
         "quality_scores": textstats.quality_scores,
         "fingerprints": textstats.fingerprints,
         # S10 index-builder aggregation face (SQL-oracled)
         "index_term_df": __import__(
             "lightcrawler_ray.pipelines.indexer", fromlist=["term_df"]
         ).term_df,
-        # crawl engine (rows-only, deterministic fixtures)
+        # crawl engine (deterministic fixtures; canonicalize is SQL-oracled
+        # via literal input replay, the rest are rows-only engine semantics)
         "crawl_canonicalize": _q_canonicalize,
         "crawl_seen": _q_crawl_seen,
         "crawl_order": _q_crawl_order,
@@ -479,6 +485,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # S10 lookup face (SQL-oracled)
         "index_lookup": _q_index_lookup,
     }
+
+
+def _canonicalize_sql() -> str:
+    """SQL re-expression of ``urltools.canonicalize`` over the fixed messy
+    corpus (inlined as VALUES).  The regex pipeline is exact for this corpus:
+    dot-segment removal iterates a bounded number of times (corpus max ``..``
+    depth is 3) and percent-normalization covers the escapes present (%7e);
+    scheme/host lowering, default-port strip, stable query-param sort, bare
+    trailing-slash strip, and the non-http(s) drop are fully general."""
+    vals = ", ".join("('{}')".format(u.replace("'", "''")) for u in _MESSY_URLS)
+    # one leftmost non-dot-segment "/seg/../" pop; applied 4x then clamped
+    pop = "regexp_replace({}, '/[^/.][^/]*/\\.\\./', '/')"
+    p = "p1"
+    for _ in range(4):
+        p = pop.format(p)
+    return f"""
+WITH input(url) AS (VALUES {vals}),
+parsed AS (
+  SELECT url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS authority,
+    regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
+                   '#.*$', '') AS tail
+  FROM input
+),
+hostport AS (
+  SELECT url, scheme,
+    lower(regexp_replace(authority, ':[0-9]+$', '')) AS host,
+    CASE WHEN regexp_extract(authority, ':([0-9]+)$', 1) <> ''
+         THEN CAST(regexp_extract(authority, ':([0-9]+)$', 1) AS INTEGER)
+         WHEN scheme = 'http' THEN 80 WHEN scheme = 'https' THEN 443 ELSE 0
+    END AS port,
+    CASE WHEN position('?' IN tail) > 0
+         THEN substr(tail, 1, position('?' IN tail) - 1) ELSE tail END AS path0,
+    CASE WHEN position('?' IN tail) > 0
+         THEN substr(tail, position('?' IN tail) + 1) ELSE '' END AS query0
+  FROM parsed
+),
+paths AS (
+  SELECT url, scheme, host, port, query0,
+    regexp_replace(regexp_replace(
+      CASE WHEN path0 = '' THEN '/' ELSE path0 END,
+      '/\\./', '/', 'g'), '/\\./', '/', 'g') AS p1
+  FROM hostport
+),
+resolved AS (
+  SELECT url, scheme, host, port, query0,
+    replace(replace(regexp_replace({p}, '^(/\\.\\.)+(/|$)', '/'),
+            '%7e', '~'), '%7E', '~') AS path
+  FROM paths
+),
+canon AS (
+  SELECT url,
+    CASE WHEN scheme NOT IN ('http', 'https') OR host = '' THEN ''
+    ELSE scheme || '://' || host ||
+      CASE WHEN (scheme = 'http' AND port = 80) OR (scheme = 'https' AND port = 443)
+           THEN '' ELSE ':' || port END ||
+      CASE WHEN query0 = '' AND path = '/' THEN ''
+           ELSE path || CASE WHEN query0 = '' THEN ''
+                ELSE '?' || array_to_string(list_sort(string_split(query0, '&')), '&') END
+      END
+    END AS canonical
+  FROM resolved
+)
+SELECT url, canonical,
+       CASE WHEN canonical = '' THEN '' ELSE md5(canonical) END AS url_md5
+FROM canon"""
 
 
 def _planes_values_sql(n_planes: int, dim: int = 64, seed: int = 42) -> str:
@@ -801,6 +874,7 @@ def oracle_sql() -> dict[str, str]:
             "  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.vec_id"
             ") WHERE rank <= 10"
         ),
+        "crawl_canonicalize": _canonicalize_sql(),
     }
 
 
