@@ -458,7 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": ann.topk_bruteforce,
         "ann_topk_lsh": ann.topk_lsh,                        # SQL-oracled (plane replay)
-        "ann_topk_ivf": ann.topk_ivf,                        # rows-only (data-dependent centroids; recall pinned in tests)
+        "ann_topk_ivf": ann.topk_ivf,                        # SQL-oracled (unrolled k-means replay)
         # text extras (SQL-oracled)
         "quality_scores": textstats.quality_scores,
         "fingerprints": textstats.fingerprints,
@@ -552,6 +552,71 @@ canon AS (
 SELECT url, canonical,
        CASE WHEN canonical = '' THEN '' ELSE md5(canonical) END AS url_md5
 FROM canon"""
+
+
+def _ivf_oracle_sql(k: int = 10, n_queries: int = 5, n_lists: int = 16,
+                    n_probe: int = 4, iters: int = 3, dim: int = 64) -> str:
+    """SQL replay of ``ann.topk_ivf``: the streaming spherical k-means is
+    deterministic (evenly-spaced vec_id init, fixed iteration count, ties to
+    the lowest list index), so each Lloyd iteration unrolls to one
+    assignment CTE (row_number over dot-product desc, list_id asc) plus one
+    recompute CTE (per-dimension mean over ``generate_series(1, dim)``,
+    normalized; empty lists keep their previous centroid via LEFT JOIN).
+    Queries probe their ``n_probe`` best FINAL centroids and only corpus
+    rows assigned (under the final centroids) to a probed list are scored —
+    identical semantics, independent arithmetic path (float64 both sides)."""
+    norm = (
+        "list_transform(embedding::DOUBLE[], x -> x / greatest("
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 1e-30))"
+    )
+    parts = [
+        f"norm AS (SELECT vec_id, {norm} AS nv FROM embeddings)",
+        "ord_ AS (SELECT vec_id, nv, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM norm)",
+        "params AS (SELECT count(*) AS n, least({nl}, count(*)) AS nl FROM norm)".format(nl=n_lists),
+        "picks AS (SELECT DISTINCT CAST(floor(g.i * p.n / p.nl) AS BIGINT) AS rn "
+        f"FROM params p CROSS JOIN generate_series(0, {n_lists - 1}) AS g(i) WHERE g.i < p.nl)",
+        "c0 AS (SELECT row_number() OVER (ORDER BY o.vec_id) - 1 AS list_id, o.nv AS cv "
+        "FROM ord_ o JOIN picks USING (rn))",
+    ]
+    for j in range(1, iters + 1):
+        prev = f"c{j - 1}"
+        parts += [
+            f"a{j} AS (SELECT vec_id, nv, list_id FROM ("
+            f"  SELECT e.vec_id, e.nv, c.list_id, row_number() OVER (PARTITION BY e.vec_id "
+            f"  ORDER BY list_dot_product(e.nv, c.cv) DESC, c.list_id) AS rnk "
+            f"  FROM norm e CROSS JOIN {prev} c) WHERE rnk = 1)",
+            f"m{j} AS (SELECT list_id, list(sv ORDER BY i) AS mv FROM ("
+            f"  SELECT a.list_id, g.i, sum(a.nv[g.i]) / count(*) AS sv "
+            f"  FROM a{j} a CROSS JOIN generate_series(1, {dim}) AS g(i) "
+            f"  GROUP BY a.list_id, g.i) GROUP BY list_id)",
+            f"c{j} AS (SELECT c.list_id, CASE WHEN m.list_id IS NULL THEN c.cv "
+            f"  ELSE list_transform(m.mv, x -> x / greatest("
+            f"  sqrt(list_dot_product(m.mv, m.mv)), 1e-30)) END AS cv "
+            f"  FROM {prev} c LEFT JOIN m{j} m USING (list_id))",
+        ]
+    cf = f"c{iters}"
+    parts += [
+        # corpus rows re-assigned under the FINAL centroids (the scoring pass)
+        f"af AS (SELECT vec_id, nv, list_id FROM ("
+        f"  SELECT e.vec_id, e.nv, c.list_id, row_number() OVER (PARTITION BY e.vec_id "
+        f"  ORDER BY list_dot_product(e.nv, c.cv) DESC, c.list_id) AS rnk "
+        f"  FROM norm e CROSS JOIN {cf} c) WHERE rnk = 1)",
+        f"q AS (SELECT vec_id, nv FROM norm ORDER BY vec_id LIMIT {n_queries})",
+        f"probes AS (SELECT vec_id AS query_id, list_id FROM ("
+        f"  SELECT q.vec_id, c.list_id, row_number() OVER (PARTITION BY q.vec_id "
+        f"  ORDER BY list_dot_product(q.nv, c.cv) DESC, c.list_id) AS rnk "
+        f"  FROM q CROSS JOIN {cf} c) WHERE rnk <= {n_probe})",
+    ]
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT query_id, neighbor_id, rank FROM ("
+        "  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+        "  row_number() OVER (PARTITION BY q.vec_id "
+        "  ORDER BY list_dot_product(q.nv, e.nv) DESC, e.vec_id) AS rank "
+        "  FROM q JOIN probes p ON p.query_id = q.vec_id "
+        "  JOIN af e ON e.list_id = p.list_id AND e.vec_id != q.vec_id"
+        f") WHERE rank <= {k}"
+    )
 
 
 def _planes_values_sql(n_planes: int, dim: int = 64, seed: int = 42) -> str:
@@ -875,6 +940,7 @@ def oracle_sql() -> dict[str, str]:
             ") WHERE rank <= 10"
         ),
         "crawl_canonicalize": _canonicalize_sql(),
+        "ann_topk_ivf": _ivf_oracle_sql(),
     }
 
 
