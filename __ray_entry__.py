@@ -444,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_langs": rel.distinct_langs,
         "tumbling_window": rel.tumbling_window,
         "sessionize": rel.sessionize,
+        "asof_latest_order": rel.asof_latest_order,
         # training-data text ops (SQL-oracled)
         "token_counts": textstats.token_counts,
         "stopword_ratio": textstats.stopword_ratio,
@@ -941,6 +942,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "crawl_canonicalize": _canonicalize_sql(),
         "ann_topk_ivf": _ivf_oracle_sql(),
+        "asof_latest_order": (
+            # as-of join: latest order at-or-before each event's time, ties
+            # on order time broken by highest o_orderkey (made explicit here
+            # rather than relying on ASOF JOIN's unspecified tie handling)
+            "SELECT event_id, user_id, o_orderkey, o_totalprice FROM ("
+            "  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice, "
+            "  row_number() OVER (PARTITION BY e.event_id "
+            "    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn "
+            "  FROM events e JOIN orders o "
+            "  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts"
+            ") WHERE rn = 1"
+        ),
     }
 
 

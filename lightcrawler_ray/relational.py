@@ -318,6 +318,102 @@ def tumbling_window(sf_dir: str, partitions: int = 32) -> rd.Dataset:
     )
 
 
+def asof_latest_order(sf_dir: str, partitions: int = 32) -> rd.Dataset:
+    """As-of join — a primitive Ray Data has no native operator for: each
+    event matches the LATEST order by the same customer at or before the
+    event time (ties on order time broken by highest o_orderkey; inner —
+    events with no prior order drop).
+
+    Scale shape — distributed sort-merge: both sides are tagged with the
+    same coarse key ``user % P`` and UNIONed, so ONE shuffle co-partitions
+    them (every customer's events and orders land whole in one partition);
+    within the partition the match is pure numpy: orders pre-sorted by
+    (key, ts, okey), both sides lexsorted together with orders ordered
+    before events at equal (key, ts) (inclusive <=), then one segmented
+    running-maximum pass over order positions — per-key segments are offset
+    by ``seg_id * (n_orders + 1)`` so a single ``np.maximum.accumulate``
+    resolves every event's predecessor without a Python loop.  P Python
+    calls total, same shape as ``sessionize``/``tumbling_window``."""
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "key": t["user_id"],
+            "ts": pc.cast(t["ts"], pa.int64()),
+            "okey": pa.array(np.zeros(n, np.int64)),
+            "price": pa.array(np.zeros(n, np.float64)),
+            "eid": t["event_id"],
+            "side": pa.array(np.ones(n, np.int8)),
+        }).append_column(
+            "part", pc.cast(pc.bit_wise_and(t["user_id"], partitions - 1), pa.int32())
+        )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "key": t["o_custkey"],
+            "ts": pc.cast(t["o_orderdate"], pa.int64()),
+            "okey": t["o_orderkey"],
+            "price": t["o_totalprice"],
+            "eid": pa.array(np.zeros(n, np.int64)),
+            "side": pa.array(np.zeros(n, np.int8)),
+        }).append_column(
+            "part", pc.cast(pc.bit_wise_and(t["o_custkey"], partitions - 1), pa.int32())
+        )
+
+    def merge_partition(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
+        is_o = side == 0
+        okeys, ots = key[is_o], ts[is_o]
+        oid = g.column("okey").to_numpy(zero_copy_only=False)[is_o]
+        oprice = g.column("price").to_numpy(zero_copy_only=False)[is_o]
+        ekeys, ets = key[~is_o], ts[~is_o]
+        eid = g.column("eid").to_numpy(zero_copy_only=False)[~is_o]
+        n_o = okeys.size
+        empty = pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_totalprice": pa.array([], pa.float64()),
+        })
+        if n_o == 0 or ekeys.size == 0:
+            return empty
+        o_order = np.lexsort((oid, ots, okeys))
+        okeys, ots, oid, oprice = okeys[o_order], ots[o_order], oid[o_order], oprice[o_order]
+        key_all = np.concatenate([okeys, ekeys])
+        ts_all = np.concatenate([ots, ets])
+        tag = np.concatenate([np.zeros(n_o, np.int8), np.ones(ekeys.size, np.int8)])
+        payload = np.concatenate([np.arange(1, n_o + 1), np.zeros(ekeys.size, np.int64)])
+        order = np.lexsort((tag, ts_all, key_all))
+        sk, spay, stag = key_all[order], payload[order], tag[order]
+        seg = np.zeros(sk.size, np.int64)
+        seg[1:] = sk[1:] != sk[:-1]
+        seg = np.cumsum(seg)
+        run = np.maximum.accumulate(seg * (n_o + 1) + spay) - seg * (n_o + 1)
+        ev = stag == 1
+        matched = ev & (run > 0)
+        oidx = run[matched] - 1
+        eidx = order[matched] - n_o  # position in the events arrays
+        return pa.table({
+            "event_id": pa.array(eid[eidx], pa.int64()),
+            "user_id": pa.array(ekeys[eidx], pa.int64()),
+            "o_orderkey": pa.array(oid[oidx], pa.int64()),
+            "o_totalprice": pa.array(oprice[oidx], pa.float64()),
+        })
+
+    ev = _pq(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        tag_events, batch_format="pyarrow"
+    )
+    od = _pq(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(tag_orders, batch_format="pyarrow")
+    return ev.union(od).groupby("part").map_groups(
+        merge_partition, batch_format="pyarrow"
+    )
+
+
 def sessionize(sf_dir: str, partitions: int = 32) -> rd.Dataset:
     """Stateful per-key ordering: sessions split at >30 min gaps.
 

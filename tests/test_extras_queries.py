@@ -106,3 +106,54 @@ def test_ann_ivf_recall_and_determinism(ray_session):
     cents = ann.train_ivf_centroids(sf)
     assert cents.shape == (16, 64)
     assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+
+
+def test_asof_join_edge_semantics(ray_session, tmp_path):
+    """As-of join edges: equal-timestamp order matches (inclusive <=), ties
+    on order time go to the highest o_orderkey, events with no prior order
+    drop (inner), and keys in only one table never pair."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from lightcrawler_ray import relational as rel
+
+    ev = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "user_id": pa.array([7, 7, 7, 8, 9], pa.int64()),
+        "ts": pa.array(
+            pd.to_datetime(
+                ["2026-01-10", "2026-01-20", "2026-01-05", "2026-01-10", "2026-01-10"]
+            )
+        ).cast(pa.timestamp("us")),
+        "event_type": pa.array(["x"] * 5), "value": pa.array([0.0] * 5),
+        "props": pa.array([""] * 5),
+    })
+    od = pa.table({
+        "o_orderkey": pa.array([100, 101, 102, 103, 104], pa.int64()),
+        "o_custkey": pa.array([7, 7, 7, 10, 7], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 5),
+        "o_totalprice": pa.array([10.0, 20.0, 30.0, 40.0, 50.0]),
+        "o_orderdate": pa.array(
+            pd.to_datetime(
+                # 100 and 104 tie at 01-10 (104 wins: higher key); 102 later
+                ["2026-01-10", "2026-01-08", "2026-01-15", "2026-01-01", "2026-01-10"]
+            )
+        ).cast(pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1"] * 5),
+    })
+    import pyarrow.parquet as pq
+
+    pq.write_table(ev, str(tmp_path / "events.parquet"))
+    pq.write_table(od, str(tmp_path / "orders.parquet"))
+    got = (
+        rel.asof_latest_order(str(tmp_path))
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    # event 1 @01-10: orders 100 and 104 both @01-10 (inclusive) → 104
+    # event 2 @01-20: latest ≤ is 102 @01-15
+    # event 3 @01-05: no order ≤ 01-05 for user 7 (earliest is 01-08) → drop
+    # event 4 user 8: no orders → drop; event 5 user 9: no orders → drop
+    assert got["event_id"].tolist() == [1, 2]
+    assert got["o_orderkey"].tolist() == [104, 102]
+    assert got["o_totalprice"].tolist() == [50.0, 30.0]
+    assert got["user_id"].tolist() == [7, 7]
