@@ -445,6 +445,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": rel.tumbling_window,
         "sessionize": rel.sessionize,
         "asof_latest_order": rel.asof_latest_order,
+        "range_join_events": rel.range_join_events,
+        "hopping_window": rel.hopping_window,
         # training-data text ops (SQL-oracled)
         "token_counts": textstats.token_counts,
         "stopword_ratio": textstats.stopword_ratio,
@@ -953,6 +955,23 @@ def oracle_sql() -> dict[str, str]:
             "  FROM events e JOIN orders o "
             "  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts"
             ") WHERE rn = 1"
+        ),
+        "range_join_events": (
+            # forward-looking interval join, inclusive start / exclusive end
+            "SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id "
+            "FROM events a JOIN events b ON b.user_id = a.user_id "
+            "AND b.event_id != a.event_id "
+            "AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 2 HOUR"
+        ),
+        "hopping_window": (
+            # 1h windows hopping every 15min: each event lands in 4 windows;
+            # integer-cent sums match the engine's combine-order-free partial
+            "SELECT user_id, win_start, count(*) AS n_events, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value "
+            "FROM (SELECT user_id, value, "
+            "  (epoch_us(ts) // 900000000 - g.i) * 900000000 AS win_start "
+            "  FROM events CROSS JOIN generate_series(0, 3) AS g(i)) "
+            "GROUP BY user_id, win_start"
         ),
     }
 

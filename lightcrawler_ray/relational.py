@@ -318,6 +318,145 @@ def tumbling_window(sf_dir: str, partitions: int = 32) -> rd.Dataset:
     )
 
 
+def range_join_events(sf_dir: str, window_us: int = 7_200_000_000,
+                      partitions: int = 32) -> rd.Dataset:
+    """Range join — the second primitive Ray Data lacks natively: every pair
+    of same-user events (a, b) with ``b.ts`` in ``[a.ts, a.ts + window)``
+    and ``b != a`` (forward-looking co-occurrence; at equal timestamps both
+    orderings emit — deterministic, no id inequality in the bound).
+
+    Scale shape — one shuffle on the coarse ``user % P`` key co-locates each
+    user's events, then the per-partition interval match is fully
+    vectorized: rows sorted by (key, ts, id); each row's window START is its
+    equal-(key, ts) run start (a segment-start propagation, no search); the
+    window END comes from one merged lexsort of the rows with per-row
+    end-markers at ``ts + window`` (markers order before equal-ts rows, so
+    the bound is exclusive and key-segment clamping falls out of the
+    key-major sort).  Pair expansion is repeat/arange arithmetic.  The
+    window bounds the blow-up: output is sum of per-row window occupancy,
+    never |key|²."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["user_id"],
+            "ts": pc.cast(t["ts"], pa.int64()),
+            "eid": t["event_id"],
+        }).append_column(
+            "part", pc.cast(pc.bit_wise_and(t["user_id"], partitions - 1), pa.int32())
+        )
+
+    def match_partition(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "event_a": pa.array([], pa.int64()),
+            "event_b": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+        })
+        n = g.num_rows
+        if n == 0:
+            return empty
+        key = g.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g.column("eid").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, key))
+        key, ts, eid = key[order], ts[order], eid[order]
+        # window start: global index of this row's equal-(key, ts) run start
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = (key[1:] != key[:-1]) | (ts[1:] != ts[:-1])
+        lo = np.maximum.accumulate(np.where(new_run, np.arange(n), 0))
+        # window end: merged sort of rows (tag 1) + end markers (tag 0)
+        key_all = np.concatenate([key, key])
+        ts_all = np.concatenate([ts, ts + window_us])
+        tag_all = np.concatenate([np.ones(n, np.int8), np.zeros(n, np.int8)])
+        owner = np.concatenate([np.zeros(n, np.int64), np.arange(n)])
+        morder = np.lexsort((tag_all, ts_all, key_all))
+        evcount = np.cumsum(tag_all[morder] == 1)
+        is_marker = tag_all[morder] == 0
+        hi = np.empty(n, np.int64)
+        hi[owner[morder][is_marker]] = evcount[is_marker]
+        counts = hi - lo  # includes the row itself
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(n), counts)
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        b_idx = np.arange(total) - np.repeat(offsets, counts) + np.repeat(lo, counts)
+        keep = a_idx != b_idx  # self-pair out
+        a_idx, b_idx = a_idx[keep], b_idx[keep]
+        return pa.table({
+            "event_a": pa.array(eid[a_idx], pa.int64()),
+            "event_b": pa.array(eid[b_idx], pa.int64()),
+            "user_id": pa.array(key[a_idx], pa.int64()),
+        })
+
+    return (
+        _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(match_partition, batch_format="pyarrow")
+    )
+
+
+def hopping_window(sf_dir: str, window_us: int = 3_600_000_000,
+                   hop_us: int = 900_000_000, partitions: int = 32) -> rd.Dataset:
+    """Hopping (sliding) window aggregate: per-user event count + value sum
+    over 1-hour windows advancing every 15 min — each event lands in
+    ``window/hop`` overlapping windows.
+
+    Scale shape — the window assignment is a map-side flat-map (np.repeat +
+    tile, rows × window/hop, no Python loop), then the aggregate reuses the
+    ``tumbling_window`` pattern: ONE shuffle on ``user % P`` and an
+    in-partition lexsort + segmented reduceat.  Sums accumulate in integer
+    cents so the result is combine-order independent."""
+    k = window_us // hop_us
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            t.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64)
+        )
+        v = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        base = (ts // hop_us) * hop_us
+        starts = (
+            np.repeat(base, k) - np.tile(np.arange(k, dtype=np.int64) * hop_us, n)
+        )
+        uu = np.repeat(u, k)
+        return pa.table({
+            "user_id": pa.array(uu, pa.int64()),
+            "win_start": pa.array(starts, pa.int64()),
+            "cents": pa.array(np.repeat(v, k), pa.int64()),
+            "part": pa.array((uu & (partitions - 1)).astype(np.int32), pa.int32()),
+        })
+
+    def agg_partition(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = g.column("win_start").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((w, u))
+        us, ws, vs = u[order], w[order], v[order]
+        new = np.ones(us.size, dtype=bool)
+        new[1:] = (us[1:] != us[:-1]) | (ws[1:] != ws[:-1])
+        bounds = np.nonzero(new)[0]
+        return pa.table({
+            "user_id": pa.array(us[bounds], pa.int64()),
+            "win_start": pa.array(ws[bounds], pa.int64()),
+            "n_events": pa.array(
+                np.diff(np.append(bounds, us.size)).astype(np.int64), pa.int64()
+            ),
+            "sum_value": pa.array(
+                np.add.reduceat(vs, bounds).astype(np.float64) / 100.0, pa.float64()
+            ),
+        })
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(agg_partition, batch_format="pyarrow")
+    )
+
+
 def asof_latest_order(sf_dir: str, partitions: int = 32) -> rd.Dataset:
     """As-of join — a primitive Ray Data has no native operator for: each
     event matches the LATEST order by the same customer at or before the
