@@ -447,6 +447,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_latest_order": rel.asof_latest_order,
         "range_join_events": rel.range_join_events,
         "hopping_window": rel.hopping_window,
+        "quantiles_price": rel.quantiles_price,
+        "topk_per_group": rel.topk_per_group,
         # training-data text ops (SQL-oracled)
         "token_counts": textstats.token_counts,
         "stopword_ratio": textstats.stopword_ratio,
@@ -972,6 +974,21 @@ def oracle_sql() -> dict[str, str]:
             "  (epoch_us(ts) // 900000000 - g.i) * 900000000 AS win_start "
             "  FROM events CROSS JOIN generate_series(0, 3) AS g(i)) "
             "GROUP BY user_id, win_start"
+        ),
+        "quantiles_price": (
+            # exact rank-based quantiles: value at 1-based rank ceil(q*n)
+            "WITH s AS (SELECT l_extendedprice AS v, "
+            "  row_number() OVER (ORDER BY l_extendedprice) AS rn, "
+            "  count(*) OVER () AS n FROM lineitem) "
+            "SELECT 0.5 AS q, v AS value FROM s WHERE rn = CAST(ceil(0.5 * n) AS BIGINT) "
+            "UNION ALL SELECT 0.95, v FROM s WHERE rn = CAST(ceil(0.95 * n) AS BIGINT) "
+            "UNION ALL SELECT 0.99, v FROM s WHERE rn = CAST(ceil(0.99 * n) AS BIGINT)"
+        ),
+        "topk_per_group": (
+            "SELECT user_id, event_id, value, rank FROM ("
+            "  SELECT user_id, event_id, value, row_number() OVER ("
+            "  PARTITION BY user_id ORDER BY value DESC, event_id) AS rank "
+            "  FROM events) WHERE rank <= 3"
         ),
     }
 

@@ -318,6 +318,79 @@ def tumbling_window(sf_dir: str, partitions: int = 32) -> rd.Dataset:
     )
 
 
+def quantiles_price(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.95, 0.99)) -> pd.DataFrame:
+    """Exact distributed quantiles WITHOUT a global sort: values are
+    2-decimal money, so the value domain in integer cents is bounded (~10⁷
+    distinct) regardless of row count.  Each batch emits its np.unique
+    (cents, count) partial histogram; one groupby-Sum over the tiny
+    histogram key space merges them; the driver cumsums a table bounded by
+    the VALUE DOMAIN, not the data — at 100 TB the shuffle moves ≤10⁷ rows
+    while ``Dataset.sort`` would move every row.  Quantile definition:
+    value of the row at 1-based rank ``ceil(q * n)`` in ascending order
+    (matching the oracle's row_number arithmetic, no interpolation)."""
+    ds = _pq(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        u, c = np.unique(cents, return_counts=True)
+        return pa.table({"cents": pa.array(u, pa.int64()),
+                         "n": pa.array(c, pa.int64())})
+
+    merged = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("cents").aggregate(Sum("n")).to_pandas()
+        .sort_values("cents").reset_index(drop=True)
+    )
+    cum = merged["sum(n)"].cumsum().to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    vals = []
+    for q in qs:
+        target = int(np.ceil(q * n))
+        i = int(np.searchsorted(cum, target, side="left"))
+        vals.append(float(merged["cents"].iloc[i]) / 100.0)
+    return pd.DataFrame({"q": list(qs), "value": vals})
+
+
+def topk_per_group(sf_dir: str, k: int = 3, partitions: int = 32) -> rd.Dataset:
+    """Top-k per group (the per-group head of a window rank) without a
+    per-group Python call: coarse user%P shuffle co-locates each user's
+    events, then the per-partition rank is lexsort + run-position
+    arithmetic (rank = index − own group start) — P Python calls total.
+    Ties: value desc, event_id asc."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], partitions - 1), pa.int32())
+        return t.append_column("part", part)
+
+    def head_partition(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g.column("value").to_numpy(zero_copy_only=False)
+        e = g.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((e, -v, u))
+        us, vs, es = u[order], v[order], e[order]
+        n = us.size
+        new = np.ones(n, dtype=bool)
+        new[1:] = us[1:] != us[:-1]
+        group_start = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+        rank = np.arange(n) - group_start + 1
+        keep = rank <= k
+        return pa.table({
+            "user_id": pa.array(us[keep], pa.int64()),
+            "event_id": pa.array(es[keep], pa.int64()),
+            "value": pa.array(vs[keep], pa.float64()),
+            "rank": pa.array(rank[keep].astype(np.int64), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(head_partition, batch_format="pyarrow")
+    )
+
+
 def range_join_events(sf_dir: str, window_us: int = 7_200_000_000,
                       partitions: int = 32) -> rd.Dataset:
     """Range join — the second primitive Ray Data lacks natively: every pair
