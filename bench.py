@@ -409,6 +409,14 @@ def scaling(pairs: int = 3, until_quiet: int = 0, max_pairs: int = 12) -> None:
         )
         # stream partial results so an interrupted run still reports pairs
         print(json.dumps({"pair": trials[-1]}), flush=True)
+    print(json.dumps(summarize_pairs(trials)))
+
+
+def summarize_pairs(trials: list[dict]) -> dict:
+    """Headline selection (pure — unit-tested): median over quiet at-grade
+    pairs; labeled deflated fallback to quiet-only; labeled fallback to all
+    pairs.  The best pair rides along for transparency but NEVER forms the
+    headline (best-of-N under noise is upward-biased — ADVICE round 2)."""
     import statistics
 
     graded = [t for t in trials if t["quiet"] and not t["host_degraded"]]
@@ -421,14 +429,14 @@ def scaling(pairs: int = 3, until_quiet: int = 0, max_pairs: int = 12) -> None:
     )
     headline = round(statistics.median(t["scaling_efficiency"] for t in basis), 3)
     best = max(trials, key=lambda t: t["scaling_efficiency"])
-    print(json.dumps({
+    return {
         "scaling_efficiency": headline,
         "headline_basis": f"median of {len(basis)} " + label,
         "neighbor_quiet_frac": NEIGHBOR_QUIET_FRAC,
         "host_floor_urls_per_sec": HOST_FLOOR_URLS_PER_SEC,
         "best_pair": best,
         "pairs": trials,
-    }))
+    }
 
 
 if __name__ == "__main__":

@@ -344,7 +344,10 @@ def quantiles_price(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.95, 0.99)) -> p
         .sort_values("cents").reset_index(drop=True)
     )
     cum = merged["sum(n)"].cumsum().to_numpy()
-    n = int(cum[-1]) if len(cum) else 0
+    if not len(cum):
+        return pd.DataFrame({"q": pd.Series([], dtype=float),
+                             "value": pd.Series([], dtype=float)})
+    n = int(cum[-1])
     vals = []
     for q in qs:
         target = int(np.ceil(q * n))
