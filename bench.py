@@ -288,6 +288,14 @@ def main() -> None:
                 "steal_frac": round(steal_cpu_s / (wall * n_host), 4),
                 "crawl_steal_frac": crawl["steal_frac"],
                 "crawl_busy_frac": crawl["busy_frac"],
+                # self-describing host grade: compare this leg's crawl
+                # throughput to the calm-window floor for its width (see
+                # HOST_FLOOR_URLS_PER_SEC / BASELINE.md) so a polluted
+                # BENCH_r{N} reads as such without cross-referencing
+                "host_degraded": bool(
+                    crawl["urls_per_sec"]
+                    < HOST_FLOOR_URLS_PER_SEC.get(ncpu, 0.0)
+                ),
                 **(
                     {
                         "routed_urls": routed["urls"],
