@@ -70,44 +70,84 @@ class FetchPool:
         return futures
 
     def submit_dynamic(self, block_refs: list, counts: list[int], batch_size: int,
-                       depth: int = 2, on_done=None) -> list:
+                       depth: int = 2, on_done=None, speculate: bool = True) -> list:
         """Work-stealing dispatch: keep ``depth`` batches queued per worker and
         top up as each completes — kills the straggler tail that static
         round-robin leaves when batch costs vary (images vs 45 KB documents).
         Output refs are returned INDEXED BY TASK ORDER (= seq order), which
         downstream ranking depends on; ``on_done(task_idx, ref)`` fires in
-        completion order.  ``fetch_local=False`` keeps payload blocks out of
-        the driver."""
+        completion order, exactly once per task.  ``fetch_local=False`` keeps
+        payload blocks out of the driver.
+
+        ``speculate``: once the fresh queue is drained, a worker that runs dry
+        re-executes one still-outstanding batch (oldest first, ≤2 copies) —
+        the classic straggler mitigation for the wave tail, where one stalled
+        worker (hypervisor steal here; a slow node on a real cluster)
+        otherwise gates the whole round.  Safe because the fetch operator is
+        deterministic per batch: whichever copy finishes first supplies the
+        task's ref, the loser's queued copy is best-effort cancelled, and a
+        loser already running is simply abandoned (its result is dropped and
+        the worker rejoins the pool when it finishes; next round's top-up
+        routes around it meanwhile).  A production HTTP fetcher pays one
+        duplicate request per speculated batch — the standard price."""
         tasks = [
             (ref, s, min(s + batch_size, n))
             for ref, n in zip(block_refs, counts)
             for s in range(0, n, batch_size)
         ]
-        out: list = [None] * len(tasks)
+        n_tasks = len(tasks)
+        out: list = [None] * n_tasks
         nxt = 0
         inflight: dict = {}
+        task_done = [False] * n_tasks
+        n_done = 0
+        copies: list[list] = [[] for _ in range(n_tasks)]
 
         def feed(w) -> bool:
             nonlocal nxt
-            if nxt >= len(tasks):
+            if nxt < n_tasks:
+                i = nxt
+                nxt += 1
+            elif speculate:
+                # oldest not-done single-copy batch; don't re-run on a worker
+                # that already holds a copy of it
+                i = next(
+                    (j for j in range(n_tasks)
+                     if not task_done[j] and len(copies[j]) == 1
+                     and inflight.get(copies[j][0], (None,))[0] is not w),
+                    None,
+                )
+                if i is None:
+                    return False
+            else:
                 return False
-            ref, s, e = tasks[nxt]
+            ref, s, e = tasks[i]
             fut = w.process.remote(ref, s, e)
-            inflight[fut] = (w, nxt)
-            out[nxt] = fut
-            nxt += 1
+            inflight[fut] = (w, i)
+            copies[i].append(fut)
             return True
 
         for w in self.workers:
             for _ in range(depth):
                 if not feed(w):
                     break
-        while inflight:
+        while n_done < n_tasks:
             done, _ = ray.wait(list(inflight), num_returns=1, fetch_local=False)
             w, i = inflight.pop(done[0])
+            if not task_done[i]:
+                task_done[i] = True
+                n_done += 1
+                out[i] = done[0]
+                for f in copies[i]:
+                    if f is not done[0]:
+                        try:
+                            ray.cancel(f)  # no-op if already running (sync actor)
+                        except Exception:
+                            pass
+                        inflight.pop(f, None)  # abandoned — drop its ref
+                if on_done is not None:
+                    on_done(i, done[0])
             feed(w)
-            if on_done is not None:
-                on_done(i, done[0])
         return out
 
     def shutdown(self) -> None:
