@@ -331,13 +331,22 @@ def _wait_steal_quiet(max_wait_s: float = 600.0, sample_s: float = 5.0) -> float
             return round(rate, 4)
 
 
-def _crawl_once(ncpu: int) -> dict:
+def _crawl_once(ncpu: int, retries: int = 1) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), LCRAY_BENCH_CRAWL_ONLY="1")
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)],
-        env=env, capture_output=True, text=True, check=True,
-    ).stdout
-    return json.loads(out.strip().splitlines()[-1])
+    for attempt in range(retries + 1):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True,
+        )
+        if p.returncode == 0:
+            return json.loads(p.stdout.strip().splitlines()[-1])
+        # surface the child's failure (otherwise CalledProcessError hides it)
+        sys.stderr.write(
+            f"[leg ncpu={ncpu} attempt={attempt}] exit {p.returncode}\n"
+            + p.stderr[-4000:] + "\n"
+        )
+        sys.stderr.flush()
+    raise RuntimeError(f"crawl leg failed after {retries + 1} attempts (ncpu={ncpu})")
 
 
 # a leg is clean only when hypervisor steal stayed under 2% of the host's
