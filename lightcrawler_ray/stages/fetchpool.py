@@ -85,11 +85,15 @@ class FetchPool:
         worker (hypervisor steal here; a slow node on a real cluster)
         otherwise gates the whole round.  Safe because the fetch operator is
         deterministic per batch: whichever copy finishes first supplies the
-        task's ref, the loser's queued copy is best-effort cancelled, and a
-        loser already running is simply abandoned (its result is dropped and
-        the worker rejoins the pool when it finishes; next round's top-up
-        routes around it meanwhile).  A production HTTP fetcher pays one
-        duplicate request per speculated batch — the standard price."""
+        task's ref and the loser is abandoned — it runs to completion on its
+        worker, its result is dropped, and the worker rejoins the pool when
+        it finishes (next round's top-up routes around it meanwhile).
+        Losers are deliberately NOT ray.cancel()ed: cancelling an actor task
+        while its argument references are being resolved trips a Ray-core
+        reference-count CHECK (reference_count.cc:581, observed on 2.49.2),
+        and the waste is bounded at one batch per speculation anyway.  A
+        production HTTP fetcher pays one duplicate request per speculated
+        batch — the standard price."""
         tasks = [
             (ref, s, min(s + batch_size, n))
             for ref, n in zip(block_refs, counts)
@@ -140,11 +144,7 @@ class FetchPool:
                 out[i] = done[0]
                 for f in copies[i]:
                     if f is not done[0]:
-                        try:
-                            ray.cancel(f)  # no-op if already running (sync actor)
-                        except Exception:
-                            pass
-                        inflight.pop(f, None)  # abandoned — drop its ref
+                        inflight.pop(f, None)  # abandoned — never awaited
                 if on_done is not None:
                     on_done(i, done[0])
             feed(w)
