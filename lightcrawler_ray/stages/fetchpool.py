@@ -79,21 +79,26 @@ class FetchPool:
         completion order, exactly once per task.  ``fetch_local=False`` keeps
         payload blocks out of the driver.
 
-        ``speculate``: once the fresh queue is drained, a worker that runs dry
-        re-executes one still-outstanding batch (oldest first, ≤2 copies) —
-        the classic straggler mitigation for the wave tail, where one stalled
-        worker (hypervisor steal here; a slow node on a real cluster)
-        otherwise gates the whole round.  Safe because the fetch operator is
+        ``speculate``: once the fresh queue is drained, an idle worker
+        re-executes a still-outstanding batch — the classic straggler
+        mitigation for the wave tail, where one stalled worker (hypervisor
+        steal here; a slow node on a real cluster) otherwise gates the whole
+        round.  A batch is a speculation candidate only once OVERDUE (in
+        flight > 1.5× the round's median batch duration), so calm rounds
+        never speculate and pay zero overhead — an eagerly-duplicated batch
+        would leave its loser running into the next round's dispatch,
+        taxing exactly the healthy case.  Safe because the fetch operator is
         deterministic per batch: whichever copy finishes first supplies the
         task's ref and the loser is abandoned — it runs to completion on its
         worker, its result is dropped, and the worker rejoins the pool when
-        it finishes (next round's top-up routes around it meanwhile).
-        Losers are deliberately NOT ray.cancel()ed: cancelling an actor task
-        while its argument references are being resolved trips a Ray-core
-        reference-count CHECK (reference_count.cc:581, observed on 2.49.2),
-        and the waste is bounded at one batch per speculation anyway.  A
-        production HTTP fetcher pays one duplicate request per speculated
+        it finishes.  Losers are deliberately NOT ray.cancel()ed: cancelling
+        an actor task while its argument references are being resolved trips
+        a Ray-core reference-count CHECK (reference_count.cc:581, observed
+        on 2.49.2), and the waste is bounded at one batch per speculation.
+        A production HTTP fetcher pays one duplicate request per speculated
         batch — the standard price."""
+        import time as _time
+
         tasks = [
             (ref, s, min(s + batch_size, n))
             for ref, n in zip(block_refs, counts)
@@ -106,6 +111,15 @@ class FetchPool:
         task_done = [False] * n_tasks
         n_done = 0
         copies: list[list] = [[] for _ in range(n_tasks)]
+        started: dict = {}     # fut -> dispatch monotonic time
+        durations: list[float] = []
+        idle: list = []
+
+        def overdue_threshold() -> float:
+            if not durations:
+                return 0.5
+            d = sorted(durations)
+            return max(0.5, 1.5 * d[len(d) // 2])
 
         def feed(w) -> bool:
             nonlocal nxt
@@ -113,11 +127,14 @@ class FetchPool:
                 i = nxt
                 nxt += 1
             elif speculate:
-                # oldest not-done single-copy batch; don't re-run on a worker
-                # that already holds a copy of it
+                # oldest not-done single-copy batch that is OVERDUE and not
+                # already running on this worker
+                now = _time.monotonic()
+                thr = overdue_threshold()
                 i = next(
                     (j for j in range(n_tasks)
                      if not task_done[j] and len(copies[j]) == 1
+                     and now - started[copies[j][0]] > thr
                      and inflight.get(copies[j][0], (None,))[0] is not w),
                     None,
                 )
@@ -129,6 +146,7 @@ class FetchPool:
             fut = w.process.remote(ref, s, e)
             inflight[fut] = (w, i)
             copies[i].append(fut)
+            started[fut] = _time.monotonic()
             return True
 
         for w in self.workers:
@@ -136,18 +154,28 @@ class FetchPool:
                 if not feed(w):
                     break
         while n_done < n_tasks:
-            done, _ = ray.wait(list(inflight), num_returns=1, fetch_local=False)
-            w, i = inflight.pop(done[0])
-            if not task_done[i]:
-                task_done[i] = True
-                n_done += 1
-                out[i] = done[0]
-                for f in copies[i]:
-                    if f is not done[0]:
-                        inflight.pop(f, None)  # abandoned — never awaited
-                if on_done is not None:
-                    on_done(i, done[0])
-            feed(w)
+            # finite timeout so idle workers re-check overdue candidates even
+            # with no completion events (the stalled-worker case)
+            done, _ = ray.wait(
+                list(inflight), num_returns=1, timeout=0.25, fetch_local=False
+            )
+            if done:
+                w, i = inflight.pop(done[0])
+                durations.append(_time.monotonic() - started[done[0]])
+                if not task_done[i]:
+                    task_done[i] = True
+                    n_done += 1
+                    out[i] = done[0]
+                    for f in copies[i]:
+                        if f is not done[0]:
+                            inflight.pop(f, None)  # abandoned — never awaited
+                    if on_done is not None:
+                        on_done(i, done[0])
+                if not feed(w):
+                    idle.append(w)
+            if idle and speculate and nxt >= n_tasks:
+                still_idle = [w for w in idle if not feed(w)]
+                idle[:] = still_idle
         return out
 
     def shutdown(self) -> None:
