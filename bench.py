@@ -80,6 +80,7 @@ def bench_crawl(ncpu: int) -> dict:
     steal = max(0.0, _steal_cpu_s() - steal0)
     busy = max(0.0, _busy_cpu_s() - busy0)
     rss_mb, anon_mb = _driver_mem_mb()
+    speculated = getattr(job.fetch_pool, "speculated_total", 0)
     job.shutdown()
     shutil.rmtree(job_dir, ignore_errors=True)
     return {
@@ -97,6 +98,9 @@ def bench_crawl(ncpu: int) -> dict:
         # busy_frac documents in-VM CPU so self-pollution is visible too
         "steal_frac": round(steal / (dt * len(os.sched_getaffinity(0))), 4),
         "busy_frac": round(busy / (dt * len(os.sched_getaffinity(0))), 4),
+        # duplicates dispatched by tail speculation: ~0 on a calm host;
+        # climbing alongside steal is the mechanism working as intended
+        "speculated": speculated,
     }
 
 
@@ -288,6 +292,7 @@ def main() -> None:
                 "steal_frac": round(steal_cpu_s / (wall * n_host), 4),
                 "crawl_steal_frac": crawl["steal_frac"],
                 "crawl_busy_frac": crawl["busy_frac"],
+                "crawl_speculated": crawl["speculated"],
                 # self-describing host grade: compare this leg's crawl
                 # throughput to the calm-window floor for its width (see
                 # HOST_FLOOR_URLS_PER_SEC / BASELINE.md) so a polluted

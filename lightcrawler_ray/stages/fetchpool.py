@@ -57,6 +57,10 @@ class FetchPool:
             FetchWorker.remote(pages_ref, images_ref, fetch_kwargs) for _ in range(k)
         ]
         self._rr = 0
+        #: duplicates dispatched across the pool's lifetime (observability:
+        #: a healthy calm run should keep this at/near zero — a climbing
+        #: count on a quiet host means the overdue threshold is too tight)
+        self.speculated_total = 0
         # warm: force process spawn + store mapping now, not mid-crawl
         ray.get([w.__ray_ready__.remote() for w in self.workers])
 
@@ -147,6 +151,8 @@ class FetchPool:
             inflight[fut] = (w, i)
             copies[i].append(fut)
             started[fut] = _time.monotonic()
+            if len(copies[i]) > 1:
+                self.speculated_total += 1
             return True
 
         for w in self.workers:

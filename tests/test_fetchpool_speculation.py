@@ -45,6 +45,7 @@ def _stub_pool(k: int, gate) -> FetchPool:
     pool.k = k
     pool.workers = [_StubWorker.remote(gate) for _ in range(k)]
     pool._rr = 0
+    pool.speculated_total = 0
     return pool
 
 
@@ -64,6 +65,7 @@ def test_speculation_beats_stalled_worker(ray_session):
 
     assert elapsed < 30, f"round gated by the stalled worker ({elapsed:.1f}s)"
     assert len(out) == 12 and all(r is not None for r in out)
+    assert pool.speculated_total >= 1  # the stalled batch was duplicated
     # exactly-once on_done per task
     assert fired == {i: 1 for i in range(12)}
     # winner content is the right slice for its task INDEX, whichever copy won
