@@ -4,19 +4,26 @@ embedding-cosine near-dup.
 
 Scale shapes:
 - exact: hash in map_batches → groupby-first (one shuffle on a 32-byte key).
-- MinHash-LSH: signatures per batch → explode to (band_id, band_hash, doc_id)
-  rows → groupby band bucket → candidate pairs → exact-Jaccard verify.  Only
-  band keys shuffle, never documents (hard part (d)).
-- SimHash: 64-bit signature → 4×16-bit band keys → bucket groupby → hamming
-  verify (pigeonhole guarantees recall for distance < bands).
-- n-gram Jaccard: blocked by a coarse key (source), exact set Jaccard within
-  blocks via map_groups.
-- embedding cosine: blocked by label, numpy pairwise cosine within blocks.
+- MinHash-LSH: signatures per batch → (band_id, band_hash, doc_id) rows →
+  ONE shuffle on a coarse key (band_hash % P) → within each partition a
+  lexsort groups equal buckets into runs and pair expansion is pure
+  repeat/arange arithmetic — one Python call per PARTITION, never per
+  bucket.  (LSH buckets are numerous and tiny by design; per-bucket
+  map_groups would cost one pandas invocation each — the sessionize disease.
+  This is the coarse-partition cure, same pattern as
+  relational.range_join_events.)
+- SimHash / phash: 64-bit signature → numeric band keys → the same
+  coarse-partition run expansion → vectorized hamming verify.
+- n-gram Jaccard: blocked by a coarse key (source); intersections via one
+  vectorized exploded self-merge per partition, never per-pair Python sets.
+- embedding cosine: blocked by label (exact face) or hyperplane bucket (LSH
+  face); pair sims via run expansion + one einsum per partition.
 """
 
 from __future__ import annotations
 
 import hashlib
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -27,6 +34,7 @@ from ..functions import hashing
 
 _MH_K = 64
 _MH_BANDS = 16  # 16 bands × 4 rows
+_PAIR_PARTITIONS = 32  # coarse shuffle width for the pair-expansion stages
 
 
 def _docs(sf_dir: str) -> rd.Dataset:
@@ -35,9 +43,36 @@ def _docs(sf_dir: str) -> rd.Dataset:
     return storage.read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
 
 
+def _expand_run_pairs(new_run: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-run (i < j) index pairs over rows already sorted so equal
+    keys are adjacent.  ``new_run[r]`` is True where row r begins a new run
+    (``new_run[0]`` must be True).  Returns (I, J) row-index arrays computed
+    with repeat/arange arithmetic only — no per-run Python (the
+    sessionize/range-join pattern, relational.py:424-470)."""
+    n = new_run.size
+    empty = np.empty(0, np.int64)
+    if n == 0:
+        return empty, empty
+    idx = np.arange(n, dtype=np.int64)
+    run_start = idx[new_run]
+    run_id = np.cumsum(new_run) - 1
+    start_of = run_start[run_id]          # each row's run start
+    counts = idx - start_of               # pairs where this row is the later element
+    total = int(counts.sum())
+    if total == 0:
+        return empty, empty
+    J = np.repeat(idx, counts)
+    k = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(counts) - counts, counts)
+    I = np.repeat(start_of, counts) + k
+    return I, J
+
+
 def minhash_band_rows(sf_dir: str) -> rd.Dataset:
-    """Stage 1-2 of MinHash-LSH: per-doc signature → (band_id, band_hash,
-    doc_id) rows, computed vectorized per batch (shingle+perm hashing)."""
+    """Stage 1-2 of MinHash-LSH: per-doc signature → (part, band_id,
+    band_hash, doc_id) rows, computed vectorized per batch.  ``band_hash``
+    is the blake2b-64 of the band's minhash chunk as a uint64 (a numeric
+    grouping key partitions and run-sorts without string compares);
+    ``part`` is the coarse shuffle key ``band_hash % P``."""
     a, b = hashing.minhash_params(_MH_K)
 
     def sig_rows(t: pa.Table) -> pa.Table:
@@ -47,22 +82,42 @@ def minhash_band_rows(sf_dir: str) -> rd.Dataset:
             sig = hashing.minhash_signature(hashing.shingle_hashes(text, 3), a, b)
             for bi in range(_MH_BANDS):
                 chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                h = int.from_bytes(
+                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
+                )
                 band_ids.append(bi)
                 band_hashes.append(h)
                 doc_ids.append(did)
+        bh = np.array(band_hashes, dtype=np.uint64)
         return pa.table(
-            {"band_id": pa.array(band_ids, pa.int32()),
-             "band_hash": pa.array(band_hashes, pa.string()),
+            {"part": pa.array((bh % _PAIR_PARTITIONS).astype(np.int32)),
+             "band_id": pa.array(band_ids, pa.int32()),
+             "band_hash": pa.array(bh),
              "doc_id": pa.array(doc_ids, pa.int64())}
         )
 
     return _docs(sf_dir).map_batches(sig_rows, batch_format="pyarrow")
 
 
+def _mh_partition_pairs(t: pd.DataFrame) -> pa.Table:
+    """Candidate pairs for ONE coarse partition: lexsort by (band_hash,
+    band_id, doc_id), runs = equal (band_hash, band_id) buckets, pairs by
+    run expansion.  doc_a < doc_b holds because doc_id ascends within runs."""
+    bh = t["band_hash"].to_numpy(dtype=np.uint64)
+    band = t["band_id"].to_numpy(dtype=np.int32)
+    did = t["doc_id"].to_numpy(dtype=np.int64)
+    order = np.lexsort((did, band, bh))
+    bh, band, did = bh[order], band[order], did[order]
+    new_run = np.ones(len(did), dtype=bool)
+    new_run[1:] = (bh[1:] != bh[:-1]) | (band[1:] != band[:-1])
+    I, J = _expand_run_pairs(new_run)
+    return pa.table({"doc_a": pa.array(did[I], pa.int64()),
+                     "doc_b": pa.array(did[J], pa.int64())})
+
+
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
-    """Full MinHash-LSH near-dup: bucket groupby → candidate pairs →
-    exact-Jaccard verification against the real shingle sets.
+    """Full MinHash-LSH near-dup: coarse-partition bucket runs → candidate
+    pairs → exact-Jaccard verification against the real shingle sets.
 
     Oracle-checked end-to-end: shingle hashes are md5_number_lower, the
     permutation params are seed-42 literals, and band equality is minhash-
@@ -75,23 +130,9 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     import ray
 
     bands = minhash_band_rows(sf_dir)
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        if len(ids) < 2:
-            return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64())})
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
-                         "doc_b": pa.array(out_b, pa.int64())})
-
     cand = (
-        bands.groupby(["band_id", "band_hash"])
-        .map_groups(pairs, batch_format="pandas")
+        bands.groupby("part")
+        .map_groups(_mh_partition_pairs, batch_format="pandas")
         .to_pandas()
         .drop_duplicates()
     )
@@ -130,7 +171,11 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
         for a, b in zip(cand["doc_a"], cand["doc_b"])
     ]
     cand = cand.assign(jaccard=jac)
-    return cand[cand["jaccard"] >= threshold].reset_index(drop=True)
+    return (
+        cand[cand["jaccard"] >= threshold]
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
 
 
 def simhash_docs(sf_dir: str) -> rd.Dataset:
@@ -146,62 +191,86 @@ def simhash_docs(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir).map_batches(sig, batch_format="pyarrow")
 
 
+def _banded_hamming_pairs(
+    sigs: rd.Dataset, id_col: str, n_bands: int, max_hamming: int,
+    out_a: str, out_b: str, id_type: pa.DataType,
+) -> pd.DataFrame:
+    """Shared banded-pigeonhole near-dup join for 64-bit signatures
+    (simhash docs / phash images): ``n_bands`` bands of 64/n_bands bits
+    guarantee recall for hamming < n_bands; ONE coarse shuffle on
+    band_key % P; within each partition equal band keys form lexsort runs
+    whose pairs expand by repeat/arange arithmetic and verify with a
+    vectorized hamming — no per-bucket Python anywhere."""
+    is_str = pa.types.is_string(id_type)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ph = np.array(t.column("simhash").to_pylist(), dtype=np.int64).view(np.uint64)
+        bands = hashing.simhash_bands(ph, n_bands)
+        n = len(ph)
+        # numeric band key: band index in the high bits, band value low
+        keys = (np.arange(n_bands, dtype=np.uint64)[None, :] << np.uint64(48)) | bands.astype(np.uint64)
+        keys = keys.T.reshape(-1)  # band-major: [b0 rows..., b1 rows...]
+        ids = t.column(id_col)
+        idx = np.tile(np.arange(n), n_bands)
+        return pa.table(
+            {
+                "part": pa.array((keys % _PAIR_PARTITIONS).astype(np.int32)),
+                "band_key": pa.array(keys),
+                id_col: ids.take(pa.array(idx)),
+                "simhash": pa.array(np.tile(ph, n_bands).view(np.int64)),
+            }
+        )
+
+    def part_pairs(t: pd.DataFrame) -> pa.Table:
+        empty = pa.table({out_a: pa.array([], id_type), out_b: pa.array([], id_type),
+                          "hamming": pa.array([], pa.int64())})
+        if len(t) < 2:
+            return empty
+        keys = t["band_key"].to_numpy(dtype=np.uint64)
+        ids = t[id_col].to_numpy()
+        if is_str:
+            ids = ids.astype(str)  # '<U' dtype lexsorts; object arrays don't
+        hs = t["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+        order = np.lexsort((ids, keys))
+        keys, ids, hs = keys[order], ids[order], hs[order]
+        new_run = np.ones(len(keys), dtype=bool)
+        new_run[1:] = keys[1:] != keys[:-1]
+        I, J = _expand_run_pairs(new_run)
+        if I.size == 0:
+            return empty
+        d = hashing.hamming64(hs[I], hs[J])
+        keep = d <= max_hamming
+        return pa.table({out_a: pa.array(ids[I[keep]], id_type),
+                         out_b: pa.array(ids[J[keep]], id_type),
+                         "hamming": pa.array(d[keep].astype(np.int64), pa.int64())})
+
+    df = (
+        sigs.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if df.empty:
+        dt = "string" if is_str else "int64"
+        return pd.DataFrame({out_a: pd.Series([], dtype=dt),
+                             out_b: pd.Series([], dtype=dt),
+                             "hamming": pd.Series([], dtype="int64")})
+    return (
+        df.drop_duplicates([out_a, out_b])
+        .sort_values([out_a, out_b])
+        .reset_index(drop=True)
+    )
+
+
 def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     """SimHash near-dup pairs via 4-band bucketing + hamming verify.
 
     Oracle-checked: 4 bands are EXACT for hamming <= 3 (pigeonhole), and the
     SQL mirror replays simhash64 itself (md5_number_lower token hashes +
     weighted bit votes), so the output equals the full O(n²) hamming join."""
-    sigs = simhash_docs(sf_dir)
-
-    def band_rows(t: pa.Table) -> pa.Table:
-        ph = np.array(t.column("simhash").to_pylist(), dtype=np.int64).view(np.uint64)
-        bands = hashing.simhash_bands(ph, 4)
-        ids = t.column("doc_id").to_pylist()
-        n = len(ids)
-        return pa.table(
-            {
-                "band_key": pa.array(
-                    [f"{b}:{bands[i, b]:04x}" for b in range(4) for i in range(n)]
-                ),
-                "doc_id": pa.array([ids[i] for _ in range(4) for i in range(n)], pa.int64()),
-                "simhash": pa.array(
-                    [int(np.int64(ph[i])) for _ in range(4) for i in range(n)], pa.int64()
-                ),
-            }
-        )
-
-    def pairs(g: pd.DataFrame) -> pa.Table:
-        if len(g) < 2:
-            return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64()),
-                             "hamming": pa.array([], pa.int64())})
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
-        out_a, out_b, out_d = [], [], []
-        for i in range(len(ids)):
-            d = hashing.hamming64(hs[i + 1 :], np.full(len(ids) - i - 1, hs[i], dtype=np.uint64))
-            for j, dd in enumerate(d):
-                out_a.append(int(ids[i]))
-                out_b.append(int(ids[i + 1 + j]))
-                out_d.append(int(dd))
-        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
-                         "doc_b": pa.array(out_b, pa.int64()),
-                         "hamming": pa.array(out_d, pa.int64())})
-
-    df = (
-        sigs.map_batches(band_rows, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(pairs, batch_format="pandas")
-        .to_pandas()
+    return _banded_hamming_pairs(
+        simhash_docs(sf_dir), "doc_id", 4, max_hamming, "doc_a", "doc_b", pa.int64()
     )
-    if df.empty:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "hamming": pd.Series([], dtype="int64")})
-    df = df[df["hamming"] <= max_hamming].drop_duplicates(["doc_a", "doc_b"])
-    return df.reset_index(drop=True)
 
 
 def phash_near_dups(images_path: str, max_hamming: int = 7,
@@ -209,98 +278,112 @@ def phash_near_dups(images_path: str, max_hamming: int = 7,
     """Near-duplicate IMAGE pairs by perceptual hash — D3's image face over
     the multimodal decode stage.  Decode + phash run on the actor pool
     (``extras.multimodal.ImageDecodeStats``, codec loaded once per actor);
-    then the same banded-pigeonhole shuffle as ``simhash_near_dups``:
-    ``n_bands`` bands of 64/n_bands bits guarantee recall for hamming <
-    n_bands (8 bands → every pair within hamming ≤ 7 shares a band), verify
-    is vectorized hamming inside each bucket.  Scale shape: only
-    (band_key, image_id, phash) rows shuffle — payload bytes never leave
-    the decode stage."""
+    then the same banded-pigeonhole coarse-partition join as
+    ``simhash_near_dups`` (8 bands → every pair within hamming ≤ 7 shares a
+    band).  Scale shape: only (band_key, image_id, phash) rows shuffle —
+    payload bytes never leave the decode stage.  SQL-oracled: phash is a
+    deterministic codec output already carried by the fixture images table,
+    so the oracle replays the same ≤-hamming join over the stored column."""
     from .multimodal import image_stats
 
     sigs = image_stats(images_path).map_batches(
-        lambda t: t.select(["image_id", "phash"]), batch_format="pyarrow"
+        lambda t: pa.table({"image_id": t.column("image_id"),
+                            "simhash": t.column("phash")}),
+        batch_format="pyarrow",
+    )
+    return _banded_hamming_pairs(
+        sigs, "image_id", n_bands, max_hamming, "img_a", "img_b", pa.string()
     )
 
-    def band_rows(t: pa.Table) -> pa.Table:
-        ph = np.array(t.column("phash").to_pylist(), dtype=np.int64).view(np.uint64)
-        bands = hashing.simhash_bands(ph, n_bands)
-        ids = t.column("image_id").to_pylist()
-        n = len(ids)
-        return pa.table(
-            {
-                "band_key": pa.array(
-                    [f"{b}:{bands[i, b]:04x}" for b in range(n_bands) for i in range(n)]
-                ),
-                "image_id": pa.array(
-                    [ids[i] for _ in range(n_bands) for i in range(n)], pa.string()
-                ),
-                "phash": pa.array(
-                    [int(np.int64(ph[i])) for _ in range(n_bands) for i in range(n)],
-                    pa.int64(),
-                ),
-            }
-        )
 
-    def pairs(g: pd.DataFrame) -> pa.Table:
-        empty = pa.table({"img_a": pa.array([], pa.string()),
-                          "img_b": pa.array([], pa.string()),
-                          "hamming": pa.array([], pa.int64())})
-        if len(g) < 2:
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.2) -> pd.DataFrame:
+    """Blocked exact n-gram Jaccard: pairs within the same ``source`` block
+    (the coarse blocking key), word-3-gram shingle sets, jaccard ≥ threshold.
+    SQL-oracled (DuckDB computes the identical shingle sets).
+
+    One shuffle on hash(source) % P; within each partition the pairwise
+    intersection sizes come from ONE exploded (source, shingle, doc_id)
+    self-merge — vectorized pandas, no per-pair Python set ops.  Hot-block
+    O(n²) caveat stands (data-dependent key); the LSH faces are the scale
+    path."""
+    ds = _docs(sf_dir)
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        out_doc, out_src, out_sh, out_sz = [], [], [], []
+        for did, src, text in zip(
+            t.column("doc_id").to_pylist(), t.column("source").to_pylist(),
+            t.column("text").to_pylist(),
+        ):
+            w = text.split(" ")
+            grams = {" ".join(w[i : i + 3]) for i in range(max(1, len(w) - 2))}
+            out_doc.extend([did] * len(grams))
+            out_src.extend([src] * len(grams))
+            out_sh.extend(grams)
+            out_sz.extend([len(grams)] * len(grams))
+        part = [zlib.crc32(s.encode()) % _PAIR_PARTITIONS for s in out_src]
+        return pa.table({"part": pa.array(part, pa.int32()),
+                         "source": pa.array(out_src, pa.string()),
+                         "doc_id": pa.array(out_doc, pa.int64()),
+                         "shingle": pa.array(out_sh, pa.string()),
+                         "n_sh": pa.array(out_sz, pa.int64())})
+
+    def part_pairs(g: pd.DataFrame) -> pa.Table:
+        m = g.merge(g, on=["source", "shingle"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        if m.empty:
             return empty
-        g = g.sort_values("image_id")
-        ids = g["image_id"].tolist()
-        hs = g["phash"].to_numpy(dtype=np.int64).view(np.uint64)
-        out_a, out_b, out_d = [], [], []
-        for i in range(len(ids)):
-            d = hashing.hamming64(hs[i + 1:], np.full(len(ids) - i - 1, hs[i], dtype=np.uint64))
-            for j, dd in enumerate(d):
-                out_a.append(ids[i])
-                out_b.append(ids[i + 1 + j])
-                out_d.append(int(dd))
-        return pa.table({"img_a": pa.array(out_a, pa.string()),
-                         "img_b": pa.array(out_b, pa.string()),
-                         "hamming": pa.array(out_d, pa.int64())})
+        inter = (
+            m.groupby(["doc_id_x", "doc_id_y", "n_sh_x", "n_sh_y"], sort=True)
+            .size()
+            .reset_index(name="inter")
+        )
+        union = inter["n_sh_x"] + inter["n_sh_y"] - inter["inter"]
+        jac = inter["inter"] / np.maximum(union, 1)
+        keep = jac >= threshold
+        return pa.table({"doc_a": pa.array(inter["doc_id_x"][keep], pa.int64()),
+                         "doc_b": pa.array(inter["doc_id_y"][keep], pa.int64()),
+                         "jaccard": pa.array(jac[keep], pa.float64())})
 
     df = (
-        sigs.map_batches(band_rows, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(pairs, batch_format="pandas")
+        ds.map_batches(shingle_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_pairs, batch_format="pandas")
         .to_pandas()
     )
     if df.empty:
-        return pd.DataFrame({"img_a": pd.Series([], dtype="string"),
-                             "img_b": pd.Series([], dtype="string"),
-                             "hamming": pd.Series([], dtype="int64")})
-    df = df[df["hamming"] <= max_hamming].drop_duplicates(["img_a", "img_b"])
-    return df.sort_values(["img_a", "img_b"]).reset_index(drop=True)
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.2) -> rd.Dataset:
-    """Blocked exact n-gram Jaccard: pairs within the same ``source`` block
-    (the coarse blocking key), word-3-gram shingle sets, jaccard ≥ threshold.
-    SQL-oracled (DuckDB computes the identical shingle sets)."""
-    ds = _docs(sf_dir)
-
-    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].tolist()
-        shs = []
-        for text in g["text"]:
-            w = text.split(" ")
-            shs.append({" ".join(w[i : i + 3]) for i in range(max(1, len(w) - 2))})
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                jac = len(shs[i] & shs[j]) / max(1, len(shs[i] | shs[j]))
-                if jac >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_j.append(jac)
-        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
-                         "doc_b": pa.array(out_b, pa.int64()),
-                         "jaccard": pa.array(out_j, pa.float64())})
-
-    return ds.groupby("source").map_groups(block_pairs, batch_format="pandas")
+def _vec_run_pairs(
+    t: pd.DataFrame, key_np: np.ndarray, threshold: float
+) -> pa.Table:
+    """Shared tail for the embedding faces: rows of one coarse partition,
+    sorted into runs of equal ``key_np`` (any lexsortable dtype — int64
+    buckets or unicode labels); pair sims via run expansion + one einsum
+    over the gathered normalized vectors."""
+    empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                      "vec_b": pa.array([], pa.int64())})
+    if len(t) < 2:
+        return empty
+    ids = t["vec_id"].to_numpy(dtype=np.int64)
+    order = np.lexsort((ids, key_np))
+    key_s, ids_s = key_np[order], ids[order]
+    m = np.stack(t["vec"].to_numpy())[order]
+    new_run = np.ones(len(ids_s), dtype=bool)
+    new_run[1:] = key_s[1:] != key_s[:-1]
+    I, J = _expand_run_pairs(new_run)
+    if I.size == 0:
+        return empty
+    sims = np.einsum("ij,ij->i", m[I], m[J])
+    keep = (sims >= threshold) & (ids_s[I] != ids_s[J])
+    return pa.table({"vec_a": pa.array(ids_s[I[keep]], pa.int64()),
+                     "vec_b": pa.array(ids_s[J[keep]], pa.int64())})
 
 
 def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.35,
@@ -309,8 +392,8 @@ def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.35,
     100 TB path: the blocking key is data-independent (no label can become a
     hot O(n²) block; expected bucket size = n/2^planes regardless of skew),
     multi-probe (1-bit flips) recovers most cross-boundary pairs.
-    Approximate by design → rows-only check; the label-blocked exact variant
-    below stays the oracle-checked face."""
+    SQL-oracled via literal-plane replay (bit_count(xor) <= 2 multi-probe).
+    One coarse shuffle on bucket % P; runs expand per partition."""
     import ray
 
     rng = np.random.default_rng(seed)
@@ -330,37 +413,26 @@ def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.35,
         bits = (m @ planes.T) > 0
         bk = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
         # multi-probe: emit each row into its bucket + all 1-bit-flip buckets
-        out_b, out_i, out_v = [], [], []
-        for r in range(len(ids)):
-            for b in (int(bk[r]), *(int(bk[r]) ^ (1 << p) for p in range(n_planes))):
-                out_b.append(b)
-                out_i.append(int(ids[r]))
-                out_v.append(m[r])
+        # (vectorized: the (n_planes+1) probe targets stack as one matrix)
+        probes = np.concatenate(
+            [bk[None, :], bk[None, :] ^ (1 << np.arange(n_planes))[:, None]]
+        )  # (n_planes+1, n)
+        reps = probes.shape[0]
+        idx = np.tile(np.arange(len(ids)), reps)
         return pa.table({
-            "bucket": pa.array(out_b, pa.int64()),
-            "vec_id": pa.array(out_i, pa.int64()),
-            "vec": pa.array([v.tolist() for v in out_v], pa.list_(pa.float64())),
+            "part": pa.array((probes.reshape(-1) % _PAIR_PARTITIONS).astype(np.int32)),
+            "bucket": pa.array(probes.reshape(-1), pa.int64()),
+            "vec_id": pa.array(ids[idx], pa.int64()),
+            "vec": pa.array(m[idx].tolist(), pa.list_(pa.float64())),
         })
 
-    def pairs(g: pd.DataFrame) -> pa.Table:
-        if len(g) < 2:
-            return pa.table({"vec_a": pa.array([], pa.int64()),
-                             "vec_b": pa.array([], pa.int64())})
-        g = g.sort_values("vec_id")
-        ids = g["vec_id"].to_numpy()
-        m = np.stack(g["vec"].to_numpy())
-        sims = m @ m.T
-        iu = np.triu_indices(len(ids), k=1)
-        mask = (sims[iu] >= threshold) & (ids[iu[0]] != ids[iu[1]])
-        return pa.table({
-            "vec_a": pa.array(ids[iu[0][mask]].astype(np.int64), pa.int64()),
-            "vec_b": pa.array(ids[iu[1][mask]].astype(np.int64), pa.int64()),
-        })
+    def part_pairs(g: pd.DataFrame) -> pa.Table:
+        return _vec_run_pairs(g, g["bucket"].to_numpy(dtype=np.int64), threshold)
 
     df = (
         ds.map_batches(bucket_rows, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pairs, batch_format="pandas")
+        .groupby("part")
+        .map_groups(part_pairs, batch_format="pandas")
         .to_pandas()
     )
     if df.empty:
@@ -373,28 +445,39 @@ def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.35,
     )
 
 
-def embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> rd.Dataset:
-    """Embedding-cosine near-dup, blocked by label: within each label group
-    a single numpy gram matrix finds all pairs ≥ threshold.  SQL-oracled via
-    duckdb list_cosine_similarity with the same label blocking."""
+def embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
+    """Embedding-cosine near-dup, blocked by label: one coarse shuffle on
+    hash(label) % P, label runs expand per partition, sims by einsum.
+    SQL-oracled via duckdb list_cosine_similarity with the same label
+    blocking."""
     from .. import storage
 
     ds = storage.read_parquet_clean(f"{sf_dir}/embeddings.parquet")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("vec_id")
-        ids = g["vec_id"].to_numpy()
-        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        norm = np.linalg.norm(m, axis=1, keepdims=True)
-        m = m / np.maximum(norm, 1e-30)
-        sims = m @ m.T
-        iu = np.triu_indices(len(ids), k=1)
-        mask = sims[iu] >= threshold
-        return pa.table(
-            {
-                "vec_a": pa.array(ids[iu[0][mask]].astype(np.int64), pa.int64()),
-                "vec_b": pa.array(ids[iu[1][mask]].astype(np.int64), pa.int64()),
-            }
-        )
+    def rows(t: pa.Table) -> pa.Table:
+        labels = t.column("label").to_pylist()
+        m = np.stack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        lkey = np.array([zlib.crc32(str(x).encode()) for x in labels], dtype=np.uint32)
+        return pa.table({
+            "part": pa.array((lkey % _PAIR_PARTITIONS).astype(np.int32)),
+            "label": t.column("label"),
+            "vec_id": t.column("vec_id"),
+            "vec": pa.array(m.tolist(), pa.list_(pa.float64())),
+        })
 
-    return ds.groupby("label").map_groups(pairs, batch_format="pandas")
+    def part_pairs(g: pd.DataFrame) -> pa.Table:
+        # run key = the label ITSELF (a crc32 collision must only co-locate
+        # two labels in a partition, never merge their blocks)
+        return _vec_run_pairs(g, g["label"].to_numpy().astype(str), threshold)
+
+    df = (
+        ds.map_batches(rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if df.empty:
+        return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                             "vec_b": pd.Series([], dtype="int64")})
+    return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

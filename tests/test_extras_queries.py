@@ -157,3 +157,48 @@ def test_asof_join_edge_semantics(ray_session, tmp_path):
     assert got["o_orderkey"].tolist() == [104, 102]
     assert got["o_totalprice"].tolist() == [50.0, 30.0]
     assert got["user_id"].tolist() == [7, 7]
+
+
+def test_expand_run_pairs_matches_bruteforce():
+    """The coarse-partition pair expansion (repeat/arange arithmetic) must
+    enumerate exactly the within-run (i < j) pairs, for every run shape —
+    this is the kernel all six dedupe pair stages now share instead of
+    per-bucket map_groups calls."""
+    from lightcrawler_ray.extras.dedupe import _expand_run_pairs
+
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        counts = rng.integers(1, 6, size=rng.integers(0, 8))
+        new_run = np.zeros(int(counts.sum()), dtype=bool)
+        starts = np.cumsum(counts) - counts
+        new_run[starts] = True
+        I, J = _expand_run_pairs(new_run)
+        expect = set()
+        for s, c in zip(starts, counts):
+            for i in range(s, s + c):
+                for j in range(i + 1, s + c):
+                    expect.add((i, j))
+        assert set(zip(I.tolist(), J.tolist())) == expect
+        assert len(I) == len(expect)  # no duplicates
+
+
+def test_pair_stages_one_call_per_partition(ray_session):
+    """Scale shape of the LSH pair stages: the group function runs once per
+    coarse partition (≤ _PAIR_PARTITIONS Python invocations), NOT once per
+    band bucket — a 10× corpus adds rows per partition, never calls."""
+    import pandas as pd
+
+    from lightcrawler_ray.extras import dedupe
+
+    # many tiny synthetic buckets spread over the coarse partitions
+    n = 400
+    t = pd.DataFrame({
+        "band_hash": np.arange(n, dtype=np.uint64) // 2,  # 200 buckets of 2
+        "band_id": np.zeros(n, dtype=np.int32),
+        "doc_id": np.arange(n, dtype=np.int64),
+    })
+    out = dedupe._mh_partition_pairs(t)  # ONE call covers all 200 buckets
+    assert out.num_rows == 200
+    a = out.column("doc_a").to_numpy()
+    b = out.column("doc_b").to_numpy()
+    assert (b == a + 1).all() and (a % 2 == 0).all()
