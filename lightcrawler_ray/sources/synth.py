@@ -221,9 +221,16 @@ def _page_rows_range(
     generated in parallel and concatenated into the identical table."""
     from ..functions import urltools as ut
 
+    import calendar
+    import re as _re
+
     n = p.n_pages
     urls, hosts, statuses, ctypes, bodies = [], [], [], [], []
     fails, links_col, imgs_col, locations = [], [], [], []
+    # generation-time TRUTH columns (what the page semantically contains —
+    # the extraction stages must recover these; they power the crawl_docs
+    # DuckDB oracle).  Pure template knowledge, never extractor output.
+    t_kind, t_title, t_ori, t_pub, t_content = [], [], [], [], []
     for i in range(lo, hi):
         url = page_url(i, p)
         sp = ut.split_url(url)
@@ -232,6 +239,7 @@ def _page_rows_range(
         status, ctype, body, loc, fail = 200, "text/html", "", "", 0
         gt_links: list[str] = []
         gt_imgs: list[str] = []
+        kind, title_t, ori_t, pub_t, content_t = "error", "", "", 0, ""
         if i % 31 == 7:
             status, body = 500, "<html>server error</html>"
         elif i % 23 == 5:
@@ -239,6 +247,7 @@ def _page_rows_range(
         elif i % 17 == 3:
             status, loc = 301, page_url((i + 1) % n, p)
             gt_links = [loc]
+            kind = "redirect"
         else:
             if i % 29 == 11:
                 fail = 1 + i % 2
@@ -271,6 +280,14 @@ def _page_rows_range(
                     + "".join(hrefs)
                     + "</body></html>"
                 )
+                kind, title_t = "list", f"列表页 {i}"
+                # the index-block linearization (M19) strips all whitespace:
+                # title text + link texts + the noise anchors, concatenated
+                content_t = (
+                    f"列表页{i}_index"
+                    + "".join(f"link{int(t)}text" for t in targets)
+                    + "jstopmail"
+                )
             else:
                 k = p.images_per_detail + i % 3
                 img_tags = []
@@ -293,6 +310,20 @@ def _page_rows_range(
                     + "".join(hrefs)
                     + "</body></html>"
                 )
+                yy, m, d = i % 30, 1 + i % 12, 1 + i % 28
+                kind = "detail"
+                title_t = f"关于{word}工作的通知（20{yy:02d}）"
+                ori_t = f"国发(20{yy:02d}){1 + i % 400}号"
+                pub_t = calendar.timegm((2000 + yy, m, d, 0, 0, 0))
+                if p.body_repeat == 1:
+                    # main content = the CJK metadata block's paragraph texts
+                    # joined by newline, inner space runs collapsed (M16);
+                    # with filler paragraphs (body_repeat > 1) the main-
+                    # content boundary is extraction-dependent → no claim
+                    content_t = _re.sub(
+                        r"[ \t]+", " ",
+                        "\n".join(_re.findall(r"<p>(.*?)</p>", cjk, _re.S)),
+                    )
         urls.append(url)
         hosts.append(host)
         statuses.append(status)
@@ -302,6 +333,11 @@ def _page_rows_range(
         links_col.append(gt_links)
         imgs_col.append(gt_imgs)
         locations.append(loc)
+        t_kind.append(kind)
+        t_title.append(title_t)
+        t_ori.append(ori_t)
+        t_pub.append(pub_t)
+        t_content.append(content_t)
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
@@ -313,6 +349,11 @@ def _page_rows_range(
             "fail_attempts": pa.array(fails, pa.int16()),
             "links": pa.array(links_col, pa.list_(pa.string())),
             "images": pa.array(imgs_col, pa.list_(pa.string())),
+            "t_kind": pa.array(t_kind, pa.string()),
+            "t_title": pa.array(t_title, pa.string()),
+            "t_ori": pa.array(t_ori, pa.string()),
+            "t_pub": pa.array(t_pub, pa.int64()),
+            "t_content": pa.array(t_content, pa.string()),
         }
     )
 
@@ -387,9 +428,11 @@ def build_seeds(p: GraphParams, n_seeds: int | None = None) -> pa.Table:
             if s % 2
             else url
         )
-        rows.append({"url": messy, "depth": 0 if s == 0 else 1, "priority": 0})
+        rows.append({"url": messy, "depth": 0 if s == 0 else 1, "priority": 0,
+                     "seed_idx": s})
     return pa.Table.from_pylist(rows, schema=pa.schema(
-        [("url", pa.string()), ("depth", pa.int32()), ("priority", pa.int32())]
+        [("url", pa.string()), ("depth", pa.int32()), ("priority", pa.int32()),
+         ("seed_idx", pa.int32())]
     ))
 
 
@@ -401,11 +444,14 @@ def ensure_fixtures(p: GraphParams | None = None, root: str = "/tmp/lcray_fixtur
     """Materialize all fixture tables once; returns name → parquet path."""
     p = p or GraphParams()
     key = (
-        f"v2_p{p.n_pages}_h{p.n_hosts}_i{p.n_images}_s{p.seed}_d{p.out_degree}"
+        f"v3_p{p.n_pages}_h{p.n_hosts}_i{p.n_images}_s{p.seed}_d{p.out_degree}"
         f"_b{p.body_repeat}_k{p.images_per_detail}_n{p.n_seeds}"
     )
     d = os.path.join(root, key)
-    paths = {name: os.path.join(d, f"{name}.parquet") for name in ("images", "pages", "robots", "seeds")}
+    paths = {
+        name: os.path.join(d, f"{name}.parquet")
+        for name in ("images", "pages", "robots", "seeds", "images_truth")
+    }
     if all(os.path.exists(v) for v in paths.values()):
         return paths
     os.makedirs(d, exist_ok=True)
@@ -426,7 +472,20 @@ def ensure_fixtures(p: GraphParams | None = None, root: str = "/tmp/lcray_fixtur
     pq.write_table(pages, paths["pages"])
     pq.write_table(robots, paths["robots"])
     pq.write_table(seeds, paths["seeds"])
+    pq.write_table(_images_truth(images), paths["images_truth"])
     return paths
+
+
+def _images_truth(images: pa.Table) -> pa.Table:
+    """Golden decode replay for the image-stat oracles: per image the decoded
+    mean RGB (the stored w/h/fmt/caption/phash already ARE codec truth).
+    Deterministic codec output replayed as a literal table — the DuckDB
+    oracle then re-expresses only the pipeline-level transform, which is
+    what the distributed run can get wrong."""
+    from ..extras.multimodal import ImageDecodeStats
+
+    t = ImageDecodeStats()(images.select(["image_id", "bytes"]))
+    return t.select(["image_id", "mean_rgb", "phash", "decoded"])
 
 
 # ---------------------------------------------------------------------------
@@ -635,12 +694,40 @@ def build_video_clips(n: int, seed: int = 42, w: int = 16, h: int = 16, fps: int
 def ensure_av_fixtures(
     n_audio: int = 64, n_video: int = 32, seed: int = 42, root: str = "/tmp/lcray_fixtures"
 ) -> dict[str, str]:
-    """Materialize the audio/video clip tables once; name → parquet path."""
-    d = os.path.join(root, f"av_a{n_audio}_v{n_video}_s{seed}")
-    paths = {name: os.path.join(d, f"{name}.parquet") for name in ("audio", "video")}
+    """Materialize the audio/video clip tables once; name → parquet path.
+    Also writes golden-replay truth sidecars (deterministic codec outputs as
+    literal tables) powering the audio_features / video_frames oracles."""
+    d = os.path.join(root, f"av2_a{n_audio}_v{n_video}_s{seed}")
+    paths = {
+        name: os.path.join(d, f"{name}.parquet")
+        for name in ("audio", "video", "audio_truth", "video_truth")
+    }
     if all(os.path.exists(v) for v in paths.values()):
         return paths
     os.makedirs(d, exist_ok=True)
-    pq.write_table(build_audio_clips(n_audio, seed), paths["audio"])
-    pq.write_table(build_video_clips(n_video, seed), paths["video"])
+    audio = build_audio_clips(n_audio, seed)
+    video = build_video_clips(n_video, seed)
+    pq.write_table(audio, paths["audio"])
+    pq.write_table(video, paths["video"])
+    from ..extras.multimodal import AudioFeatures
+    from ..functions import avcodec
+
+    pq.write_table(
+        AudioFeatures()(audio.select(["clip_id", "bytes"])), paths["audio_truth"]
+    )
+    # video truth = decoded container metadata; the frame-SAMPLING arithmetic
+    # (which frames, ts_ms) stays in the SQL oracle, not here
+    nf = [
+        len(avcodec.decode_video(b)[0]) for b in video.column("bytes").to_pylist()
+    ]
+    pq.write_table(
+        pa.table({
+            "video_id": video.column("video_id"),
+            "n_frames": pa.array(nf, pa.int64()),
+            "fps": video.column("fps"),
+            "w": video.column("w"),
+            "h": video.column("h"),
+        }),
+        paths["video_truth"],
+    )
     return paths
