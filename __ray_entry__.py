@@ -217,24 +217,28 @@ def _q_crawl_schedule(sf_dir: str):
     return pd.DataFrame(rows, columns=["enqueue_seq", "host", "sched_ms"])
 
 
-def _q_crawl_routed(sf_dir: str):
-    """M11/§2.10 per-route dispatch + M25 attachment harvest on a
-    deterministic routed mini-site (rows-only): one row per doc/attachment
-    with its route verdict."""
-    import pandas as pd
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+_ROUTED_HOST = "routed.example"
 
-    from lightcrawler_ray import storage
-    from lightcrawler_ray.pipelines.crawl import CrawlJob
-    from lightcrawler_ray.stages.frontier import CrawlSpec
 
-    host = "routed.example"
+def _routed_site() -> tuple[dict, list[dict]]:
+    """The routed mini-site: url → (content_type, body), PLUS the
+    generation-time semantic truth per fetched unit (url, kind, content —
+    what the page/payload MEANS by template construction, same standard as
+    synth.py's t_* columns: the extraction stages must recover it, the
+    oracle replays it).  Doc content = the paragraph texts (anchor text
+    inlined, M16); attachment content = the raw payload string (doc_id =
+    md5(bytes), stages/fetch.py:358)."""
+    host = _ROUTED_HOST
     detail = (
         "<html><head><title>文件{i}_公报</title></head><body>"
         "<p>发文字号：例发〔2026〕{i}号</p>"
         + "".join(f"<p>正文第{j}段：关于专项工作的安排与要求，持续推进落实。</p>" for j in range(8))
         + '<p>附件：<a href="/files/a{i}.pdf">附件{i}</a></p></body></html>'
+    )
+    detail_text = (
+        "发文字号：例发〔2026〕{i}号"
+        + "".join(f"正文第{j}段：关于专项工作的安排与要求，持续推进落实。" for j in range(8))
+        + "附件：附件{i}"
     )
     pdf = b"%PDF-1.4 routed-demo-payload-"
     pages = {f"http://{host}/list/0.htm": (
@@ -243,11 +247,36 @@ def _q_crawl_routed(sf_dir: str):
             f'<a href="/content/{i}.htm">文件{i}</a>' for i in range(1, 5)
         ) + "</body></html>").encode(),
     )}
+    # the list page harvests links/pagination but sinks NO doc — under
+    # routes, only "detail" pages produce doc rows (stages/fetch.py:422,
+    # the reference's list/detail split)
+    truth: list[dict] = []
     for i in range(1, 5):
         pages[f"http://{host}/content/{i}.htm"] = (
-            "text/html", detail.replace("{i}", str(i)).replace("{j}", "0").encode()
+            "text/html", detail.replace("{i}", str(i)).encode()
         )
         pages[f"http://{host}/files/a{i}.pdf"] = ("application/pdf", pdf + str(i).encode())
+        truth.append({"url": f"http://{host}/content/{i}.htm", "kind": "doc",
+                      "content": detail_text.replace("{i}", str(i))})
+        truth.append({"url": f"http://{host}/files/a{i}.pdf", "kind": "attachment",
+                      "content": (pdf + str(i).encode()).decode()})
+    return pages, truth
+
+
+def _q_crawl_routed(sf_dir: str):
+    """M11/§2.10 per-route dispatch + M25 attachment harvest on a
+    deterministic routed mini-site: one row per doc/attachment with its
+    route verdict."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lightcrawler_ray import storage
+    from lightcrawler_ray.pipelines.crawl import CrawlJob
+    from lightcrawler_ray.stages.frontier import CrawlSpec
+
+    host = _ROUTED_HOST
+    pages, _ = _routed_site()
     urls = list(pages)
     d = "/tmp/lcray_routed_fixture"
     os.makedirs(d, exist_ok=True)
@@ -333,6 +362,12 @@ def _q_politeness_audit(sf_dir: str):
                                        "delay_ms", "violations"])
 
 
+# O1 priority rules, shared by the crawl_priority query spec and its SQL
+# oracle (re.search semantics = unanchored regexp_matches; the patterns are
+# RE2-compatible verbatim)
+_PRIO_RULES = ((r"/p/1\d\.html", 5), (r"/p/2\d\.html", 2))
+
+
 def _q_crawl_priority(sf_dir: str):
     """O1 under non-uniform priority rules — reference-semantics fetch order
     of a crawl where regex rules promote matching URLs.  The engine's
@@ -351,7 +386,7 @@ def _q_crawl_priority(sf_dir: str):
     shutil.rmtree(jd, ignore_errors=True)
     spec = CrawlSpec(max_depth=2, follow_mode=1, seen_shards=2, fetch_concurrency=2,
                      fetch_batch_size=64,
-                     priority_rules=((r"/p/1\d\.html", 5), (r"/p/2\d\.html", 2)))
+                     priority_rules=_PRIO_RULES)
     seeds = pq.read_table(paths["seeds"])
     job = CrawlJob(spec, seeds, paths["pages"], paths["images"], paths["robots"], jd)
     job.run(max_rounds=10)
@@ -600,24 +635,30 @@ def _canonicalize_sql() -> str:
     )
 
 
-def _crawl_bfs_ctes(paths: dict, max_depth: int = 2, epochs: int = 8) -> str:
-    """The crawl engine's frontier semantics as a DuckDB CTE chain over the
-    FIXTURE INPUTS (pages/robots/seeds parquet — generation-time ground
-    truth, never engine output): canonicalized seeds → per-epoch candidate
-    expansion over the pages' link/image lists (redirects keep depth,
-    normal links consume it; image srcs follow the page's <a> links in
-    link_idx order, deduped keep-first per page) → depth / follow-domain /
-    robots-disallow filter → within-epoch keep-first dedup on (parent rank,
-    link_idx) → cross-epoch seen gate → contiguous enqueue_seq in (epoch,
-    within-epoch rank) order.  Exposes ``frontier(url, depth, enqueue_seq)``.
-    Epochs are unrolled (the judge-endorsed ann_topk_ivf technique); the
-    fixture BFS drains in <= {epochs} epochs by construction (depth <= 2 +
-    one redirect hop per chain)."""
+_HOST_RE = "'^https?://([^/:]+)'"
+_DOM_EXPR = f"regexp_extract(regexp_extract(dst, {_HOST_RE}, 1), '[^.]+\\.[^.]+$', 0)"
+# CandidateFilter._follow_ok(follow_mode=1) + robots disallow, over a column
+# named ``dst`` — shared by the BFS epochs and the replay's filtered edges
+_EDGE_FILTER = (
+    f"({_DOM_EXPR} IN (SELECT dom FROM sdom) "
+    f" OR regexp_extract(dst, {_HOST_RE}, 1) IN (SELECT h FROM shost)) "
+    "AND NOT EXISTS (SELECT 1 FROM dis WHERE "
+    f"dis.host = regexp_extract(dst, {_HOST_RE}, 1) AND "
+    "starts_with(regexp_extract(dst, '^https?://[^/]*(/.*)$', 1), dis.pref))"
+)
+
+
+def _crawl_base_ctes(paths: dict) -> list[str]:
+    """Shared CTE prefix for the crawl-family oracles, over the FIXTURE
+    INPUTS (pages/robots/seeds parquet — generation-time ground truth, never
+    engine output): the canonical link graph (``edges``: <a>/redirect targets
+    in page order, image srcs appended keep-first), robots disallow pairs
+    (``dis``), canonicalized deduped seeds (``seedc``/``f0``) and the
+    follow-scope tables (``sdom``/``shost``)."""
     from lightcrawler_ray.sources.synth import IMG_HOST
 
-    host_re = "'^https?://([^/:]+)'"
-    dom = f"regexp_extract(regexp_extract(dst, {host_re}, 1), '[^.]+\\.[^.]+$', 0)"
-    parts = [
+    host_re = _HOST_RE
+    return [
         "pages AS MATERIALIZED (SELECT url, status, links, images, t_kind, t_title, t_ori, "
         f"t_pub, t_content FROM read_parquet('{paths['pages']}'))",
         # <a>/redirect targets, in page order (the links column is the
@@ -650,6 +691,19 @@ def _crawl_bfs_ctes(paths: dict, max_depth: int = 2, epochs: int = 8) -> str:
         "  PARTITION BY url ORDER BY seed_idx) AS dup FROM seedc) WHERE dup = 1)",
         "a0 AS MATERIALIZED (SELECT url FROM f0)",
     ]
+
+
+def _crawl_bfs_ctes(paths: dict, max_depth: int = 2, epochs: int = 8) -> str:
+    """The crawl engine's frontier semantics as a DuckDB CTE chain: base
+    graph (see ``_crawl_base_ctes``) → per-epoch candidate expansion
+    (redirects keep depth, normal links consume it) → depth / follow-domain /
+    robots-disallow filter → within-epoch keep-first dedup on (parent rank,
+    link_idx) → cross-epoch seen gate → contiguous enqueue_seq in (epoch,
+    within-epoch rank) order.  Exposes ``frontier(url, depth, enqueue_seq)``.
+    Epochs are unrolled (the judge-endorsed ann_topk_ivf technique); the
+    fixture BFS drains in <= {epochs} epochs by construction (depth <= 2 +
+    one redirect hop per chain)."""
+    parts = _crawl_base_ctes(paths)
     for k in range(1, epochs + 1):
         parts += [
             f"c{k} AS MATERIALIZED (SELECT f.rn AS prn, e.link_idx, e.dst, "
@@ -660,11 +714,7 @@ def _crawl_bfs_ctes(paths: dict, max_depth: int = 2, epochs: int = 8) -> str:
             f"k{k} AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY dst "
             f"ORDER BY prn, link_idx) AS dup FROM c{k} "
             f"WHERE (depth <= {max_depth} OR is_redirect) "
-            f"AND ({dom} IN (SELECT dom FROM sdom) "
-            f"     OR regexp_extract(dst, {host_re}, 1) IN (SELECT h FROM shost)) "
-            "AND NOT EXISTS (SELECT 1 FROM dis WHERE "
-            f"dis.host = regexp_extract(dst, {host_re}, 1) AND "
-            "starts_with(regexp_extract(dst, '^https?://[^/]*(/.*)$', 1), dis.pref)))",
+            f"AND {_EDGE_FILTER})",
             f"f{k} AS MATERIALIZED (SELECT dst AS url, depth, {k} AS epoch, "
             "row_number() OVER (ORDER BY prn, link_idx) AS rn "
             f"FROM k{k} WHERE dup = 1 AND dst NOT IN (SELECT url FROM a{k - 1}))",
@@ -679,6 +729,88 @@ def _crawl_bfs_ctes(paths: dict, max_depth: int = 2, epochs: int = 8) -> str:
         "row_number() OVER (ORDER BY epoch, rn) - 1 AS enqueue_seq FROM fr)"
     )
     return ",\n".join(parts)
+
+
+def _crawl_replay_sql(paths: dict, prio_rules, max_depth: int = 2) -> str:
+    """The reference queue discipline (pop max-priority-first / FIFO, O1) as
+    a DuckDB RECURSIVE CTE over the fixture inputs — one queue pop per
+    recursion step, exactly `pipelines/replay.py` (itself the reference's
+    PHPCrawlerURLCache pop loop): seeds enqueue in seed order, each pop
+    appends its filtered out-links (keep-first by link_idx, cross-queue seen
+    gate, child depth follows the POPPING parent, redirects keep depth), and
+    the next pop is argmin (priority DESC, enqueue seq ASC).  State rows are
+    ('q' queued | 'd' popped); the final snapshot is the total pop order.
+    Feasible because the fixture frontier is O(100) pops — the 10^10-URL
+    path is the engine, the oracle only has to be exact."""
+    prio_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN regexp_matches({{c}}, '{r}') THEN {lvl}" for r, lvl in prio_rules
+        )
+        + " ELSE 0 END"
+    )
+    parts = _crawl_base_ctes(paths) + [
+        # follow/robots-filtered edges with the child's priority (depth is
+        # pop-time state, checked inside the recursion)
+        "fedges AS MATERIALIZED (SELECT src, link_idx, dst, is_redirect, "
+        f"{prio_case.format(c='dst')} AS prio FROM edges WHERE {_EDGE_FILTER})",
+        "q0 AS MATERIALIZED (SELECT url, depth, "
+        f"{prio_case.format(c='url')} AS prio, "
+        "CAST(rn - 1 AS BIGINT) AS seq FROM f0)",
+    ]
+    sim = f"""sim AS (
+  SELECT 0 AS it, 'q' AS kind, prio, seq, url, depth, CAST(NULL AS BIGINT) AS rank
+  FROM q0
+  UNION ALL
+  (WITH prev AS (SELECT * FROM sim),
+   top AS (SELECT url, depth, seq FROM prev WHERE kind = 'q'
+           ORDER BY prio DESC, seq LIMIT 1),
+   stats AS (SELECT max(it) AS pit, max(seq) AS ms,
+                    count(*) FILTER (WHERE kind = 'd') AS dc FROM prev),
+   kids0 AS (SELECT e.dst, e.link_idx, e.prio, e.is_redirect,
+                    CASE WHEN e.is_redirect THEN t.depth ELSE t.depth + 1 END AS cdepth
+             FROM fedges e JOIN top t ON e.src = t.url
+             WHERE e.dst NOT IN (SELECT url FROM prev)),
+   kids1 AS (SELECT *, row_number() OVER (PARTITION BY dst ORDER BY link_idx) AS dup
+             FROM kids0 WHERE cdepth <= {max_depth} OR is_redirect),
+   kids AS (SELECT dst, prio, cdepth, row_number() OVER (ORDER BY link_idx) AS rk
+            FROM kids1 WHERE dup = 1)
+   SELECT s.pit + 1,
+          CASE WHEN p.kind = 'q' AND p.url = t.url THEN 'd' ELSE p.kind END,
+          p.prio, p.seq, p.url, p.depth,
+          CASE WHEN p.kind = 'q' AND p.url = t.url THEN s.dc ELSE p.rank END
+   FROM prev p CROSS JOIN top t CROSS JOIN stats s
+   UNION ALL
+   SELECT s.pit + 1, 'q', k.prio, s.ms + k.rk, k.dst, k.cdepth, NULL
+   FROM kids k CROSS JOIN stats s)
+)"""
+    return (
+        "WITH RECURSIVE " + ",\n".join(parts) + ",\n" + sim
+        + "\nSELECT rank AS seq, md5(url) AS url_md5 FROM sim "
+        "WHERE kind = 'd' AND it = (SELECT max(it) FROM sim) ORDER BY rank"
+    )
+
+
+def _routed_oracle_sql() -> str:
+    """crawl_routed oracle — the mini-site's semantic truth inlined as
+    VALUES (see ``_routed_site``), doc_id recomputed in SQL: docs hash the
+    whitespace/U+3000-squashed content (M14/D2, functions/hashing.py:37),
+    attachments hash the raw payload (stages/fetch.py:358)."""
+    _, truth = _routed_site()
+    vals = ", ".join(
+        "('{}', '{}', '{}')".format(
+            t["url"].replace("'", "''"),
+            t["kind"],
+            t["content"].replace("'", "''"),
+        )
+        for t in truth
+    )
+    return (
+        f"WITH truth(url, kind, content) AS (VALUES {vals}) "
+        "SELECT url, kind, CASE WHEN kind = 'attachment' THEN md5(content) "
+        "ELSE md5(regexp_replace(content, '[\\s　]+', '', 'g')) END AS doc_id "
+        "FROM truth"
+    )
 
 
 def _crawl_family_sqls() -> dict[str, str]:
@@ -1221,6 +1353,13 @@ def oracle_sql() -> dict[str, str]:
         # crawl family: BFS membership/order/schedule re-derived in SQL over
         # the fixture INPUTS; doc/image/codec fields from generation truth
         **_crawl_family_sqls(),
+        # O1 preemption order: the reference pop loop simulated one queue
+        # pop per recursive-CTE step over the same fixture inputs
+        "crawl_priority": _crawl_replay_sql(_fixture_paths()[1], _PRIO_RULES),
+        # M11/M25 routed dispatch: generation-time semantic truth of the
+        # literal mini-site (what each page MEANS by template construction),
+        # doc_id recomputed in SQL per the D2/M14 contract
+        "crawl_routed": _routed_oracle_sql(),
     }
 
 
