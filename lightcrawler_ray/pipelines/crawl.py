@@ -233,6 +233,7 @@ class CrawlJob:
             user_agent=s.user_agent,
             connect_timeout_s=s.connect_timeout_s,
             stream_timeout_s=s.stream_timeout_s,
+            proxy=s.proxy,
             retry_limit=s.retry_limit,
             content_size_limit=s.content_size_limit,
             receive_rules=s.receive_rules,

@@ -475,7 +475,7 @@ class RealFetchExtract(SyntheticFetchExtract):
 
     def __init__(self, user_agent: str = "lightcrawler-ray/0.1",
                  connect_timeout_s: float = 60.0, stream_timeout_s: float = 60.0,
-                 **kw):
+                 proxy: tuple = (), **kw):
         import socket
 
         from ..state.clientcache import DnsCache
@@ -491,6 +491,7 @@ class RealFetchExtract(SyntheticFetchExtract):
             user_agent=user_agent, connect_timeout_s=connect_timeout_s,
             stream_timeout_s=stream_timeout_s,
             content_size_limit=self.content_size_limit,
+            proxy=proxy,
         )
 
     def _fetch_raw(self, url: str) -> tuple[int, str, bytes, str, int]:
@@ -526,6 +527,7 @@ def make_fetcher(pages_ref, images_ref, fetch_kwargs: dict) -> SyntheticFetchExt
     kw.pop("user_agent", None)
     kw.pop("connect_timeout_s", None)
     kw.pop("stream_timeout_s", None)
+    kw.pop("proxy", None)
     return SyntheticFetchExtract(pages_ref=pages_ref, images_ref=images_ref, **kw)
 
 

@@ -84,6 +84,9 @@ class CrawlSpec:
     user_agent: str = "lightcrawler-ray/0.1"
     connect_timeout_s: float = 60.0          # CrawlerSettings.class.php:39
     stream_timeout_s: float = 60.0           # CrawlerSettings.class.php:40
+    # S3 proxy: () = direct, (host, port) or (host, port, user, pass) —
+    # setProxy, PHPCrawlerHTTPRequest.class.php:314-330
+    proxy: tuple = ()
     receive_rules: tuple[str, ...] = ("text/", "image/")  # M10
     min_doc_bytes: int = 100                 # M12
     aggressive_links: bool = False           # M4 pass 3

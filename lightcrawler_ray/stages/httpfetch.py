@@ -16,6 +16,13 @@ body read :787-967) on the stdlib ``http.client`` transport:
   (PHPCrawler.class.php:717-719,830)
 - basic-auth + POST form overlay from the SendDataCache (T9,
   PHPCrawler.class.php:722-733; buildRequestHeader :681-748)
+- optional proxy with basic auth (setProxy
+  PHPCrawlerHTTPRequest.class.php:314-330): plain-http requests go to the
+  proxy socket (openSocket :569-572) with the absolute URI on the request
+  line (buildRequestHeader :987-991 — "a proxy needs the full qualified
+  URL") and a ``Proxy-Authorization: Basic`` header when credentials are
+  set (:1028-1033); https adds the CONNECT tunnel the PHP client lacks
+  (its proxy path predates TLS proxying — a gap, not a behavior to copy)
 - size-capped streaming read: at most ``content_size_limit`` + 1 bytes
   leave the wire, so the caller's truncation mark (O3,
   PHPCrawlerHTTPRequest.class.php:956-962) fires without unbounded memory
@@ -54,7 +61,10 @@ class HttpClient:
         stream_timeout_s: float = 60.0,
         accept_gzip: bool = True,
         content_size_limit: int = 1 << 22,
+        proxy: tuple = (),
     ):
+        """``proxy`` is ``()`` (direct), ``(host, port)`` or
+        ``(host, port, username, password)``."""
         self.cookies = cookies if cookies is not None else CookieJar()
         self.dns = dns if dns is not None else DnsCache(resolver=socket.gethostbyname)
         self.send_data = send_data if send_data is not None else SendDataCache()
@@ -63,6 +73,15 @@ class HttpClient:
         self.stream_timeout_s = stream_timeout_s
         self.accept_gzip = accept_gzip
         self.content_size_limit = content_size_limit
+        self.proxy = tuple(proxy)
+        self._proxy_auth = ""
+        if len(self.proxy) >= 3 and self.proxy[2]:
+            import base64
+
+            user, pw = self.proxy[2], self.proxy[3] if len(self.proxy) > 3 else ""
+            self._proxy_auth = "Basic " + base64.b64encode(
+                f"{user}:{pw}".encode()
+            ).decode()
         self._pool: dict[tuple, object] = {}
         self.requests_sent = 0
         self.connections_opened = 0
@@ -75,15 +94,34 @@ class HttpClient:
         conn = self._pool.get(key)
         if conn is not None:
             return conn
-        addr = self.dns.get(host)  # T4: memoized name → address
-        if scheme == "https":
+        if self.proxy:
+            # the socket goes to the proxy (openSocket :569-572); the proxy
+            # resolves the target, we resolve only the proxy name (T4)
+            paddr = self.dns.get(str(self.proxy[0]))
+            pport = int(self.proxy[1])
+            if scheme == "https":
+                import ssl
+
+                conn = http.client.HTTPSConnection(
+                    paddr, pport, timeout=self.connect_timeout_s,
+                    context=ssl.create_default_context(),
+                )
+                hdrs = {"Proxy-Authorization": self._proxy_auth} if self._proxy_auth else None
+                conn.set_tunnel(host, port, headers=hdrs)  # CONNECT
+            else:
+                conn = http.client.HTTPConnection(
+                    paddr, pport, timeout=self.connect_timeout_s
+                )
+        elif scheme == "https":
             import ssl
 
+            addr = self.dns.get(host)  # T4: memoized name → address
             conn = http.client.HTTPSConnection(
                 addr, port, timeout=self.connect_timeout_s,
                 context=ssl.create_default_context(),
             )
         else:
+            addr = self.dns.get(host)
             conn = http.client.HTTPConnection(addr, port, timeout=self.connect_timeout_s)
         self._pool[key] = conn
         self.connections_opened += 1
@@ -111,9 +149,14 @@ class HttpClient:
             path += "?" + str(sp["query"])
         overlay = self.send_data.request_overlay(url)
         body_out = urlencode(overlay["post"]).encode() if overlay["post"] else None
+        # plain-http via proxy: absolute URI on the request line
+        # (buildRequestHeader :987-991); https rides the CONNECT tunnel set
+        # up in _conn_for, so its request line stays origin-form
+        proxied_plain = bool(self.proxy) and scheme != "https"
+        request_target = url if proxied_plain else (path or "/")
         try:
             conn = self._conn_for(scheme, host, port)
-            conn.putrequest(overlay["method"], path or "/",
+            conn.putrequest(overlay["method"], request_target,
                             skip_host=True, skip_accept_encoding=True)
             hosthdr = host if port in (80, 443) else f"{host}:{port}"
             conn.putheader("Host", hosthdr)
@@ -122,6 +165,8 @@ class HttpClient:
             cookie_hdr = self.cookies.header_for(url)  # T3
             if cookie_hdr:
                 conn.putheader("Cookie", cookie_hdr)
+            if proxied_plain and self._proxy_auth:  # :1028-1033
+                conn.putheader("Proxy-Authorization", self._proxy_auth)
             for k, v in overlay["headers"].items():  # T9 (Authorization)
                 conn.putheader(k, v)
             if body_out is not None:

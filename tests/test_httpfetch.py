@@ -240,11 +240,9 @@ def _empty_fixture_paths(tmp_path) -> dict[str, str]:
     return paths
 
 
-def test_crawl_over_real_http(ray_session, tmp_path, server):
-    """The full engine — frontier, seen set, politeness, routes, sinks —
-    crawling a live HTTP server, with robots.txt fetched over the wire and a
-    cookie-gated page whose fetch SUCCEEDS only because an earlier page's
-    Set-Cookie landed in the worker's jar (T3 observable end-to-end)."""
+def _run_http_crawl(tmp_path, server, job_name: str, **spec_kw):
+    """Run the full engine against the live server; returns (stats,
+    fetched-url set, url → title docs dict)."""
     from lightcrawler_ray.pipelines.crawl import CrawlJob
     from lightcrawler_ray.stages.frontier import CrawlSpec
 
@@ -253,7 +251,7 @@ def test_crawl_over_real_http(ray_session, tmp_path, server):
     spec = CrawlSpec(
         fetcher="http", max_depth=2, follow_mode=2, robots_source="fetch",
         seen_shards=2, fetch_concurrency=1, local_round_threshold=4096,
-        redirects_till_content=False,
+        redirects_till_content=False, **spec_kw,
     )
     seeds = pa.table({
         "url": pa.array([f"http://{server}/"]),
@@ -261,7 +259,7 @@ def test_crawl_over_real_http(ray_session, tmp_path, server):
         "priority": pa.array([0], pa.int32()),
     })
     job = CrawlJob(spec, seeds, paths["pages"], paths["images"], paths["robots"],
-                   str(tmp_path / "httpjob"))
+                   str(tmp_path / job_name))
     s = job.run(max_rounds=5)
     from lightcrawler_ray import storage
 
@@ -281,6 +279,15 @@ def test_crawl_over_real_http(ray_session, tmp_path, server):
                 for r in t.select(["url", "title"]).to_pylist():
                     docs[r["url"]] = r["title"]
     job.shutdown()
+    return s, fetched, docs
+
+
+def test_crawl_over_real_http(ray_session, tmp_path, server):
+    """The full engine — frontier, seen set, politeness, routes, sinks —
+    crawling a live HTTP server, with robots.txt fetched over the wire and a
+    cookie-gated page whose fetch SUCCEEDS only because an earlier page's
+    Set-Cookie landed in the worker's jar (T3 observable end-to-end)."""
+    s, fetched, docs = _run_http_crawl(tmp_path, server, "httpjob")
     base = f"http://{server}"
     assert f"{base}/a.html" in docs
     assert f"{base}/target.html" in docs, "redirect Location must be followed"
@@ -288,3 +295,134 @@ def test_crawl_over_real_http(ray_session, tmp_path, server):
     assert not any("/blocked/" in u for u in fetched), "fetched robots.txt must gate"
     assert s["retries"] >= 2, "flaky page retries re-issued over the wire"
     assert s["documents_received"] >= 4
+
+
+# ---------------------------------------------------------------------------
+# Proxy (PHPCrawlerHTTPRequest.class.php setProxy :314-330): plain-http
+# requests carry the ABSOLUTE URI on the request line (:987-991) plus
+# Proxy-Authorization (:1028-1033), and the socket goes to the proxy.
+
+PROXY_OK = "Basic " + base64.b64encode(b"puser:ppw").decode()
+
+
+class _ProxyHandler(http.server.BaseHTTPRequestHandler):
+    """Forwarding HTTP proxy that records each request line + auth header."""
+
+    protocol_version = "HTTP/1.1"
+    log: list = []  # (request_target, proxy_authorization)
+    require_auth = ""  # expected Proxy-Authorization value; "" = open proxy
+
+    def log_message(self, *a):
+        pass
+
+    def _relay(self):
+        from urllib.parse import urlsplit
+
+        _ProxyHandler.log.append(
+            (self.path, self.headers.get("Proxy-Authorization") or "")
+        )
+        if _ProxyHandler.require_auth and (
+            self.headers.get("Proxy-Authorization") != _ProxyHandler.require_auth
+        ):
+            body = b"proxy auth required"
+            self.send_response(407)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        u = urlsplit(self.path)
+        if u.scheme != "http" or not u.netloc:  # origin-form = client bug
+            body = b"expected absolute-form request target"
+            self.send_response(400)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        import http.client as hc
+
+        n = int(self.headers.get("Content-Length") or 0)
+        req_body = self.rfile.read(n) if n else None
+        hdrs = {
+            k: v for k, v in self.headers.items()
+            if k.lower() not in ("proxy-authorization", "connection", "host")
+        }
+        hdrs["Host"] = u.netloc
+        conn = hc.HTTPConnection(u.hostname, u.port or 80, timeout=10)
+        path = (u.path or "/") + (f"?{u.query}" if u.query else "")
+        conn.request(self.command, path, body=req_body, headers=hdrs)
+        r = conn.getresponse()
+        data = r.read()
+        conn.close()
+        self.send_response(r.status)
+        passthrough = {"content-type", "location", "set-cookie", "content-encoding"}
+        for k, v in r.getheaders():
+            if k.lower() in passthrough:
+                self.send_header(k, v)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    do_GET = _relay
+    do_POST = _relay
+
+
+@pytest.fixture(scope="module")
+def proxy():
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _ProxyHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield ("127.0.0.1", srv.server_address[1])
+    srv.shutdown()
+
+
+class TestProxy:
+    def test_absolute_uri_and_auth_header(self, server, proxy):
+        _ProxyHandler.log.clear()
+        _ProxyHandler.require_auth = PROXY_OK
+        c = _client(proxy=(proxy[0], proxy[1], "puser", "ppw"))
+        st, _, body, _ = c.fetch(f"http://{server}/a.html")
+        assert st == 200 and "甲页".encode() in body
+        target, auth = _ProxyHandler.log[-1]
+        assert target == f"http://{server}/a.html"  # absolute URI, :987-991
+        assert auth == PROXY_OK  # :1028-1033
+        c.close()
+
+    def test_unauthenticated_is_refused(self, server, proxy):
+        _ProxyHandler.require_auth = PROXY_OK
+        c = _client(proxy=proxy)  # no credentials
+        st, _, _, _ = c.fetch(f"http://{server}/a.html")
+        assert st == 407
+        c.close()
+
+    def test_cookie_and_post_overlays_ride_the_proxy(self, server, proxy):
+        from lightcrawler_ray.state.clientcache import SendDataCache
+
+        _ProxyHandler.require_auth = ""
+        c = _client(
+            proxy=proxy,
+            send_data=SendDataCache(post_rules=((r"/post\.html", (("token", "t123"),)),)),
+        )
+        c.fetch(f"http://{server}/sub/setcookie.html")
+        st, _, body, _ = c.fetch(f"http://{server}/private/secret.html")
+        assert st == 200 and "机密页".encode() in body  # cookie forwarded
+        st, _, body, _ = c.fetch(f"http://{server}/post.html")
+        assert st == 200 and "表单页".encode() in body  # POST form forwarded
+        c.close()
+
+
+def test_crawl_via_proxy_output_unchanged(ray_session, tmp_path, server, proxy):
+    """The VERDICT bar: the same crawl through the proxy yields the same
+    output, and every page request went absolute-form with auth."""
+    _ProxyHandler.require_auth = PROXY_OK
+    _ProxyHandler.log.clear()
+    s1, fetched1, docs1 = _run_http_crawl(tmp_path, server, "directjob")
+    n_direct = len(_ProxyHandler.log)
+    s2, fetched2, docs2 = _run_http_crawl(
+        tmp_path, server, "proxyjob", proxy=(proxy[0], proxy[1], "puser", "ppw")
+    )
+    assert docs2 == docs1 and set(fetched2) == set(fetched1)
+    assert s2["documents_received"] == s1["documents_received"]
+    proxied = _ProxyHandler.log[n_direct:]
+    assert proxied, "proxy leg saw no traffic"
+    assert all(t.startswith("http://") for t, _ in proxied)
+    assert all(a == PROXY_OK for _, a in proxied)
