@@ -76,7 +76,7 @@ _DOC_COLS = ["doc_id", "url", "doc_ori_no", "title", "author", "tags",
              "doc_lang", "doc_quality", "doc_tokens", "attachments",
              "enqueue_seq", "url_md5"]
 _ATT_COLS = ["url", "url_md5", "referer", "att_ext", "att_type", "doc_id",
-             "enqueue_seq"]
+             "enqueue_seq", "received_to_file", "tmp_path"]
 
 
 def load_robots(robots_path: str) -> dict[str, dict]:
@@ -245,6 +245,8 @@ class CrawlJob:
             auth_rules=s.auth_rules,
             post_rules=s.post_rules,
             parse_mode=s.parse_mode,
+            stream_to_file_rules=s.stream_to_file_rules,
+            spill_dir=s.spill_dir,
         )
 
     def _derive_seed_scope(self) -> None:
@@ -482,7 +484,7 @@ class CrawlJob:
         docs = docs.take(pa.array(ray.get(doc_keep[0]), pa.int64()))
         storage.commit_table(docs, os.path.join(ed, "docs"))
         arows = np.sort(np.concatenate(ray.get([att_w[s][0] for s in range(kc)])))
-        storage.commit_table(atts.take(pa.array(arows, pa.int64())),
+        storage.commit_table(_hydrate_spilled(atts.take(pa.array(arows, pa.int64()))),
                              os.path.join(ed, "attachments"))
 
         links = kinds["link"].select(_LINK_COLS)
@@ -1333,9 +1335,40 @@ def _finalize_rows(t: pa.Table, out_dir: str, part: int, *winners) -> int:
     rows = _merge_winner_rows(winners)
     if rows.size == 0:
         return 0
-    kept = t.take(pa.array(rows, pa.int64()))
+    kept = _hydrate_spilled(t.take(pa.array(rows, pa.int64())))
     pq.write_table(kept, os.path.join(out_dir, f"part-{part:05d}.parquet"))
     return kept.num_rows
+
+
+def _hydrate_spilled(t: pa.Table) -> pa.Table:
+    """O3 stream-to-file: rows whose payload was received to a spill file
+    (``tmp_path`` set, ``bytes`` null) get the payload read back here — at
+    the SINK, after dedup winner selection, one file at a time — so the
+    fetch path never buffers an oversized body and losers are never read.
+    Locality: spill files live where the fetch worker wrote them; single-node
+    (and shared-scratch ``spill_dir``) reads them directly, a multi-node
+    deployment points ``spill_dir`` at shared storage (CrawlSpec note).  A
+    missing file keeps the row with null bytes — the path column still
+    records where the payload was received."""
+    if "tmp_path" not in t.column_names or "bytes" not in t.column_names or t.num_rows == 0:
+        return t
+    paths = t.column("tmp_path").to_pylist()
+    if not any(paths):
+        return t
+    byts = t.column("bytes")
+    vals = []
+    for i, p in enumerate(paths):
+        v = byts[i]
+        if p and not v.is_valid:
+            try:
+                with open(p, "rb") as f:
+                    vals.append(f.read())
+            except OSError:
+                vals.append(None)
+        else:
+            vals.append(v.as_py())
+    idx = t.column_names.index("bytes")
+    return t.set_column(idx, "bytes", pa.array(vals, byts.type))
 
 
 def _concat_nonempty(tables: list[pa.Table], schema: pa.Schema) -> pa.Table:

@@ -81,6 +81,12 @@ OUT_SCHEMA = pa.schema(
         # from the reference's extension map (SpiderFrame.class.php:357-370)
         ("att_ext", pa.string()),
         ("att_type", pa.int32()),
+        # O3 stream-to-file receive (PHPCrawlerHTTPRequest.class.php:459-488):
+        # matching content types spill UNCAPPED to a worker-local file; the
+        # path rides the row instead of the payload (received_to_file /
+        # content_tmp_file page-info fields)
+        ("received_to_file", pa.bool_()),
+        ("tmp_path", pa.string()),
     ]
 )
 
@@ -105,7 +111,8 @@ def _att_ext_of(url: str) -> str:
 _KIND_FIELDS: dict[str, tuple[str, ...]] = {
     "fetch": ("url", "url_md5", "host", "status", "content_type",
               "bytes_received", "error", "attempts", "fetch_ms",
-              "enqueue_seq", "depth", "priority", "referer"),
+              "enqueue_seq", "depth", "priority", "referer",
+              "received_to_file", "tmp_path"),
     "link": ("url", "link_raw", "linktext", "referer", "depth",
              "is_redirect", "link_idx", "parent_seq", "priority"),
     "image": ("url", "url_md5", "image_id", "image_bytes", "h", "w", "fmt",
@@ -115,7 +122,8 @@ _KIND_FIELDS: dict[str, tuple[str, ...]] = {
             "enqueue_seq", "doc_lang", "doc_quality", "doc_tokens",
             "attachments"),
     "attach": ("url", "url_md5", "image_bytes", "att_ext", "att_type",
-               "doc_id", "referer", "enqueue_seq", "depth"),
+               "doc_id", "referer", "enqueue_seq", "depth",
+               "received_to_file", "tmp_path"),
 }
 _FIELD_TYPES = {f.name: f.type for f in OUT_SCHEMA}
 
@@ -198,6 +206,8 @@ class SyntheticFetchExtract:
         auth_rules: tuple = (),
         post_rules: tuple = (),
         parse_mode: str = "fast",
+        stream_to_file_rules: tuple[str, ...] = (),
+        spill_dir: str = "",
     ):
         import re as _re
 
@@ -251,6 +261,11 @@ class SyntheticFetchExtract:
         self.aggressive_links = aggressive_links
         self.synthesize_pagination = synthesize_pagination
         self.request_delay_ms = request_delay_ms
+        # O3 stream-to-file: content-type prefixes whose bodies spill to
+        # worker-local files instead of memory (uncapped — the point is
+        # oversized-but-wanted blobs; PHPCrawlerHTTPRequest.class.php:459-488)
+        self.stream_to_file_rules = tuple(stream_to_file_rules)
+        self.spill_dir = spill_dir
         # M15 — bind the HTML parse path once per worker (spec.parse_mode)
         if parse_mode == "dom":
             from ..functions import dom
@@ -288,9 +303,35 @@ class SyntheticFetchExtract:
             int(c["fail_attempts"][i].as_py()),
         )
 
-    def _fetch(self, url: str) -> tuple[int, str, bytes, str, int, bool]:
+    def _spill_match(self, ctype: str) -> bool:
+        return bool(self.stream_to_file_rules) and any(
+            ctype.startswith(r) for r in self.stream_to_file_rules
+        )
+
+    def _spill_body(self, body: bytes) -> dict:
+        """Synthetic stream-to-file: the fixture body lands in a spill file
+        exactly as the real client's :meth:`HttpClient._receive_to_file`
+        would place it (content-addressed, uncapped).  The fixture body is
+        already in memory here — the test double; the REAL path never
+        buffers it (stages/httpfetch.py)."""
+        import hashlib
+        import os
+        import tempfile
+
+        d = self.spill_dir or tempfile.gettempdir()
+        os.makedirs(d, exist_ok=True)
+        md5 = hashlib.md5(body).hexdigest()
+        final = os.path.join(d, f"spill-{md5}.bin")
+        if not os.path.exists(final):
+            fd, tmp = tempfile.mkstemp(prefix="recv-", dir=d)
+            with os.fdopen(fd, "wb") as f:
+                f.write(body)
+            os.replace(tmp, final)
+        return {"path": final, "size": len(body), "md5": md5}
+
+    def _fetch(self, url: str) -> tuple[int, str, bytes, str, int, bool, dict | None]:
         """Retry loop (≤ retry_limit attempts on 5xx/flaky), truncation.
-        Returns (status, ctype, body, location, attempts, truncated)."""
+        Returns (status, ctype, body, location, attempts, truncated, spill)."""
         status, ctype, body, loc, fail_n = self._fetch_raw(url)
         attempts = 0
         while attempts < max(1, self.retry_limit):
@@ -304,11 +345,13 @@ class SyntheticFetchExtract:
             pass  # flaky row succeeded after fail_n failed attempts
         elif attempts <= fail_n:
             status = 503  # ran out of retries mid-flake
+        if status == 200 and body and self._spill_match(ctype):
+            return status, ctype, b"", loc, attempts, False, self._spill_body(body)
         truncated = False
         if len(body) > self.content_size_limit:
             body = body[: self.content_size_limit]
             truncated = True
-        return status, ctype, body, loc, attempts, truncated
+        return status, ctype, body, loc, attempts, truncated, None
 
     # -- per-batch ----------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -336,30 +379,42 @@ class SyntheticFetchExtract:
             self._overlay_auths += "Authorization" in ov["headers"]
         if self.cookies._by_domain:  # T3: request would carry these cookies
             self._last_cookie_header = self.cookies.header_for(url)
-        status, ctype, body, loc, attempts, truncated = self._fetch(url)
+        status, ctype, body, loc, attempts, truncated, spill = self._fetch(url)
         # M11 — every matching route runs (SpiderFrame::handleContent)
         kinds = {k for rx, k in self.routes if rx.search(url)}
-        is_attach = "attachment" in kinds and status == 200 and body
-        received = status == 200 and any(ctype.startswith(r) for r in self.receive_rules)
+        is_attach = "attachment" in kinds and status == 200 and (body or spill)
+        # a stream-to-file match is an explicit opt-in receive (the reference
+        # registers the type via addStreamToFileContentType)
+        received = status == 200 and (
+            spill is not None or any(ctype.startswith(r) for r in self.receive_rules)
+        )
+        nbytes = spill["size"] if spill else (len(body) if (received or is_attach) else 0)
         ob.add(
             "fetch", url=url, url_md5=md5, host=host, status=status,
-            content_type=ctype, bytes_received=len(body) if (received or is_attach) else 0,
+            content_type=ctype, bytes_received=nbytes,
             error="" if status < 400 else f"http {status}", attempts=attempts,
             fetch_ms=self.request_delay_ms * attempts, enqueue_seq=seq,
             depth=depth, priority=prio, referer=fr["referer"],
+            received_to_file=spill is not None,
+            tmp_path=spill["path"] if spill else "",
         )
         if is_attach:
             import hashlib as _hl
 
             ext = _att_ext_of(url)
             ob.add(
-                "attach", url=url, url_md5=md5, image_bytes=body,
+                "attach", url=url, url_md5=md5,
+                image_bytes=None if spill else body,
+                received_to_file=spill is not None,
+                tmp_path=spill["path"] if spill else "",
                 att_ext=ext, att_type=ATT_TYPES.get(ext, 0),
-                doc_id=_hl.md5(body).hexdigest(), referer=fr["referer"],
-                enqueue_seq=seq, depth=depth,
+                doc_id=spill["md5"] if spill else _hl.md5(body).hexdigest(),
+                referer=fr["referer"], enqueue_seq=seq, depth=depth,
             )
             if not ctype.startswith("text/"):
                 return  # binary payload: nothing further to extract
+        if spill is not None:
+            return  # blob on disk — the path rode the fetch/attach rows
         if status in (301, 302) and loc:
             canon = ut.resolve(url, loc)
             if canon:
@@ -486,35 +541,43 @@ class RealFetchExtract(SyntheticFetchExtract):
         super().__init__(pages_ref=_EMPTY_PAGES, images_ref=_EMPTY_IMAGES, **kw)
         self.dns = DnsCache(resolver=socket.gethostbyname)  # T4, real resolver
         self._TransportError = TransportError
+        self._last_spill: dict | None = None
         self.http = HttpClient(
             cookies=self.cookies, dns=self.dns, send_data=self.send_data,
             user_agent=user_agent, connect_timeout_s=connect_timeout_s,
             stream_timeout_s=stream_timeout_s,
             content_size_limit=self.content_size_limit,
             proxy=proxy,
+            stream_to_file_rules=self.stream_to_file_rules,
+            spill_dir=self.spill_dir,
         )
 
     def _fetch_raw(self, url: str) -> tuple[int, str, bytes, str, int]:
         try:
-            status, ctype, body, loc = self.http.fetch(url)
+            status, ctype, body, loc, self._last_spill = self.http.fetch(url)
         except self._TransportError:
+            self._last_spill = None
             return 599, "", b"", "", 0  # retryable transport failure
         return status, ctype, body, loc, 0
 
-    def _fetch(self, url: str) -> tuple[int, str, bytes, str, int, bool]:
+    def _fetch(self, url: str) -> tuple[int, str, bytes, str, int, bool, dict | None]:
         """Real retry loop: re-ISSUE the request on error/5xx up to
         retry_limit attempts (the synthetic loop instead consumes the
-        fixture's fail_attempts budget)."""
+        fixture's fail_attempts budget).  A stream-to-file receive (O3
+        spill) happened inside the client — uncapped, never truncated."""
         attempts = 0
         while True:
             attempts += 1
             status, ctype, body, loc, _ = self._fetch_raw(url)
             if status < 500 or attempts >= max(1, self.retry_limit):
                 break
+        spill = self._last_spill
+        if spill is not None:
+            return status, ctype, b"", loc, attempts, False, spill
         truncated = len(body) > self.content_size_limit
         if truncated:
             body = body[: self.content_size_limit]
-        return status, ctype, body, loc, attempts, truncated
+        return status, ctype, body, loc, attempts, truncated, None
 
 
 def make_fetcher(pages_ref, images_ref, fetch_kwargs: dict) -> SyntheticFetchExtract:

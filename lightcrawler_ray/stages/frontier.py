@@ -88,6 +88,14 @@ class CrawlSpec:
     # setProxy, PHPCrawlerHTTPRequest.class.php:314-330
     proxy: tuple = ()
     receive_rules: tuple[str, ...] = ("text/", "image/")  # M10
+    # O3 stream-to-file: content-type prefixes whose bodies spill UNCAPPED
+    # to worker-local files (addStreamToFileContentType,
+    # PHPCrawlerHTTPRequest.class.php:459-488); the attachment sink hydrates
+    # payloads from the spill path at write time.  spill_dir="" = worker
+    # tmpdir; on a multi-node cluster point it at shared scratch (or
+    # node-affine the finalize writers) so sinks can reach the files.
+    stream_to_file_rules: tuple[str, ...] = ()
+    spill_dir: str = ""
     min_doc_bytes: int = 100                 # M12
     aggressive_links: bool = False           # M4 pass 3
     synthesize_pagination: bool = False      # M29

@@ -26,6 +26,12 @@ body read :787-967) on the stdlib ``http.client`` transport:
 - size-capped streaming read: at most ``content_size_limit`` + 1 bytes
   leave the wire, so the caller's truncation mark (O3,
   PHPCrawlerHTTPRequest.class.php:956-962) fires without unbounded memory
+- stream-to-file receive (addStreamToFileContentType,
+  PHPCrawlerHTTPRequest.class.php:459-488): response content-types matching
+  ``stream_to_file_rules`` are streamed chunk-by-chunk to a spill file —
+  UNCAPPED and never held in memory — and the fetch result carries the
+  file's (path, size, md5) instead of the body, the reference's
+  ``received_to_file``/``content_tmp_file`` page-info fields
 - redirects are NOT followed here — the Location header goes back to the
   engine, which emits the redirect link row (M6), exactly like the
   reference returns the header to the crawler loop
@@ -38,6 +44,7 @@ from __future__ import annotations
 
 import gzip
 import socket
+import zlib
 from urllib.parse import urlencode
 
 from ..functions import urltools as ut
@@ -62,9 +69,13 @@ class HttpClient:
         accept_gzip: bool = True,
         content_size_limit: int = 1 << 22,
         proxy: tuple = (),
+        stream_to_file_rules: tuple = (),
+        spill_dir: str = "",
     ):
         """``proxy`` is ``()`` (direct), ``(host, port)`` or
-        ``(host, port, username, password)``."""
+        ``(host, port, username, password)``.  ``stream_to_file_rules`` are
+        content-type prefixes whose bodies spill to files under
+        ``spill_dir`` (worker tmpdir when empty) instead of memory."""
         self.cookies = cookies if cookies is not None else CookieJar()
         self.dns = dns if dns is not None else DnsCache(resolver=socket.gethostbyname)
         self.send_data = send_data if send_data is not None else SendDataCache()
@@ -82,6 +93,8 @@ class HttpClient:
             self._proxy_auth = "Basic " + base64.b64encode(
                 f"{user}:{pw}".encode()
             ).decode()
+        self.stream_to_file_rules = tuple(stream_to_file_rules)
+        self.spill_dir = spill_dir
         self._pool: dict[tuple, object] = {}
         self.requests_sent = 0
         self.connections_opened = 0
@@ -135,11 +148,58 @@ class HttpClient:
             except Exception:
                 pass
 
+    # -- stream-to-file receive (O3 spill path) ------------------------------
+    def _receive_to_file(self, resp) -> dict:
+        """Stream the response body to a spill file in bounded 64 KiB chunks
+        (gzip-decoding on the fly) — the reference's receiveToTmpFile
+        (PHPCrawlerHTTPRequest.class.php:459-488).  The file is content-
+        addressed (md5) so duplicate payloads collapse on disk; returns
+        ``{"path", "size", "md5"}``."""
+        import hashlib
+        import os
+        import tempfile
+        import zlib
+
+        d = self.spill_dir or tempfile.gettempdir()
+        os.makedirs(d, exist_ok=True)
+        gz = (resp.getheader("Content-Encoding") or "").lower() == "gzip"
+        dec = zlib.decompressobj(16 + zlib.MAX_WBITS) if gz else None
+        h = hashlib.md5()
+        size = 0
+        fd, tmp = tempfile.mkstemp(prefix="recv-", dir=d)
+        try:
+            with os.fdopen(fd, "wb") as f:
+                while True:
+                    chunk = resp.read(1 << 16)
+                    if not chunk:
+                        break
+                    if dec is not None:
+                        chunk = dec.decompress(chunk)
+                    if chunk:
+                        f.write(chunk)
+                        h.update(chunk)
+                        size += len(chunk)
+                if dec is not None:
+                    tail = dec.flush()
+                    if tail:
+                        f.write(tail)
+                        h.update(tail)
+                        size += len(tail)
+        except BaseException:
+            os.unlink(tmp)
+            raise
+        md5 = h.hexdigest()
+        final = os.path.join(d, f"spill-{md5}.bin")
+        os.replace(tmp, final)
+        return {"path": final, "size": size, "md5": md5}
+
     # -- the request -------------------------------------------------------
-    def fetch(self, url: str) -> tuple[int, str, bytes, str]:
-        """(status, content_type, body, location).  Raises
-        :class:`TransportError` on connect/read failure (the caller's retry
-        loop re-enters with a fresh connection)."""
+    def fetch(self, url: str) -> tuple[int, str, bytes, str, dict | None]:
+        """(status, content_type, body, location, spill).  ``spill`` is None
+        for in-memory receives, else the :meth:`_receive_to_file` dict (and
+        ``body`` is empty).  Raises :class:`TransportError` on connect/read
+        failure (the caller's retry loop re-enters with a fresh
+        connection)."""
         sp = ut.split_url(url)
         if not sp:
             raise TransportError(f"unparseable url: {url}")
@@ -177,18 +237,30 @@ class HttpClient:
                 conn.sock.settimeout(self.stream_timeout_s)
             resp = conn.getresponse()
             self.requests_sent += 1
-            # capped streaming read: limit + 1 so the caller's truncation
-            # check (len > limit) can fire
-            cap = self.content_size_limit + 1
-            chunks, got = [], 0
-            while got < cap:
-                chunk = resp.read(min(1 << 16, cap - got))
-                if not chunk:
-                    break
-                chunks.append(chunk)
-                got += len(chunk)
-            body = b"".join(chunks)
-            truncated_read = got >= cap and resp.read(1) != b""
+            ctype = (resp.getheader("Content-Type") or "").split(";")[0].strip()
+            spill = None
+            body = b""
+            truncated_read = False
+            if self.stream_to_file_rules and resp.status == 200 and any(
+                ctype.startswith(r) for r in self.stream_to_file_rules
+            ):
+                try:
+                    spill = self._receive_to_file(resp)
+                except zlib.error as e:
+                    raise TransportError(f"gzip stream: {e}") from e
+            else:
+                # capped streaming read: limit + 1 so the caller's truncation
+                # check (len > limit) can fire
+                cap = self.content_size_limit + 1
+                chunks, got = [], 0
+                while got < cap:
+                    chunk = resp.read(min(1 << 16, cap - got))
+                    if not chunk:
+                        break
+                    chunks.append(chunk)
+                    got += len(chunk)
+                body = b"".join(chunks)
+                truncated_read = got >= cap and resp.read(1) != b""
         except (OSError, socket.timeout, ConnectionError) as e:
             self._drop(scheme, host, port)
             raise TransportError(str(e) or type(e).__name__) from e
@@ -204,9 +276,8 @@ class HttpClient:
                 body = gzip.decompress(body)  # M30
             except OSError:
                 pass  # partial gzip stream (capped read) — leave raw
-        ctype = (resp.getheader("Content-Type") or "").split(";")[0].strip()
         location = resp.getheader("Location") or resp.getheader("Content-Location") or ""
-        return resp.status, ctype, body, location
+        return resp.status, ctype, body, location, spill
 
     def close(self) -> None:
         for key in list(self._pool):

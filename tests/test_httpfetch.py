@@ -22,6 +22,9 @@ import pytest
 
 AUTH_OK = "Basic " + base64.b64encode(b"user:pw").decode()
 
+# deterministic pseudo-PDF payload, 4× the 16 KiB cap the spill tests use
+PDF_PAYLOAD = b"%PDF-1.4\n" + bytes(range(256)) * 256 + b"\n%%EOF"
+
 _PAGE = (
     "<html><head><title>{title}</title></head><body><p>{body}</p></body></html>"
 )
@@ -63,6 +66,7 @@ class _Handler(http.server.BaseHTTPRequestHandler):
                 '<a href="/redirect">moved</a>'
                 '<a href="/flaky">flaky</a>'
                 '<a href="/blocked/x.html">blocked</a>'
+                '<a href="/files/report.pdf">附件</a>'
                 '</body></html>'
             ).encode())
         elif p == "/a.html":
@@ -100,6 +104,14 @@ class _Handler(http.server.BaseHTTPRequestHandler):
                 self._send(200, _doc("终于成功", "前两次请求失败之后重试成功的页面。"))
         elif p == "/big.bin":
             self._send(200, b"x" * 100_000, "text/plain")
+        elif p in ("/files/report.pdf", "/files/copy.pdf"):
+            self._send(200, PDF_PAYLOAD, "application/pdf")
+        elif p == "/files/gz.pdf":
+            if "gzip" in (self.headers.get("Accept-Encoding") or ""):
+                self._send(200, gzip.compress(PDF_PAYLOAD), "application/pdf",
+                           extra={"Content-Encoding": "gzip"})
+            else:
+                self._send(200, PDF_PAYLOAD, "application/pdf")
         else:
             self._send(404, b"not found")
 
@@ -130,7 +142,7 @@ def _client(**kw):
 class TestHttpClient:
     def test_basic_get_and_reuse(self, server):
         c = _client()
-        st, ct, body, loc = c.fetch(f"http://{server}/a.html")
+        st, ct, body, loc, _ = c.fetch(f"http://{server}/a.html")
         assert st == 200 and ct == "text/html" and "甲页".encode() in body
         c.fetch(f"http://{server}/target.html")
         assert c.requests_sent == 2 and c.connections_opened == 1  # keep-alive reuse
@@ -138,22 +150,22 @@ class TestHttpClient:
 
     def test_gzip_decode(self, server):
         c = _client()
-        st, _, body, _ = c.fetch(f"http://{server}/gz.html")
+        st, _, body, _, _ = c.fetch(f"http://{server}/gz.html")
         assert st == 200 and "压缩页".encode() in body  # decoded, not raw gzip
         c.close()
 
     def test_redirect_not_followed(self, server):
         c = _client()
-        st, _, _, loc = c.fetch(f"http://{server}/redirect")
+        st, _, _, loc, _ = c.fetch(f"http://{server}/redirect")
         assert st == 301 and loc == "/target.html"
         c.close()
 
     def test_cookie_roundtrip(self, server):
         c = _client()
-        st, _, _, _ = c.fetch(f"http://{server}/private/secret.html")
+        st, _, _, _, _ = c.fetch(f"http://{server}/private/secret.html")
         assert st == 403  # no cookie yet
         c.fetch(f"http://{server}/sub/setcookie.html")  # Set-Cookie: sid=ok
-        st, _, body, _ = c.fetch(f"http://{server}/private/secret.html")
+        st, _, body, _, _ = c.fetch(f"http://{server}/private/secret.html")
         assert st == 200 and "机密页".encode() in body
         c.close()
 
@@ -161,7 +173,7 @@ class TestHttpClient:
         from lightcrawler_ray.state.clientcache import SendDataCache
 
         c = _client(send_data=SendDataCache(auth_rules=((r"/auth/", "user", "pw"),)))
-        st, _, body, _ = c.fetch(f"http://{server}/auth/page.html")
+        st, _, body, _, _ = c.fetch(f"http://{server}/auth/page.html")
         assert st == 200 and "认证页".encode() in body
         assert _client().fetch(f"http://{server}/auth/page.html")[0] == 401
         c.close()
@@ -170,14 +182,14 @@ class TestHttpClient:
         from lightcrawler_ray.state.clientcache import SendDataCache
 
         c = _client(send_data=SendDataCache(post_rules=((r"/post\.html", (("token", "t123"),)),)))
-        st, _, body, _ = c.fetch(f"http://{server}/post.html")
+        st, _, body, _, _ = c.fetch(f"http://{server}/post.html")
         assert st == 200 and "表单页".encode() in body
         assert _client().fetch(f"http://{server}/post.html")[0] == 403  # GET without overlay
         c.close()
 
     def test_size_cap(self, server):
         c = _client(content_size_limit=10_000)
-        st, _, body, _ = c.fetch(f"http://{server}/big.bin")
+        st, _, body, _, _ = c.fetch(f"http://{server}/big.bin")
         assert st == 200 and len(body) == 10_001  # cap + 1 → truncation detectable
         c.close()
 
@@ -198,18 +210,18 @@ class TestRealFetchExtract:
     def test_retry_reissues_request(self, server):
         _Handler.flaky_counts.clear()
         fx = self._fx(retry_limit=3)
-        status, ctype, body, loc, attempts, trunc = fx._fetch(f"http://{server}/flaky")
+        status, ctype, body, loc, attempts, trunc, _ = fx._fetch(f"http://{server}/flaky")
         assert status == 200 and attempts == 3  # two 500s re-issued, then 200
         assert "终于成功".encode() in body
 
     def test_truncation_marks_incomplete(self, server):
         fx = self._fx(content_size_limit=10_000)
-        status, _, body, _, _, trunc = fx._fetch(f"http://{server}/big.bin")
+        status, _, body, _, _, trunc, _ = fx._fetch(f"http://{server}/big.bin")
         assert status == 200 and trunc and len(body) == 10_000
 
     def test_transport_maps_to_599(self, server):
         fx = self._fx(retry_limit=2, connect_timeout_s=0.5)
-        status, _, _, _, attempts, _ = fx._fetch("http://127.0.0.1:9/x")
+        status, _, _, _, attempts, _, _ = fx._fetch("http://127.0.0.1:9/x")
         assert status == 599 and attempts == 2
 
     def test_process_one_doc_row(self, server):
@@ -380,7 +392,7 @@ class TestProxy:
         _ProxyHandler.log.clear()
         _ProxyHandler.require_auth = PROXY_OK
         c = _client(proxy=(proxy[0], proxy[1], "puser", "ppw"))
-        st, _, body, _ = c.fetch(f"http://{server}/a.html")
+        st, _, body, _, _ = c.fetch(f"http://{server}/a.html")
         assert st == 200 and "甲页".encode() in body
         target, auth = _ProxyHandler.log[-1]
         assert target == f"http://{server}/a.html"  # absolute URI, :987-991
@@ -390,7 +402,7 @@ class TestProxy:
     def test_unauthenticated_is_refused(self, server, proxy):
         _ProxyHandler.require_auth = PROXY_OK
         c = _client(proxy=proxy)  # no credentials
-        st, _, _, _ = c.fetch(f"http://{server}/a.html")
+        st, _, _, _, _ = c.fetch(f"http://{server}/a.html")
         assert st == 407
         c.close()
 
@@ -403,9 +415,9 @@ class TestProxy:
             send_data=SendDataCache(post_rules=((r"/post\.html", (("token", "t123"),)),)),
         )
         c.fetch(f"http://{server}/sub/setcookie.html")
-        st, _, body, _ = c.fetch(f"http://{server}/private/secret.html")
+        st, _, body, _, _ = c.fetch(f"http://{server}/private/secret.html")
         assert st == 200 and "机密页".encode() in body  # cookie forwarded
-        st, _, body, _ = c.fetch(f"http://{server}/post.html")
+        st, _, body, _, _ = c.fetch(f"http://{server}/post.html")
         assert st == 200 and "表单页".encode() in body  # POST form forwarded
         c.close()
 
@@ -426,3 +438,129 @@ def test_crawl_via_proxy_output_unchanged(ray_session, tmp_path, server, proxy):
     assert proxied, "proxy leg saw no traffic"
     assert all(t.startswith("http://") for t, _ in proxied)
     assert all(a == PROXY_OK for _, a in proxied)
+
+
+# ---------------------------------------------------------------------------
+# O3 stream-to-file (PHPCrawlerHTTPRequest.class.php:459-488): content types
+# registered for file receive spill UNCAPPED to a worker-local file; the
+# fetch result carries (path, size, md5) and an empty body.
+
+
+class TestStreamToFile:
+    def test_spill_complete_and_uncapped(self, server, tmp_path):
+        cap = 16_384
+        assert len(PDF_PAYLOAD) > 4 * cap
+        c = _client(content_size_limit=cap,
+                    stream_to_file_rules=("application/pdf",),
+                    spill_dir=str(tmp_path))
+        st, ct, body, _, spill = c.fetch(f"http://{server}/files/report.pdf")
+        assert st == 200 and ct == "application/pdf"
+        assert body == b"", "spilled body must never be buffered in memory"
+        assert spill is not None and spill["size"] == len(PDF_PAYLOAD)
+        with open(spill["path"], "rb") as f:
+            assert f.read() == PDF_PAYLOAD, "payload 4x the cap lands COMPLETE"
+        import hashlib
+
+        assert spill["md5"] == hashlib.md5(PDF_PAYLOAD).hexdigest()
+        c.close()
+
+    def test_spill_is_content_addressed(self, server, tmp_path):
+        c = _client(stream_to_file_rules=("application/pdf",),
+                    spill_dir=str(tmp_path))
+        s1 = c.fetch(f"http://{server}/files/report.pdf")[4]
+        s2 = c.fetch(f"http://{server}/files/copy.pdf")[4]
+        assert s1["path"] == s2["path"], "identical payloads collapse on disk"
+        c.close()
+
+    def test_spill_gzip_streamed(self, server, tmp_path):
+        c = _client(stream_to_file_rules=("application/pdf",),
+                    spill_dir=str(tmp_path))
+        st, _, body, _, spill = c.fetch(f"http://{server}/files/gz.pdf")
+        assert st == 200 and body == b""
+        with open(spill["path"], "rb") as f:
+            assert f.read() == PDF_PAYLOAD, "gzip decoded on the fly"
+        c.close()
+
+    def test_nonmatching_type_still_capped(self, server, tmp_path):
+        c = _client(content_size_limit=1024,
+                    stream_to_file_rules=("application/pdf",),
+                    spill_dir=str(tmp_path))
+        st, _, body, _, spill = c.fetch(f"http://{server}/big.bin")
+        assert st == 200 and spill is None
+        assert len(body) == 1025, "limit+1 so the caller's truncation mark fires"
+        c.close()
+
+
+def test_crawl_spills_oversized_attachment(ray_session, tmp_path, server):
+    """The VERDICT bar end-to-end: a payload 4x the cap crawled through the
+    engine lands COMPLETE in attachments/, the fetch worker's builder never
+    holds the payload, and the fetches table carries received_to_file +
+    tmp_path."""
+    cap = 16_384
+    s, fetched, _ = _run_http_crawl(
+        tmp_path, server, "spilljob",
+        routes=((r"\.pdf$", "attachment"),),
+        content_size_limit=cap,
+        stream_to_file_rules=("application/pdf",),
+        spill_dir=str(tmp_path / "spill"),
+    )
+    from lightcrawler_ray import storage
+
+    job_dir = str(tmp_path / "spilljob")
+    atts = []
+    for d in sorted(os.listdir(job_dir)):
+        adir = os.path.join(job_dir, d, "attachments")
+        if d.startswith("epoch=") and os.path.isdir(adir):
+            t = storage.load_table(adir)
+            if t.num_columns and t.num_rows:
+                atts.extend(t.to_pylist())
+    pdf_url = f"http://{server}/files/report.pdf"
+    assert any(a["url"] == pdf_url for a in atts), atts
+    row = next(a for a in atts if a["url"] == pdf_url)
+    assert row["bytes"] == PDF_PAYLOAD, "oversized payload lands COMPLETE"
+    assert row["received_to_file"] is True
+    assert row["tmp_path"] and os.path.exists(row["tmp_path"])
+    assert row["att_ext"] == "pdf" and row["att_type"] == 6
+    import hashlib
+
+    assert row["doc_id"] == hashlib.md5(PDF_PAYLOAD).hexdigest()
+
+
+def test_spill_builder_never_buffers_payload(server, tmp_path):
+    """Memory bound at the source: the fused fetch/extract OutBuilder holds
+    a null payload + path for a spilled attachment (the bytes appear only at
+    the sink's hydration)."""
+    from lightcrawler_ray.stages.fetch import OutBuilder, RealFetchExtract
+
+    f = RealFetchExtract(
+        routes=((r"\.pdf$", "attachment"),),
+        content_size_limit=16_384,
+        stream_to_file_rules=("application/pdf",),
+        spill_dir=str(tmp_path),
+    )
+    ob = OutBuilder()
+    f._process_into(
+        {"url": f"http://{server}/files/report.pdf", "url_md5": "m",
+         "host": "127.0.0.1",
+         "depth": 0, "priority": 0, "enqueue_seq": 0, "referer": "", "linktext": ""},
+        ob,
+    )
+    assert ob.bufs["attach"]["image_bytes"] == [None]
+    assert ob.bufs["attach"]["received_to_file"] == [True]
+    builder_payload_bytes = sum(
+        len(b) for b in ob.bufs["attach"]["image_bytes"] if b
+    )
+    assert builder_payload_bytes == 0
+    fetch_buf = ob.bufs["fetch"]
+    assert fetch_buf["received_to_file"] == [True]
+    assert fetch_buf["bytes_received"][0] == len(PDF_PAYLOAD)
+    assert fetch_buf["tmp_path"][0].endswith(".bin")
+    # sink hydration restores the payload from the spill file
+    import pyarrow.compute as pc
+
+    from lightcrawler_ray.pipelines.crawl import _att_rows, _hydrate_spilled
+
+    out = ob.build()
+    t = _hydrate_spilled(_att_rows(out.filter(pc.equal(out.column("kind"), "attach"))))
+    assert t.column("bytes")[0].as_py() == PDF_PAYLOAD
+    f.http.close()
