@@ -24,25 +24,31 @@ from ray.data.aggregate import Count
 from .. import storage
 
 
+def tokenize_table(t: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """(token, doc_id) posting rows for one Arrow batch, deduped WITHIN each
+    doc (a posting lists a doc once per token) — the one tokenize path
+    shared by the batch builder and the streaming indexer."""
+    out_tok: list[str] = []
+    out_id: list = []
+    ids = t.column(id_col).to_pylist()
+    for did, text in zip(ids, t.column(text_col).to_pylist()):
+        seen = set()
+        for w in (text or "").lower().split():
+            if w and w not in seen:
+                seen.add(w)
+                out_tok.append(w)
+                out_id.append(did)
+    return pa.table({
+        "token": pa.array(out_tok, pa.string()),
+        "doc_id": pa.array(out_id, t.column(id_col).type),
+    })
+
+
 def token_rows(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
-    """(token, doc_id) posting rows, deduped WITHIN each doc (a posting
-    lists a doc once per token)."""
+    """(token, doc_id) posting rows as a streaming Dataset transform."""
 
     def tok(t: pa.Table) -> pa.Table:
-        out_tok: list[str] = []
-        out_id: list = []
-        ids = t.column(id_col).to_pylist()
-        for did, text in zip(ids, t.column(text_col).to_pylist()):
-            seen = set()
-            for w in (text or "").lower().split():
-                if w and w not in seen:
-                    seen.add(w)
-                    out_tok.append(w)
-                    out_id.append(did)
-        return pa.table({
-            "token": pa.array(out_tok, pa.string()),
-            "doc_id": pa.array(out_id, t.column(id_col).type),
-        })
+        return tokenize_table(t, text_col, id_col)
 
     return ds.map_batches(tok, batch_format="pyarrow")
 
@@ -82,6 +88,70 @@ def lookup(out_dir: str, token: str) -> list:
         )
         out.extend(t.column("doc_id").to_pylist())
     return sorted(out)
+
+
+import ray
+
+
+@ray.remote(num_cpus=1)
+class StreamingIndexer:
+    """S10 streaming variant — the reference's queue-driven IndexManager
+    (worker/IndexManager.class.php:40-60: a redis ``blPop`` loop feeding
+    freshly-stored doc records into the index as they arrive).
+
+    Ray restatement: the actor's mailbox IS the queue — sink stages call
+    ``submit(doc_batch, seq)`` as batches land, and each increment runs the
+    SAME ``tokenize_table`` path as the batch builder, landing as a
+    token-sorted parquet part in the index directory, so :func:`lookup`
+    spans batch-built and streamed postings unchanged (row-group stats
+    prune within each part).  The watermark (the reference's
+    ``indexed_id.txt``) records the highest applied increment; replayed
+    increments at or below it are skipped, making producer retries
+    exactly-once.  Increments are assumed in-order per producer (Ray actor
+    mailboxes preserve per-caller order, like the single blPop consumer).
+
+    Scale note: one actor serializes index writes the way the reference's
+    single IndexManager process does; shard by hash(doc_id) across K actors
+    (each with its own directory) when ingest outruns one tokenizer."""
+
+    def __init__(self, out_dir: str, text_col: str = "text", id_col: str = "doc_id"):
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        self.out_dir = out_dir
+        self.text_col = text_col
+        self.id_col = id_col
+        self._wm_path = os.path.join(out_dir, "watermark.txt")
+        self.watermark = -1
+        if os.path.isfile(self._wm_path):  # resume: re-attach to the index
+            with open(self._wm_path) as f:
+                self.watermark = int(f.read().strip() or -1)
+
+    def submit(self, t: pa.Table, seq: int) -> int:
+        """Apply one doc-batch increment; returns postings written (0 for a
+        replayed seq)."""
+        import os
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        if seq <= self.watermark:
+            return 0
+        rows = tokenize_table(t, self.text_col, self.id_col).sort_by(
+            [("token", "ascending"), ("doc_id", "ascending")]
+        )
+        pq.write_table(rows, os.path.join(self.out_dir, f"incr-{seq:06d}.parquet"))
+        # watermark moves only after the part is durable (crash between the
+        # two re-applies the increment — same-name overwrite, idempotent)
+        fd, tmp = tempfile.mkstemp(dir=self.out_dir)
+        with os.fdopen(fd, "w") as f:
+            f.write(str(seq))
+        os.replace(tmp, self._wm_path)
+        self.watermark = seq
+        return rows.num_rows
+
+    def get_watermark(self) -> int:
+        return self.watermark
 
 
 def term_df(sf_dir: str) -> rd.Dataset:

@@ -48,3 +48,75 @@ def test_term_df_matches_bruteforce(ray_session):
             want[w] = want.get(w, 0) + 1
     got = dict(zip(df["token"], df["df"]))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# S10 streaming variant (worker/IndexManager.class.php:40-60): queue-driven
+# increments through the same tokenize path, watermark exactly-once.
+
+
+def _batch(rows):
+    import pyarrow as pa
+
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+
+
+def test_streaming_increments_visible_to_lookup(ray_session, tmp_path):
+    import ray
+
+    out = str(tmp_path / "sidx")
+    ix = indexer.StreamingIndexer.remote(out)
+    n1 = ray.get(ix.submit.remote(_batch([(1, "data engine for ray pipelines"),
+                                          (2, "RAY data streams blocks")]), 0))
+    assert n1 > 0
+    assert indexer.lookup(out, "ray") == [1, 2]
+    n2 = ray.get(ix.submit.remote(_batch([(3, "politeness budget for crawl engine")]), 1))
+    assert n2 > 0
+    # the second increment is visible WITH the first — lookup spans parts
+    assert indexer.lookup(out, "engine") == [1, 3]
+    assert indexer.lookup(out, "ray") == [1, 2]
+    ray.kill(ix)
+
+
+def test_streaming_replay_is_exactly_once_and_resumable(ray_session, tmp_path):
+    import os
+
+    import ray
+
+    out = str(tmp_path / "sidx2")
+    ix = indexer.StreamingIndexer.remote(out)
+    assert ray.get(ix.submit.remote(_batch([(1, "alpha beta")]), 0)) > 0
+    # a producer retry re-sends the same seq: skipped, index unchanged
+    assert ray.get(ix.submit.remote(_batch([(1, "alpha beta")]), 0)) == 0
+    parts = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(parts) == 1
+    ray.kill(ix)
+    # resume: a fresh actor re-attaches at the persisted watermark
+    ix2 = indexer.StreamingIndexer.remote(out)
+    assert ray.get(ix2.get_watermark.remote()) == 0
+    assert ray.get(ix2.submit.remote(_batch([(2, "beta gamma")]), 0)) == 0  # old
+    assert ray.get(ix2.submit.remote(_batch([(2, "beta gamma")]), 1)) > 0   # new
+    assert indexer.lookup(out, "beta") == [1, 2]
+    ray.kill(ix2)
+
+
+def test_streaming_equals_batch_index(ray_session, tmp_path):
+    """The same docs streamed in two increments answer every lookup the
+    batch-built index answers — and term_df (the oracle face) is untouched
+    by which path built the postings."""
+    import ray
+
+    batch_dir = str(tmp_path / "bidx")
+    stream_dir = str(tmp_path / "sidx3")
+    indexer.build_index(_docs_ds(), batch_dir)
+    rows = [(1, "data engine for ray pipelines"), (2, "RAY data streams blocks"),
+            (3, "politeness budget for crawl engine"), (4, "")]
+    ix = indexer.StreamingIndexer.remote(stream_dir)
+    ray.get(ix.submit.remote(_batch(rows[:2]), 0))
+    ray.get(ix.submit.remote(_batch(rows[2:]), 1))
+    for tok in ("ray", "data", "engine", "crawl", "absent"):
+        assert indexer.lookup(stream_dir, tok) == indexer.lookup(batch_dir, tok)
+    ray.kill(ix)
