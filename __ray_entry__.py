@@ -527,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": dedupe.minhash_lsh_pairs,       # SQL-oracled (full LSH replay)
         "simhash_near_dups": dedupe.simhash_near_dups,       # SQL-oracled (bit-exact sigs)
         "embedding_near_dups_lsh": dedupe.embedding_near_dups_lsh,  # SQL-oracled (plane replay)
+        "dup_span_stats": dedupe.dup_span_stats,             # SQL-oracled (window grams)
         # similarity search
         "ann_topk": ann.topk_bruteforce,
         "ann_topk_lsh": ann.topk_lsh,                        # SQL-oracled (plane replay)
@@ -538,6 +539,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_term_df": __import__(
             "lightcrawler_ray.pipelines.indexer", fromlist=["term_df"]
         ).term_df,
+        # S10 scoring face — BM25 ranked retrieval (SQL-oracled)
+        "bm25_topk": __import__(
+            "lightcrawler_ray.pipelines.indexer", fromlist=["bm25_topk"]
+        ).bm25_topk,
         # crawl engine (deterministic fixtures; canonicalize is SQL-oracled
         # via literal input replay, the rest are rows-only engine semantics)
         "crawl_canonicalize": _q_canonicalize,
@@ -1257,6 +1262,44 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT DISTINCT doc_id, w FROM documents, "
             "  unnest(string_split_regex(lower(text), '\\s+')) AS t(w) WHERE w != ''"
             ") WHERE w IN ('query', 'window', 'scan')"
+        ),
+        "dup_span_stats": (
+            # the identical 8-token window grams (Python .lower().split()
+            # == regex-split + empty filter) and the same >= 2 total-
+            # occurrence duplication rule, per doc
+            "WITH toks AS ("
+            "  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),"
+            "                             w -> w <> '') AS ts FROM documents), "
+            "grams AS ("
+            "  SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS g "
+            "  FROM toks, unnest(range(1, len(ts) - 6)) AS t(i) "
+            "  WHERE len(ts) >= 8), "
+            "tot AS (SELECT g, count(*) AS c FROM grams GROUP BY g) "
+            "SELECT doc_id, "
+            "  count(*) AS n_windows, "
+            "  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows, "
+            "  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio "
+            "FROM grams JOIN tot USING (g) GROUP BY doc_id"
+        ),
+        "bm25_topk": (
+            # Robertson/Lucene BM25 with k1=1.2, b=0.75 over the same
+            # whitespace tokens; idf = ln((N - df + 0.5)/(df + 0.5) + 1);
+            # tie-break (score DESC, doc_id ASC) matches the Ray sort
+            "WITH toks AS ("
+            "  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),"
+            "                             w -> w <> '') AS ts FROM documents), "
+            "dl AS (SELECT doc_id, len(ts) AS dl FROM toks), "
+            "stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl), "
+            "tf AS ("
+            "  SELECT doc_id, w AS term, count(*) AS tf FROM toks, unnest(ts) AS t(w) "
+            "  WHERE w IN ('query', 'window', 'scan') GROUP BY doc_id, w), "
+            "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term) "
+            "SELECT tf.doc_id, "
+            "  sum(ln((n - df + 0.5)/(df + 0.5) + 1.0)"
+            "      * tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))"
+            "  ) AS score "
+            "FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats "
+            "GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id ASC LIMIT 10"
         ),
         "embedding_near_dups_lsh": (
             # replays the random-hyperplane blocking exactly: bucket = sign

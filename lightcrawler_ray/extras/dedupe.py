@@ -360,6 +360,100 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.2) -> pd.DataFrame:
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+_SPAN_N = 8
+
+
+def dup_span_stats(sf_dir: str, n: int = _SPAN_N) -> pd.DataFrame:
+    """Substring-level duplication stats (the training-data dedup face of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): for every doc, how many of its n-token windows repeat anywhere
+    in the corpus (any doc, any position — including elsewhere in itself).
+
+    Returns (doc_id, n_windows, n_dup_windows, dup_ratio) for docs with at
+    least one window (≥ n tokens).  SQL-oracled: DuckDB builds the identical
+    window grams and the same ≥2-occurrence rule.
+
+    Scale shape: per-batch tokenize with a WITHIN-DOC (gram → count)
+    pre-agg (repeated windows inside one doc collapse before the exchange),
+    ONE shuffle on crc32(gram) % P, per-partition lexsort groups equal
+    grams into runs whose total count decides duplication for every member
+    row, then per-doc partial sums leave the partition and a tiny
+    groupby(doc_id) Sum finishes — corpus text never shuffles, only
+    (gram, doc_id, count) rows do, and the run walk is bincount/reduceat
+    arithmetic, never per-gram Python.  (At 10^10 docs the gram string
+    would ride as a u64 content hash instead — same shape, smaller rows;
+    strings are kept here so the DuckDB oracle can replay bit-exact.)"""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir)
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        out_doc: list[int] = []
+        out_gram: list[str] = []
+        out_cnt: list[int] = []
+        for did, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            toks = (text or "").lower().split()
+            if len(toks) < n:
+                continue
+            c = Counter(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+            out_doc.extend([did] * len(c))
+            out_gram.extend(c.keys())
+            out_cnt.extend(c.values())
+        part = [zlib.crc32(g.encode()) % _PAIR_PARTITIONS for g in out_gram]
+        return pa.table({
+            "part": pa.array(part, pa.int32()),
+            "gram": pa.array(out_gram, pa.string()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "cnt": pa.array(out_cnt, pa.int64()),
+        })
+
+    def part_doc_partials(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "w": pa.array([], pa.int64()),
+                          "d": pa.array([], pa.int64())})
+        if g.empty:
+            return empty
+        grams = g["gram"].to_numpy().astype(str)
+        did = g["doc_id"].to_numpy(dtype=np.int64)
+        cnt = g["cnt"].to_numpy(dtype=np.int64)
+        order = np.lexsort((did, grams))
+        grams, did, cnt = grams[order], did[order], cnt[order]
+        new_run = np.ones(len(grams), dtype=bool)
+        new_run[1:] = grams[1:] != grams[:-1]
+        run_id = np.cumsum(new_run) - 1
+        totals = np.bincount(run_id, weights=cnt)  # occurrences per gram
+        dup_cnt = np.where(totals[run_id] >= 2, cnt, 0)
+        docs, inv = np.unique(did, return_inverse=True)
+        return pa.table({
+            "doc_id": pa.array(docs, pa.int64()),
+            "w": pa.array(np.bincount(inv, weights=cnt).astype(np.int64)),
+            "d": pa.array(np.bincount(inv, weights=dup_cnt).astype(np.int64)),
+        })
+
+    def finalize(t: pa.Table) -> pa.Table:
+        w = t.column("n_windows").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("n_dup_windows").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_windows": pa.array(w, pa.int64()),
+            "n_dup_windows": pa.array(d, pa.int64()),
+            "dup_ratio": pa.array(d / np.maximum(w, 1), pa.float64()),
+        })
+
+    df = (
+        ds.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_doc_partials, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Sum("w", alias_name="n_windows"), Sum("d", alias_name="n_dup_windows"))
+        .map_batches(finalize, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _vec_run_pairs(
     t: pd.DataFrame, key_np: np.ndarray, threshold: float
 ) -> pa.Table:

@@ -154,6 +154,101 @@ class StreamingIndexer:
         return self.watermark
 
 
+def bm25_topk(
+    sf_dir: str,
+    terms: tuple[str, ...] = ("query", "window", "scan"),
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "pd.DataFrame":
+    """BM25-ranked retrieval over the postings (Robertson/Okapi, the
+    Lucene-variant idf ``ln((N - df + 0.5)/(df + 0.5) + 1)``) — the scoring
+    face of the S10 index.  SQL-oracled end-to-end (same tokenizer, same
+    constants, same tie-break).
+
+    Scale shape: TWO streaming passes over the docs table, ZERO shuffles —
+    pass 1 is a partial-aggregate map_batches (per-batch doc count, total
+    length, per-query-term df) whose per-batch rows reduce driver-side to
+    the global (N, avgdl, df_t); pass 2 re-streams the corpus emitting
+    (doc_id, dl, tf_t...) ONLY for docs containing a query term (the
+    candidate set — bounded by the posting lists, never the corpus), scored
+    vectorized and top-k'd.  With a pre-built index the candidate pass
+    would be ``lookup()`` point reads instead of a scan; the scan keeps the
+    oracle replayable over the raw table."""
+    import math
+
+    import pandas as pd
+
+    from .. import storage
+
+    terms = tuple(terms)
+    t_index = {t: i for i, t in enumerate(terms)}
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        n_docs = t.num_rows
+        sum_dl = 0
+        dfv = [0] * len(terms)
+        for text in t.column("text").to_pylist():
+            toks = (text or "").lower().split()
+            sum_dl += len(toks)
+            present = set(toks) & t_index.keys()
+            for w in present:
+                dfv[t_index[w]] += 1
+        return pa.table({
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "sum_dl": pa.array([sum_dl], pa.int64()),
+            **{f"df_{i}": pa.array([dfv[i]], pa.int64()) for i in range(len(terms))},
+        })
+
+    ds = storage.read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    agg = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    n_total = int(agg["n_docs"].sum())
+    avgdl = float(agg["sum_dl"].sum()) / max(1, n_total)
+    df_t = [int(agg[f"df_{i}"].sum()) for i in range(len(terms))]
+    idf = [math.log((n_total - d + 0.5) / (d + 0.5) + 1.0) for d in df_t]
+
+    def candidate_rows(t: pa.Table) -> pa.Table:
+        out_id, out_dl, out_tf = [], [], []
+        for did, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            toks = (text or "").lower().split()
+            tf = [0] * len(terms)
+            hit = False
+            for w in toks:
+                i = t_index.get(w)
+                if i is not None:
+                    tf[i] += 1
+                    hit = True
+            if hit:
+                out_id.append(did)
+                out_dl.append(len(toks))
+                out_tf.append(tf)
+        cols = {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "dl": pa.array(out_dl, pa.int64()),
+        }
+        for i in range(len(terms)):
+            cols[f"tf_{i}"] = pa.array([v[i] for v in out_tf], pa.int64())
+        return pa.table(cols)
+
+    cand = ds.map_batches(candidate_rows, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    import numpy as np
+
+    dl = cand["dl"].to_numpy(dtype=np.float64)
+    norm = k1 * (1.0 - b + b * dl / avgdl)
+    score = np.zeros(len(cand))
+    for i in range(len(terms)):
+        tf = cand[f"tf_{i}"].to_numpy(dtype=np.float64)
+        score += idf[i] * (tf * (k1 + 1.0)) / (tf + norm)
+    out = pd.DataFrame({"doc_id": cand["doc_id"], "score": score})
+    out = out.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+    return out.head(k).reset_index(drop=True)
+
+
 def term_df(sf_dir: str) -> rd.Dataset:
     """Document frequency per token over the documents table — the
     oracle-checkable aggregation face of the index build (same posting rows,

@@ -202,3 +202,36 @@ def test_pair_stages_one_call_per_partition(ray_session):
     a = out.column("doc_a").to_numpy()
     b = out.column("doc_b").to_numpy()
     assert (b == a + 1).all() and (a % 2 == 0).all()
+
+
+def test_dup_span_stats_matches_bruteforce(ray_session):
+    """Substring-level dedup (Lee et al. window grams): the coarse-partition
+    pipeline must agree with a plain-Python full-corpus count."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from lightcrawler_ray.extras import dedupe
+
+    sf = "/root/testdata/sf0.001"
+    got = dedupe.dup_span_stats(sf)
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    n = 8
+    per_doc: dict[int, Counter] = {}
+    corpus: Counter = Counter()
+    for did, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        toks = (text or "").lower().split()
+        c = Counter(" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1))
+        if c:
+            per_doc[did] = c
+            corpus.update(c)
+    assert set(got["doc_id"]) == set(per_doc)
+    by_id = got.set_index("doc_id")
+    for did, c in per_doc.items():
+        w = sum(c.values())
+        d = sum(k for g, k in c.items() if corpus[g] >= 2)
+        assert by_id.loc[did, "n_windows"] == w
+        assert by_id.loc[did, "n_dup_windows"] == d
+        assert abs(by_id.loc[did, "dup_ratio"] - d / w) < 1e-12
+    # the fixture corpus must actually exercise duplication both ways
+    assert (got["n_dup_windows"] > 0).any() and (got["n_dup_windows"] < got["n_windows"]).any()

@@ -120,3 +120,36 @@ def test_streaming_equals_batch_index(ray_session, tmp_path):
     for tok in ("ray", "data", "engine", "crawl", "absent"):
         assert indexer.lookup(stream_dir, tok) == indexer.lookup(batch_dir, tok)
     ray.kill(ix)
+
+
+def test_bm25_matches_bruteforce(ray_session):
+    """BM25 scoring face: two streaming passes must reproduce the plain
+    full-corpus computation (same idf variant, constants, tie-break)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    terms = ("query", "window", "scan")
+    got = indexer.bm25_topk(sf, terms=terms, k=10)
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    docs = {d: (x or "").lower().split()
+            for d, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())}
+    n = len(docs)
+    avgdl = sum(len(v) for v in docs.values()) / n
+    df = {w: sum(w in set(v) for v in docs.values()) for w in terms}
+    idf = {w: math.log((n - df[w] + 0.5) / (df[w] + 0.5) + 1.0) for w in terms}
+    k1, b = 1.2, 0.75
+    scores = {}
+    for d, toks in docs.items():
+        s = 0.0
+        for w in terms:
+            tf = toks.count(w)
+            if tf:
+                s += idf[w] * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        if s > 0:
+            scores[d] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(got["doc_id"]) == [d for d, _ in want]
+    for (d, s), gs in zip(want, got["score"]):
+        assert abs(s - gs) < 1e-9
