@@ -480,6 +480,20 @@ def _q_image_stats(sf_dir: str):
     return ds.map_batches(flat, batch_format="pyarrow")
 
 
+def _q_image_dedup_exact(sf_dir: str):
+    from lightcrawler_ray.extras import multimodal
+
+    _, paths = _fixture_paths()
+    return multimodal.image_dedup_exact(paths["images"])
+
+
+def _q_image_pair_dedup(sf_dir: str):
+    from lightcrawler_ray.extras import multimodal
+
+    _, paths = _fixture_paths()
+    return multimodal.image_pair_dedup(paths["images"])
+
+
 def _q_image_resize(sf_dir: str):
     import pyarrow as pa
 
@@ -535,6 +549,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text extras (SQL-oracled)
         "quality_scores": textstats.quality_scores,
         "fingerprints": textstats.fingerprints,
+        "repetition_stats": textstats.repetition_stats,      # SQL-oracled (Gopher rules)
+        "train_split": textstats.train_split,                # SQL-oracled (md5-low64 buckets)
+        # training-sequence packing (SQL-oracled distributed prefix sum)
+        "pack_sequences": __import__(
+            "lightcrawler_ray.extras.packing", fromlist=["pack_sequences"]
+        ).pack_sequences,
         # S10 index-builder aggregation face (SQL-oracled)
         "index_term_df": __import__(
             "lightcrawler_ray.pipelines.indexer", fromlist=["term_df"]
@@ -557,6 +577,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_near_dups": _q_phash_near_dup,
         "image_stats": _q_image_stats,
         "image_resize": _q_image_resize,
+        "image_dedup_exact": _q_image_dedup_exact,           # SQL-oracled (hex md5 replay)
+        "image_pair_dedup": _q_image_pair_dedup,             # SQL-oracled (stored-phash replay)
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
         # S10 lookup face (SQL-oracled)
@@ -905,6 +927,19 @@ def _crawl_family_sqls() -> dict[str, str]:
             "SELECT image_id, CAST(32 AS INTEGER) AS w, CAST(32 AS INTEGER) AS h, "
             f"fmt, caption FROM read_parquet('{paths['images']}')"
         ),
+        # DuckDB's md5 only takes VARCHAR, so the content key is md5 of the
+        # lower-hex payload encoding on BOTH sides (bijective with the bytes)
+        "image_dedup_exact": (
+            "SELECT md5(lower(hex(bytes))) AS content_md5, "
+            "  min(image_id) AS keeper, count(*) AS n_copies "
+            f"FROM read_parquet('{paths['images']}') GROUP BY 1"
+        ),
+        # the engine recomputes phash from the payload; the oracle groups
+        # over the fixture's stored deterministic-codec phash column
+        "image_pair_dedup": (
+            "SELECT phash, caption, min(image_id) AS keeper, count(*) AS n_copies "
+            f"FROM read_parquet('{paths['images']}') GROUP BY phash, caption"
+        ),
         "audio_features": (
             "SELECT clip_id, sr, duration_s, rms, zcr, "
             "spec_bands[1] AS band_0, spec_bands[2] AS band_1, "
@@ -1127,6 +1162,52 @@ def oracle_sql() -> dict[str, str]:
             "    / len(words) * 4.0, 1.0) ELSE 0.5 END AS stop_score FROM s) "
             "SELECT doc_id, round((len_score + punct_score + stop_score) / 3.0, 6)"
             " AS quality FROM s2"
+        ),
+        "repetition_stats": (
+            # the same token 2-/3-grams (Python tuple counting == joining the
+            # space-free tokens with ' ') and the same int/int double ratios;
+            # docs with < 3 tokens are excluded on both sides
+            "WITH toks AS ("
+            "  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),"
+            "                             w -> w <> '') AS ts FROM documents), "
+            "g2 AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g "
+            "  FROM toks, unnest(range(1, len(ts))) AS t(i) WHERE len(ts) >= 3), "
+            "c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g), "
+            "a2 AS (SELECT doc_id, max(c) AS mx2, sum(c) AS tot2, "
+            "  sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup2 FROM c2 GROUP BY doc_id), "
+            "g3 AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g "
+            "  FROM toks, unnest(range(1, len(ts) - 1)) AS t(i) WHERE len(ts) >= 3), "
+            "c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g), "
+            "a3 AS (SELECT doc_id, max(c) AS mx3, sum(c) AS tot3 FROM c3 GROUP BY doc_id) "
+            "SELECT doc_id, "
+            "  CAST(mx2 AS DOUBLE) / tot2 AS top2_frac, "
+            "  CAST(dup2 AS DOUBLE) / tot2 AS dup2_frac, "
+            "  CAST(mx3 AS DOUBLE) / tot3 AS top3_frac "
+            "FROM a2 JOIN a3 USING (doc_id)"
+        ),
+        "train_split": (
+            # md5_number_lower == little-endian low-8 md5 digest bytes, the
+            # exact bucket the Ray side computes
+            "SELECT doc_id, "
+            "  CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 AS BIGINT) AS bucket, "
+            "  CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 90 THEN 'train' "
+            "       WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 95 THEN 'valid' "
+            "       ELSE 'test' END AS split "
+            "FROM documents"
+        ),
+        "pack_sequences": (
+            # the distributed prefix sum's semantics as a window running sum
+            # over doc_id order; block = 256
+            "WITH toks AS ("
+            "  SELECT doc_id, len(list_filter(string_split_regex(lower(text), '\\s+'),"
+            "                                 w -> w <> '')) AS n FROM documents), "
+            "off AS (SELECT doc_id, n, COALESCE(sum(n) OVER ("
+            "  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o "
+            "  FROM toks) "
+            "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, "
+            "  CAST(o AS BIGINT) AS tok_offset, "
+            "  CAST(o // 256 AS BIGINT) AS seq_id, "
+            "  CAST(o % 256 AS BIGINT) AS offset_in_seq FROM off"
         ),
         "fingerprints": (
             # bytes via hex(encode(text)) (UTF-8), per-window polynomial via 8

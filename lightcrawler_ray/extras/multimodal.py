@@ -171,6 +171,118 @@ class VideoFrameSample:
         )
 
 
+_DEDUP_PARTITIONS = 32  # coarse shuffle width for the keep-first stages
+
+
+def _keep_first(
+    ds: rd.Dataset, key_cols: list[str], id_col: str
+) -> pd.DataFrame:
+    """Keep-first dedup over (key_cols → min id) with ONE coarse shuffle:
+    rows already carry ``part`` (a hash of the key mod _DEDUP_PARTITIONS);
+    within each partition a lexsort groups equal keys into runs, the run
+    head is the keeper and the run length the copy count — no per-key
+    Python, and only (key, id) rows ever shuffle, never payload bytes."""
+
+    def runs(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return pa.table(
+                {c: pa.array([], pa.string()) for c in key_cols}
+                | {"keeper": pa.array([], pa.string()),
+                   "n_copies": pa.array([], pa.int64())}
+            )
+        keys = [g[c].to_numpy().astype(str) for c in key_cols]
+        ids = g[id_col].to_numpy().astype(str)
+        order = np.lexsort(tuple([ids] + keys[::-1]))
+        keys = [k[order] for k in keys]
+        ids = ids[order]
+        new_run = np.zeros(len(ids), dtype=bool)
+        new_run[0] = True
+        for k in keys:
+            new_run[1:] |= k[1:] != k[:-1]
+        starts = np.flatnonzero(new_run)
+        counts = np.diff(np.append(starts, len(ids)))
+        return pa.table(
+            {c: pa.array(k[starts], pa.string()) for c, k in zip(key_cols, keys)}
+            | {"keeper": pa.array(ids[starts], pa.string()),
+               "n_copies": pa.array(counts.astype(np.int64))}
+        )
+
+    df = ds.groupby("part").map_groups(runs, batch_format="pandas").to_pandas()
+    return df.sort_values(key_cols).reset_index(drop=True)
+
+
+def image_dedup_exact(images_path: str) -> pd.DataFrame:
+    """Exact image dedup by content hash — the first pass every image
+    pipeline runs before the expensive perceptual passes.  Key = md5 of the
+    lower-hex payload encoding (hex-then-md5 so DuckDB, whose ``md5`` only
+    takes VARCHAR, can replay the key bit-exact); keeper = lexicographically
+    first image_id; ``n_copies`` rides along for the dedup report.
+
+    Scale shape: the payload never shuffles — each batch reduces to
+    (part, content_md5, image_id) rows (32-byte keys), one coarse shuffle on
+    crc32(key) % P, keep-first by lexsort runs inside each partition."""
+    import hashlib
+    import zlib
+
+    from .. import storage
+
+    def keys(t: pa.Table) -> pa.Table:
+        ks = [
+            hashlib.md5(b.hex().encode()).hexdigest()
+            for b in t.column("bytes").to_pylist()
+        ]
+        part = [zlib.crc32(k.encode()) % _DEDUP_PARTITIONS for k in ks]
+        return pa.table({
+            "part": pa.array(part, pa.int32()),
+            "content_md5": pa.array(ks, pa.string()),
+            "image_id": t.column("image_id"),
+        })
+
+    ds = storage.read_parquet_clean(images_path, columns=["image_id", "bytes"])
+    return _keep_first(
+        ds.map_batches(keys, batch_format="pyarrow", batch_size=64),
+        ["content_md5"], "image_id",
+    )
+
+
+def image_pair_dedup(images_path: str) -> pd.DataFrame:
+    """Joint image+caption dedup (the LAION-style pair rule): two rows are
+    the same training pair when their perceptual hash AND caption both
+    match; keep the lexicographically first image_id per (phash, caption).
+    The engine recomputes phash from the bytes (decode → phash64); the
+    oracle replays the group over the fixture's stored phash column —
+    independent paths to the same key."""
+    import zlib
+
+    from .. import storage
+
+    def keys(t: pa.Table) -> pa.Table:
+        ph = []
+        for b in t.column("bytes").to_pylist():
+            ph.append(str(hashing.phash64(imagecodec.decode(b))))
+        caps = t.column("caption").to_pylist()
+        part = [
+            zlib.crc32(f"{p}|{c}".encode()) % _DEDUP_PARTITIONS
+            for p, c in zip(ph, caps)
+        ]
+        return pa.table({
+            "part": pa.array(part, pa.int32()),
+            "phash": pa.array(ph, pa.string()),
+            "caption": t.column("caption"),
+            "image_id": t.column("image_id"),
+        })
+
+    ds = storage.read_parquet_clean(
+        images_path, columns=["image_id", "bytes", "caption"]
+    )
+    df = _keep_first(
+        ds.map_batches(keys, batch_format="pyarrow", batch_size=64),
+        ["phash", "caption"], "image_id",
+    )
+    df["phash"] = df["phash"].astype("int64")
+    return df.sort_values(["phash", "caption"]).reset_index(drop=True)
+
+
 def image_stats(images_path: str) -> rd.Dataset:
     from .. import storage
 

@@ -76,6 +76,66 @@ def quality_scores(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
+def repetition_stats(sf_dir: str) -> rd.Dataset:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1, adapted token-level because the corpus is single-line): per doc
+    with ≥3 tokens, the fraction of 2-gram occurrences taken by the most
+    frequent 2-gram (``top2_frac``), the fraction of 2-gram occurrences whose
+    gram repeats within the doc (``dup2_frac``), and the top-3-gram fraction
+    (``top3_frac``).  Purely within-doc → embarrassingly parallel map_batches,
+    ZERO shuffles; SQL-oracled (DuckDB builds the identical grams and the
+    same integer-ratio arithmetic)."""
+    from collections import Counter
+
+    def f(t: pa.Table) -> pa.Table:
+        ids, t2, d2, t3 = [], [], [], []
+        for did, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            toks = (x or "").lower().split()
+            if len(toks) < 3:
+                continue
+            c2 = Counter(zip(toks, toks[1:]))
+            c3 = Counter(zip(toks, toks[1:], toks[2:]))
+            tot2, tot3 = len(toks) - 1, len(toks) - 2
+            ids.append(did)
+            t2.append(max(c2.values()) / tot2)
+            d2.append(sum(v for v in c2.values() if v >= 2) / tot2)
+            t3.append(max(c3.values()) / tot3)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "top2_frac": pa.array(t2, pa.float64()),
+            "dup2_frac": pa.array(d2, pa.float64()),
+            "top3_frac": pa.array(t3, pa.float64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def train_split(sf_dir: str) -> rd.Dataset:
+    """Deterministic hash-based train/valid/test assignment — the
+    dataset-split primitive of a training-data pipeline.  Bucket =
+    md5-low64(str(doc_id)) mod 100 (little-endian low 8 digest bytes, the
+    exact value DuckDB's ``md5_number_lower`` computes, so the oracle replays
+    bit-for-bit): <90 train, <95 valid, else test.  Pure per-row function of
+    the key → ZERO shuffles, resumable, and stable under repartitioning —
+    the properties a 100 TB split must have (no sampling state, no RNG)."""
+    import hashlib
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        buckets = [
+            int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:16], "little") % 100
+            for i in ids
+        ]
+        split = ["train" if b < 90 else "valid" if b < 95 else "test" for b in buckets]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "bucket": pa.array(buckets, pa.int64()),
+            "split": pa.array(split, pa.string()),
+        })
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(f, batch_format="pyarrow")
+
+
 def fingerprints(sf_dir: str) -> rd.Dataset:
     """Rolling-hash winnowing fingerprint per doc; oracle-checked — the SQL
     mirror computes each window polynomial in HUGEINT mod 2^63."""

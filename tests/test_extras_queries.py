@@ -235,3 +235,143 @@ def test_dup_span_stats_matches_bruteforce(ray_session):
         assert abs(by_id.loc[did, "dup_ratio"] - d / w) < 1e-12
     # the fixture corpus must actually exercise duplication both ways
     assert (got["n_dup_windows"] > 0).any() and (got["n_dup_windows"] < got["n_windows"]).any()
+
+
+def test_repetition_stats_matches_bruteforce(ray_session):
+    """Gopher repetition rules: the map_batches stage must agree with a
+    plain per-doc Counter computation."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from lightcrawler_ray.extras import textstats
+
+    sf = "/root/testdata/sf0.001"
+    got = textstats.repetition_stats(sf).to_pandas().set_index("doc_id")
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    n_checked = 0
+    for did, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        toks = (x or "").lower().split()
+        if len(toks) < 3:
+            assert did not in got.index
+            continue
+        c2 = Counter(zip(toks, toks[1:]))
+        c3 = Counter(zip(toks, toks[1:], toks[2:]))
+        assert got.loc[did, "top2_frac"] == max(c2.values()) / (len(toks) - 1)
+        assert got.loc[did, "dup2_frac"] == (
+            sum(v for v in c2.values() if v >= 2) / (len(toks) - 1)
+        )
+        assert got.loc[did, "top3_frac"] == max(c3.values()) / (len(toks) - 2)
+        n_checked += 1
+    assert n_checked == len(got)
+    # the fixture must exercise actual repetition (not all zeros)
+    assert (got["dup2_frac"] > 0).any() and (got["dup2_frac"] < 1).all()
+
+
+def test_train_split_deterministic_buckets(ray_session):
+    """Hash split: md5-low64 buckets, stable and correctly thresholded."""
+    import hashlib
+
+    from lightcrawler_ray.extras import textstats
+
+    sf = "/root/testdata/sf0.001"
+    got = textstats.train_split(sf).to_pandas()
+    for did, b, s in zip(got["doc_id"], got["bucket"], got["split"]):
+        want = int.from_bytes(hashlib.md5(str(did).encode()).digest()[8:16], "little") % 100
+        assert b == want
+        assert s == ("train" if b < 90 else "valid" if b < 95 else "test")
+    frac = (got["split"] == "train").mean()
+    assert 0.8 < frac < 0.97  # ~90% train at 500 docs
+    assert set(got["split"]) == {"train", "valid", "test"}
+
+
+def test_pack_sequences_matches_running_sum(ray_session):
+    """Distributed prefix sum: the two-pass pipeline must equal the serial
+    running sum over doc_id order, and every sequence boundary must be
+    consistent (offset // block == seq_id, offset % block == offset_in_seq)."""
+    import pyarrow.parquet as pq
+
+    from lightcrawler_ray.extras import packing
+
+    sf = "/root/testdata/sf0.001"
+    block = 256
+    got = packing.pack_sequences(sf, block=block)
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    rows = sorted(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    off = 0
+    want = {}
+    for did, x in rows:
+        n = len((x or "").split())
+        want[did] = (n, off)
+        off += n
+    assert len(got) == len(want)
+    for did, n, o, sid, oin in zip(
+        got["doc_id"], got["n_tokens"], got["tok_offset"],
+        got["seq_id"], got["offset_in_seq"],
+    ):
+        wn, wo = want[did]
+        assert (n, o) == (wn, wo)
+        assert sid == o // block and oin == o % block
+    # the corpus must span multiple sequences for the test to mean anything
+    assert got["seq_id"].nunique() > 5
+
+
+def test_image_dedup_exact_groups(ray_session):
+    """Exact content dedup: every byte-identical image collapses to one
+    keeper (the fixture plants i%101==1 exact dups), and the group count
+    equals the number of distinct payloads."""
+    import hashlib
+
+    from lightcrawler_ray.extras import multimodal
+
+    _, paths = _fixture_paths()
+    got = multimodal.image_dedup_exact(paths["images"])
+    t = pq.read_table(paths["images"], columns=["image_id", "bytes"])
+    want: dict[str, list[str]] = {}
+    for iid, b in zip(t.column("image_id").to_pylist(), t.column("bytes").to_pylist()):
+        want.setdefault(hashlib.md5(b.hex().encode()).hexdigest(), []).append(iid)
+    assert len(got) == len(want)
+    by_key = got.set_index("content_md5")
+    for k, ids in want.items():
+        assert by_key.loc[k, "keeper"] == min(ids)
+        assert by_key.loc[k, "n_copies"] == len(ids)
+    assert (got["n_copies"] >= 2).any()  # the planted exact dups
+
+
+def test_image_pair_dedup(ray_session, tmp_path):
+    """(phash, caption) pair dedup: merges only when BOTH match.  The
+    fixture's exact byte dups carry different captions, so they must stay
+    separate pairs; a constructed table with true pair dups must merge."""
+    import pyarrow as pa
+
+    from lightcrawler_ray.extras import multimodal
+    from lightcrawler_ray.functions import hashing, imagecodec
+
+    _, paths = _fixture_paths()
+    pairs = multimodal.image_pair_dedup(paths["images"])
+    t = pq.read_table(paths["images"], columns=["image_id", "bytes", "caption"])
+    n = t.num_rows
+    # same-image-different-caption must NOT merge
+    assert len(pairs) == n and (pairs["n_copies"] == 1).all()
+    # recomputed phash must agree with the stored column (independent paths)
+    stored = dict(zip(
+        pq.read_table(paths["images"], columns=["image_id", "phash"]).column("image_id").to_pylist(),
+        pq.read_table(paths["images"], columns=["image_id", "phash"]).column("phash").to_pylist(),
+    ))
+    for ph, keeper in zip(pairs["phash"], pairs["keeper"]):
+        assert ph == stored[keeper]
+    # constructed positive case: two rows, same bytes AND caption → one pair
+    b = t.column("bytes")[0].as_py()
+    cap = "same caption"
+    tbl = pa.table({
+        "image_id": pa.array(["a-1", "a-2", "b-1"], pa.string()),
+        "bytes": pa.array([b, b, t.column("bytes")[5].as_py()], pa.binary()),
+        "caption": pa.array([cap, cap, cap], pa.string()),
+    })
+    p = str(tmp_path / "pairs.parquet")
+    pq.write_table(tbl, p)
+    merged = multimodal.image_pair_dedup(p)
+    assert len(merged) == 2
+    row = merged[merged["keeper"] == "a-1"].iloc[0]
+    assert row["n_copies"] == 2 and row["caption"] == cap
+    assert row["phash"] == hashing.phash64(imagecodec.decode(b))
