@@ -494,6 +494,20 @@ def _q_image_pair_dedup(sf_dir: str):
     return multimodal.image_pair_dedup(paths["images"])
 
 
+def _q_image_aspect_buckets(sf_dir: str):
+    from lightcrawler_ray.extras import multimodal
+
+    _, paths = _fixture_paths()
+    return multimodal.image_aspect_buckets(paths["images"])
+
+
+def _q_image_filter_gate(sf_dir: str):
+    from lightcrawler_ray.extras import multimodal
+
+    _, paths = _fixture_paths()
+    return multimodal.image_filter_gate(paths["images"])
+
+
 def _q_image_resize(sf_dir: str):
     import pyarrow as pa
 
@@ -542,6 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": dedupe.simhash_near_dups,       # SQL-oracled (bit-exact sigs)
         "embedding_near_dups_lsh": dedupe.embedding_near_dups_lsh,  # SQL-oracled (plane replay)
         "dup_span_stats": dedupe.dup_span_stats,             # SQL-oracled (window grams)
+        "dedup_components": dedupe.dedup_components,         # SQL-oracled (recursive CTE)
         # similarity search
         "ann_topk": ann.topk_bruteforce,
         "ann_topk_lsh": ann.topk_lsh,                        # SQL-oracled (plane replay)
@@ -551,6 +566,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": textstats.fingerprints,
         "repetition_stats": textstats.repetition_stats,      # SQL-oracled (Gopher rules)
         "train_split": textstats.train_split,                # SQL-oracled (md5-low64 buckets)
+        "decontaminate": textstats.decontaminate,            # SQL-oracled (gram join)
+        "domain_sample": textstats.domain_sample,            # SQL-oracled (md5-low64 rule)
         # training-sequence packing (SQL-oracled distributed prefix sum)
         "pack_sequences": __import__(
             "lightcrawler_ray.extras.packing", fromlist=["pack_sequences"]
@@ -579,6 +596,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize": _q_image_resize,
         "image_dedup_exact": _q_image_dedup_exact,           # SQL-oracled (hex md5 replay)
         "image_pair_dedup": _q_image_pair_dedup,             # SQL-oracled (stored-phash replay)
+        "image_aspect_buckets": _q_image_aspect_buckets,     # SQL-oracled (stored-dims replay)
+        "image_filter_gate": _q_image_filter_gate,           # SQL-oracled (stored-dims replay)
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
         # S10 lookup face (SQL-oracled)
@@ -940,6 +959,34 @@ def _crawl_family_sqls() -> dict[str, str]:
             "SELECT phash, caption, min(image_id) AS keeper, count(*) AS n_copies "
             f"FROM read_parquet('{paths['images']}') GROUP BY phash, caption"
         ),
+        # the engine recomputes dims by decoding the payload; the oracle
+        # replays over the fixture's stored w/h columns (independent paths).
+        # nearest bucket by |w/h - target| with ties to the smaller target ==
+        # row_number ordered by (diff, target)
+        "image_aspect_buckets": (
+            "WITH b AS (SELECT unnest(["
+            "0.25, 0.333333, 0.5, 0.666667, 0.75, 1.0, 1.333333, 1.5, 2.0, 3.0, 4.0"
+            "]) AS t), "
+            "r AS (SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h, b.t, "
+            "  row_number() OVER (PARTITION BY image_id "
+            "    ORDER BY abs(CAST(w AS DOUBLE) / h - b.t), b.t) AS rn "
+            f"  FROM read_parquet('{paths['images']}') CROSS JOIN b) "
+            "SELECT image_id, w, h, t AS bucket_ar FROM r WHERE rn = 1"
+        ),
+        # first failing rule wins: too_small > bad_aspect > caption_short >
+        # caption_long (integer aspect test, whitespace caption tokens)
+        "image_filter_gate": (
+            "WITH s AS (SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h, "
+            "  CAST(len(list_filter(string_split_regex(caption, '\\s+'), x -> x <> '')) "
+            "       AS BIGINT) AS n_cap_tokens "
+            f"  FROM read_parquet('{paths['images']}')) "
+            "SELECT image_id, w, h, n_cap_tokens, reason = 'ok' AS keep, reason FROM ("
+            "  SELECT *, CASE WHEN least(w, h) < 64 THEN 'too_small' "
+            "    WHEN w > 3 * h OR h > 3 * w THEN 'bad_aspect' "
+            "    WHEN n_cap_tokens < 3 THEN 'caption_short' "
+            "    WHEN n_cap_tokens > 32 THEN 'caption_long' "
+            "    ELSE 'ok' END AS reason FROM s)"
+        ),
         "audio_features": (
             "SELECT clip_id, sr, duration_s, rms, zcr, "
             "spec_bands[1] AS band_0, spec_bands[2] AS band_1, "
@@ -1059,7 +1106,7 @@ def oracle_sql() -> dict[str, str]:
     _mh_a, _mh_b = _hashing.minhash_params(64)
     _A = "[" + ",".join(f"{int(v)}::HUGEINT" for v in _mh_a) + "]"
     _B = "[" + ",".join(f"{int(v)}::HUGEINT" for v in _mh_b) + "]"
-    return {
+    sqls = {
         "crawl_report": (
             # decimal semantics (values are 2-decimal): integer-cent sums,
             # bit-identical to the Ray pipeline's partial sums in any order
@@ -1208,6 +1255,33 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(o AS BIGINT) AS tok_offset, "
             "  CAST(o // 256 AS BIGINT) AS seq_id, "
             "  CAST(o % 256 AS BIGINT) AS offset_in_seq FROM off"
+        ),
+        "decontaminate": (
+            # same tokenizer as the engine (lower + whitespace split), same
+            # 5-gram join against the doc_id%97==0 eval slice; n_hits counts
+            # DISTINCT shared grams per training doc
+            "WITH toks AS (SELECT doc_id, "
+            "  list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ts "
+            "  FROM documents), "
+            "g AS (SELECT DISTINCT doc_id, "
+            "  ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS gram "
+            "  FROM toks, unnest(range(1, len(ts) - 3)) t(i) WHERE len(ts) >= 5), "
+            "ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0), "
+            "h AS (SELECT g.doc_id, count(*) AS n FROM g JOIN ev USING (gram) "
+            "  WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits, "
+            "  COALESCE(h.n, 0) > 0 AS contaminated "
+            "FROM documents d LEFT JOIN h USING (doc_id) WHERE d.doc_id % 97 <> 0"
+        ),
+        "domain_sample": (
+            # the engine's md5-low64(doc_id) mod 10000 < rate rule, rate a
+            # pure function of the source index — bit-exact replay
+            "SELECT doc_id, source, "
+            "  CAST(1000 + (CAST(substring(source, 4) AS BIGINT) * 421) % 9000 "
+            "       AS BIGINT) AS rate_bp "
+            "FROM documents "
+            "WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 "
+            "  < 1000 + (CAST(substring(source, 4) AS BIGINT) * 421) % 9000"
         ),
         "fingerprints": (
             # bytes via hex(encode(text)) (UTF-8), per-window polynomial via 8
@@ -1485,6 +1559,27 @@ def oracle_sql() -> dict[str, str]:
         # doc_id recomputed in SQL per the D2/M14 contract
         "crawl_routed": _routed_oracle_sql(),
     }
+    # dedup clusters: close the simhash pair pipeline transitively with a
+    # recursive CTE — rep = min doc_id reachable through near-dup edges,
+    # singletons keep themselves, csize counts the component
+    sqls["dedup_components"] = (
+        "WITH RECURSIVE pairs AS ("
+        + sqls["simhash_near_dups"]
+        + "), "
+        "e AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+        "      UNION SELECT doc_b, doc_a FROM pairs), "
+        "reach(u, v) AS ("
+        "  SELECT u, v FROM e "
+        "  UNION "
+        "  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u), "
+        "rep AS (SELECT u AS doc_id, least(u, min(v)) AS rep "
+        "  FROM reach GROUP BY u), "
+        "allr AS (SELECT d.doc_id, COALESCE(r.rep, d.doc_id) AS rep "
+        "  FROM documents d LEFT JOIN rep r USING (doc_id)) "
+        "SELECT doc_id, rep, "
+        "  CAST(count(*) OVER (PARTITION BY rep) AS BIGINT) AS csize FROM allr"
+    )
+    return sqls
 
 
 if __name__ == "__main__":

@@ -575,3 +575,139 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
         return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
                              "vec_b": pd.Series([], dtype="int64")})
     return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# dedup clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+_CC_PARTITIONS = 32  # coarse shuffle width for label propagation
+_CC_MAX_ITERS = 64   # diameter guard; dup clusters are near-cliques in practice
+
+
+def connected_components(edges: pd.DataFrame, max_iters: int = _CC_MAX_ITERS) -> pd.DataFrame:
+    """Distributed connected components by min-label propagation: every node
+    that appears in ``edges`` gets the smallest node id reachable from it.
+
+    Scale shape — the classic iterative groupby formulation, O(diameter)
+    rounds (dup clusters from LSH are near-cliques, so 2-3 rounds in
+    practice), each round TWO coarse shuffles of the edge set and nothing
+    else:
+      1. co-locate labels and out-edges on hash(node) % P, merge inside each
+         partition (vectorized pandas merge, one Python call per PARTITION)
+         to send each neighbor the sender's current label;
+      2. re-shuffle messages + self rows on the receiving node, take the
+         per-node min (pandas C groupby), and count per-node changes.
+    Convergence = a Sum aggregate over the per-node ``changed`` flags hits
+    zero — no driver-side label diffing, no label-sum overflow at 10^10-node
+    scale.  Labels are (node, label) i64 pairs; corpus payloads never enter.
+    """
+    import ray.data as rd
+
+    if edges.empty:
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "label": pd.Series([], dtype="int64")})
+    u = edges.iloc[:, 0].to_numpy(dtype=np.int64)
+    v = edges.iloc[:, 1].to_numpy(dtype=np.int64)
+    su, sv = np.concatenate([u, v]), np.concatenate([v, u])  # symmetrize
+    edges_ds = rd.from_arrow(pa.table({
+        "part": pa.array((su % _CC_PARTITIONS).astype(np.int32)),
+        "key": pa.array(su), "val": pa.array(sv),
+        "tag": pa.array(np.ones(len(su), dtype=np.int8)),
+    })).materialize()
+    nodes = np.unique(su)
+    labels = rd.from_pandas(pd.DataFrame({"node": nodes, "label": nodes}))
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        n = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        l = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "part": pa.array((n % _CC_PARTITIONS).astype(np.int32)),
+            "key": pa.array(n), "val": pa.array(l),
+            "tag": pa.array(np.zeros(len(n), dtype=np.int8)),
+        })
+
+    def propagate(g: pd.DataFrame) -> pa.Table:
+        lab = g[g["tag"] == 0]
+        ed = g[g["tag"] == 1]
+        m = ed.merge(lab[["key", "val"]].rename(columns={"val": "lab"}), on="key")
+        node = np.concatenate([m["val"].to_numpy(np.int64),
+                               lab["key"].to_numpy(np.int64)])
+        label = np.concatenate([m["lab"].to_numpy(np.int64),
+                                lab["val"].to_numpy(np.int64)])
+        selfrow = np.concatenate([np.zeros(len(m), np.int8),
+                                  np.ones(len(lab), np.int8)])
+        old = np.concatenate([np.zeros(len(m), np.int64),
+                              lab["val"].to_numpy(np.int64)])
+        return pa.table({
+            "part2": pa.array((node % _CC_PARTITIONS).astype(np.int32)),
+            "node": pa.array(node), "label": pa.array(label),
+            "old": pa.array(old), "selfrow": pa.array(selfrow),
+        })
+
+    def minimize(g: pd.DataFrame) -> pa.Table:
+        newl = g.groupby("node")["label"].min()
+        old = g.loc[g["selfrow"] == 1].set_index("node")["old"].reindex(newl.index)
+        changed = (newl.to_numpy() < old.to_numpy()).astype(np.int8)
+        return pa.table({
+            "node": pa.array(newl.index.to_numpy(np.int64)),
+            "label": pa.array(newl.to_numpy(np.int64)),
+            "changed": pa.array(changed),
+        })
+
+    for _ in range(max_iters):
+        step = (
+            labels.map_batches(tag_labels, batch_format="pyarrow")
+            .union(edges_ds)
+            .groupby("part")
+            .map_groups(propagate, batch_format="pandas")
+        )
+        labels = (
+            step.groupby("part2")
+            .map_groups(minimize, batch_format="pandas")
+            .materialize()
+        )
+        if labels.sum("changed") == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iters} iters")
+    df = labels.to_pandas()[["node", "label"]]
+    return df.sort_values("node").reset_index(drop=True)
+
+
+def dedup_components(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
+    """Canonical-document assignment — the step after pair finding that a
+    real dedup actually needs: connected components over the simhash
+    near-dup pairs give every doc its cluster representative (= the smallest
+    doc_id reachable through near-dup edges) and the cluster size.
+
+    Scale shape: pairs come from the banded simhash pipeline (bounded,
+    already coarse-partitioned); components run distributed min-label
+    propagation over ONLY the paired nodes (≪ corpus — dup clusters are
+    sparse); the final (node → rep) map is broadcast once via ``ray.put``
+    and the corpus streams through one map_batches to pick up rep/csize —
+    singleton docs never enter a shuffle.  SQL-oracled: DuckDB replays the
+    pair pipeline then closes it transitively with a recursive CTE."""
+    import ray
+
+    from .. import storage
+
+    pairs = simhash_near_dups(sf_dir, max_hamming=max_hamming)
+    comp = connected_components(pairs[["doc_a", "doc_b"]])
+    rep_map = dict(zip(comp["node"], comp["label"]))
+    csize = comp.groupby("label").size().to_dict()
+    maps_ref = ray.put((rep_map, csize))
+
+    def assign(t: pa.Table) -> pa.Table:
+        rm, cs = ray.get(maps_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = np.array([rm.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        n = np.array([cs.get(int(r), 1) for r in rep], dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "rep": pa.array(rep),
+            "csize": pa.array(n),
+        })
+
+    ds = storage.read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(assign, batch_format="pyarrow")

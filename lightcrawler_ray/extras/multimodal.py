@@ -332,3 +332,94 @@ def image_resize(images_path: str, side: int = 64) -> rd.Dataset:
         concurrency=2,
         num_cpus=1,
     )
+
+
+# the SDXL-style aspect-ratio bucket grid (w/h targets, ascending)
+_AR_BUCKETS = np.array(
+    [0.25, 0.333333, 0.5, 0.666667, 0.75, 1.0, 1.333333, 1.5, 2.0, 3.0, 4.0]
+)
+
+
+class _DecodeDims:
+    """Actor-pool stage: decode → true (w, h) from the pixel buffer — the
+    engine never trusts stored metadata (the oracle replays over the
+    fixture's stored w/h columns: independent paths to the same answer)."""
+
+    def __init__(self):
+        self.decode = imagecodec.decode  # real-codec swap point
+
+    def dims(self, t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ws, hs = [], []
+        for blob in t.column("bytes").to_pylist():
+            px = self.decode(blob)
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+        return np.array(ws, dtype=np.int64), np.array(hs, dtype=np.int64)
+
+
+class ImageAspectBucket(_DecodeDims):
+    """Aspect-ratio bucketing (the batching trick of image-model training:
+    group images into fixed aspect buckets so batches share a shape) —
+    nearest bucket by |w/h - target|, ties to the smaller target."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        w, h = self.dims(t)
+        ar = w.astype(np.float64) / h.astype(np.float64)
+        # argmin over the ascending grid: first minimum == smaller target
+        bucket = _AR_BUCKETS[np.abs(ar[:, None] - _AR_BUCKETS[None, :]).argmin(axis=1)]
+        return pa.table({
+            "image_id": t.column("image_id"),
+            "w": pa.array(w), "h": pa.array(h),
+            "bucket_ar": pa.array(bucket, pa.float64()),
+        })
+
+
+def image_aspect_buckets(images_path: str) -> rd.Dataset:
+    """Per-image aspect bucket assignment over the payload table.  Pure
+    map over an actor pool (codec bound once per actor), ZERO shuffles;
+    payload bytes stay in the read stage's blocks."""
+    from .. import storage
+
+    ds = storage.read_parquet_clean(images_path, columns=["image_id", "bytes"])
+    return ds.map_batches(ImageAspectBucket, concurrency=2, batch_size=64,
+                          batch_format="pyarrow")
+
+
+class ImageFilterGate(_DecodeDims):
+    """LAION-style image+caption quality gate: drop tiny images, extreme
+    aspect ratios, and captions that are too short/long to train on.
+    Reasons are checked in a fixed priority order so every row gets ONE
+    deterministic verdict (first failing rule wins)."""
+
+    MIN_SIDE = 64
+    MAX_AR = 3  # integer rule: w > 3h or h > 3w fails
+    CAP_MIN, CAP_MAX = 3, 32
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        w, h = self.dims(t)
+        caps = t.column("caption").to_pylist()
+        ncap = np.array([len((c or "").split()) for c in caps], dtype=np.int64)
+        reason = np.full(len(w), "ok", dtype=object)
+        reason[ncap > self.CAP_MAX] = "caption_long"
+        reason[ncap < self.CAP_MIN] = "caption_short"
+        reason[(w > self.MAX_AR * h) | (h > self.MAX_AR * w)] = "bad_aspect"
+        reason[np.minimum(w, h) < self.MIN_SIDE] = "too_small"
+        return pa.table({
+            "image_id": t.column("image_id"),
+            "w": pa.array(w), "h": pa.array(h),
+            "n_cap_tokens": pa.array(ncap),
+            "keep": pa.array(reason == "ok"),
+            "reason": pa.array(reason.astype(str), pa.string()),
+        })
+
+
+def image_filter_gate(images_path: str) -> rd.Dataset:
+    """Per-image keep/drop verdicts with the failing rule.  Same shape as
+    image_aspect_buckets: actor-pool map, zero shuffles."""
+    from .. import storage
+
+    ds = storage.read_parquet_clean(
+        images_path, columns=["image_id", "bytes", "caption"]
+    )
+    return ds.map_batches(ImageFilterGate, concurrency=2, batch_size=64,
+                          batch_format="pyarrow")

@@ -145,3 +145,82 @@ def fingerprints(sf_dir: str) -> rd.Dataset:
         return pa.table({"doc_id": t.column("doc_id"), "fingerprint": pa.array(out, pa.int64())})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def decontaminate(sf_dir: str, n: int = 5) -> rd.Dataset:
+    """Benchmark decontamination — flag training docs that share any token
+    n-gram with the held-out eval set (the n-gram-overlap rule of GPT-3
+    appendix C / PaLM §6; n scaled to the fixture's ~55-token docs).  The
+    eval set here is the deterministic slice doc_id % 97 == 0.
+
+    Scale shape: the eval set is SMALL by construction (benchmarks are
+    thousands of docs, not billions) — its distinct n-gram set is built once
+    and broadcast via ``ray.put``; the 100 TB training corpus then streams
+    through one map_batches counting set hits per doc.  ZERO shuffles.
+    SQL-oracled: DuckDB builds the same grams on both sides and joins."""
+    import ray
+
+    def grams(text: str) -> set[str]:
+        toks = (text or "").lower().split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    def ev_only(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    eval_grams: set[str] = set()
+    ev = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(ev_only, batch_format="pyarrow")
+        .to_pandas()
+    )
+    for x in ev["text"]:
+        eval_grams |= grams(x)
+    ev_ref = ray.put(frozenset(eval_grams))
+
+    def f(t: pa.Table) -> pa.Table:
+        evs = ray.get(ev_ref)
+        ids, hits = [], []
+        for did, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            if did % 97 == 0:
+                continue
+            ids.append(did)
+            hits.append(len(grams(x) & evs))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_hits": pa.array(hits, pa.int64()),
+            "contaminated": pa.array([h > 0 for h in hits], pa.bool_()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def domain_sample(sf_dir: str) -> rd.Dataset:
+    """Domain-weighted deterministic sampling — the mixture-reweighting step
+    of a pretraining pipeline (downsample overrepresented sources), done as
+    a pure hash rule so it needs NO sampling state, NO RNG, and survives
+    re-partitioning/resume: keep doc when md5-low64(doc_id) mod 10000 falls
+    under the source's rate (in basis points).  Rates here are a
+    deterministic function of the source index: 1000 + (idx * 421) % 9000.
+    Pure per-row predicate → ZERO shuffles; SQL-oracled bit-exact via
+    DuckDB's md5_number_lower."""
+    import hashlib
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        srcs = t.column("source").to_pylist()
+        keep_ids, keep_src, keep_bp = [], [], []
+        for did, s in zip(ids, srcs):
+            rate = 1000 + (int(s[3:]) * 421) % 9000
+            h = int.from_bytes(hashlib.md5(str(did).encode()).digest()[8:16], "little") % 10000
+            if h < rate:
+                keep_ids.append(did)
+                keep_src.append(s)
+                keep_bp.append(rate)
+        return pa.table({
+            "doc_id": pa.array(keep_ids, pa.int64()),
+            "source": pa.array(keep_src, pa.string()),
+            "rate_bp": pa.array(keep_bp, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(f, batch_format="pyarrow")

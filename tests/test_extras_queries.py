@@ -375,3 +375,162 @@ def test_image_pair_dedup(ray_session, tmp_path):
     row = merged[merged["keeper"] == "a-1"].iloc[0]
     assert row["n_copies"] == 2 and row["caption"] == cap
     assert row["phash"] == hashing.phash64(imagecodec.decode(b))
+
+
+def test_connected_components_chain(ray_session):
+    """Min-label propagation must close long chains (multi-iteration) and
+    keep disjoint components apart."""
+    import pandas as pd
+
+    from lightcrawler_ray.extras.dedupe import connected_components
+
+    # a 12-node path (diameter 11 — forces several iterations), a triangle,
+    # an isolated pair
+    chain = [(i, i + 1) for i in range(100, 111)]
+    tri = [(200, 201), (201, 202), (200, 202)]
+    pair = [(300, 301)]
+    edges = pd.DataFrame(chain + tri + pair, columns=["a", "b"])
+    got = connected_components(edges).set_index("node")["label"]
+    for n in range(100, 112):
+        assert got[n] == 100
+    for n in (200, 201, 202):
+        assert got[n] == 200
+    assert got[300] == 300 and got[301] == 300
+    assert len(got) == 12 + 3 + 2
+
+
+def test_dedup_components_matches_unionfind(ray_session):
+    """The distributed components must equal a serial union-find over the
+    same simhash pairs, including singleton reps and cluster sizes."""
+    from lightcrawler_ray.extras import dedupe
+
+    sf = "/root/testdata/sf0.001"
+    pairs = dedupe.simhash_near_dups(sf)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical rep = min member of each set
+    members: dict[int, list[int]] = {}
+    for n in parent:
+        members.setdefault(find(n), []).append(n)
+    rep = {n: min(members[find(n)]) for n in parent}
+
+    got = dedupe.dedup_components(sf).to_pandas()
+    assert len(got) == 500
+    by_id = got.set_index("doc_id")
+    for n, r in rep.items():
+        assert by_id.loc[n, "rep"] == r
+    singles = by_id[~by_id.index.isin(rep)]
+    assert (singles["rep"] == singles.index).all()
+    assert (singles["csize"] == 1).all()
+    assert by_id["csize"].max() >= 10  # the fixture's big cluster
+    # csize consistency: every member of a rep group reports the group size
+    sizes = got.groupby("rep").size()
+    assert (got["csize"].to_numpy() == sizes[got["rep"]].to_numpy()).all()
+
+
+def test_decontaminate_bruteforce(ray_session):
+    """Gram-overlap flags must equal a serial set computation; eval docs
+    are excluded from the output."""
+    import pyarrow.parquet as pq
+
+    from lightcrawler_ray.extras import textstats
+
+    sf = "/root/testdata/sf0.001"
+    got = textstats.decontaminate(sf).to_pandas().set_index("doc_id")
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    docs = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+    def grams(x):
+        toks = (x or "").lower().split()
+        return {" ".join(toks[i:i + 5]) for i in range(len(toks) - 4)}
+
+    ev = set()
+    for did, x in docs.items():
+        if did % 97 == 0:
+            ev |= grams(x)
+    n_train = 0
+    for did, x in docs.items():
+        if did % 97 == 0:
+            assert did not in got.index
+            continue
+        n_train += 1
+        hits = len(grams(x) & ev)
+        assert got.loc[did, "n_hits"] == hits
+        assert bool(got.loc[did, "contaminated"]) == (hits > 0)
+    assert len(got) == n_train
+    assert got["contaminated"].any() and not got["contaminated"].all()
+
+
+def test_domain_sample_rule(ray_session):
+    """Sampling must keep exactly the rows passing the md5 rule, ride the
+    right rate, and thin high-rate sources less than low-rate ones."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from lightcrawler_ray.extras import textstats
+
+    sf = "/root/testdata/sf0.001"
+    got = textstats.domain_sample(sf).to_pandas()
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "source"])
+    kept = set()
+    for did, s in zip(t.column("doc_id").to_pylist(), t.column("source").to_pylist()):
+        rate = 1000 + (int(s[3:]) * 421) % 9000
+        h = int.from_bytes(hashlib.md5(str(did).encode()).digest()[8:16], "little") % 10000
+        if h < rate:
+            kept.add(did)
+    assert set(got["doc_id"]) == kept
+    assert (got["rate_bp"] == got["source"].map(
+        lambda s: 1000 + (int(s[3:]) * 421) % 9000)).all()
+    assert 0 < len(got) < t.num_rows
+
+
+def test_image_gates_match_stored_dims(ray_session):
+    """Aspect buckets and the filter gate recompute dims by decoding; both
+    must agree with the fixture's stored w/h ground truth."""
+    import numpy as np
+
+    from lightcrawler_ray.extras import multimodal
+
+    _, paths = _fixture_paths()
+    stored = pq.read_table(paths["images"],
+                           columns=["image_id", "w", "h", "caption"]).to_pandas()
+    stored = stored.set_index("image_id")
+
+    b = multimodal.image_aspect_buckets(paths["images"]).to_pandas().set_index("image_id")
+    ars = multimodal._AR_BUCKETS
+    for iid, row in stored.iterrows():
+        ar = row["w"] / row["h"]
+        want = ars[np.abs(ar - ars).argmin()]
+        assert b.loc[iid, "w"] == row["w"] and b.loc[iid, "h"] == row["h"]
+        assert b.loc[iid, "bucket_ar"] == want
+
+    g = multimodal.image_filter_gate(paths["images"]).to_pandas().set_index("image_id")
+    for iid, row in stored.iterrows():
+        w, h = int(row["w"]), int(row["h"])
+        ncap = len(row["caption"].split())
+        if min(w, h) < 64:
+            want = "too_small"
+        elif w > 3 * h or h > 3 * w:
+            want = "bad_aspect"
+        elif ncap < 3:
+            want = "caption_short"
+        elif ncap > 32:
+            want = "caption_long"
+        else:
+            want = "ok"
+        assert g.loc[iid, "reason"] == want
+        assert bool(g.loc[iid, "keep"]) == (want == "ok")
+    # the fixture must exercise keeps AND at least two distinct drop reasons
+    assert g["keep"].any()
+    assert g.loc[~g["keep"], "reason"].nunique() >= 2
