@@ -494,6 +494,13 @@ def _q_image_pair_dedup(sf_dir: str):
     return multimodal.image_pair_dedup(paths["images"])
 
 
+def _q_image_dedup_components(sf_dir: str):
+    from lightcrawler_ray.extras import dedupe
+
+    _, paths = _fixture_paths()
+    return dedupe.image_dedup_components(paths["images"])
+
+
 def _q_image_aspect_buckets(sf_dir: str):
     from lightcrawler_ray.extras import multimodal
 
@@ -596,6 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize": _q_image_resize,
         "image_dedup_exact": _q_image_dedup_exact,           # SQL-oracled (hex md5 replay)
         "image_pair_dedup": _q_image_pair_dedup,             # SQL-oracled (stored-phash replay)
+        "image_dedup_components": _q_image_dedup_components, # SQL-oracled (recursive CTE)
         "image_aspect_buckets": _q_image_aspect_buckets,     # SQL-oracled (stored-dims replay)
         "image_filter_gate": _q_image_filter_gate,           # SQL-oracled (stored-dims replay)
         "audio_features": _q_audio_features,
@@ -1577,6 +1585,26 @@ def oracle_sql() -> dict[str, str]:
         "allr AS (SELECT d.doc_id, COALESCE(r.rep, d.doc_id) AS rep "
         "  FROM documents d LEFT JOIN rep r USING (doc_id)) "
         "SELECT doc_id, rep, "
+        "  CAST(count(*) OVER (PARTITION BY rep) AS BIGINT) AS csize FROM allr"
+    )
+    # image-side clusters: same recursive closure over the stored-phash pair
+    # replay (the engine recomputes phash by decoding; independent paths)
+    _img = _fixture_paths()[1]["images"]
+    sqls["image_dedup_components"] = (
+        "WITH RECURSIVE pairs AS ("
+        + sqls["phash_near_dups"]
+        + "), "
+        "e AS (SELECT img_a AS u, img_b AS v FROM pairs "
+        "      UNION SELECT img_b, img_a FROM pairs), "
+        "reach(u, v) AS ("
+        "  SELECT u, v FROM e "
+        "  UNION "
+        "  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u), "
+        "rep AS (SELECT u AS image_id, least(u, min(v)) AS rep "
+        "  FROM reach GROUP BY u), "
+        "allr AS (SELECT d.image_id, COALESCE(r.rep, d.image_id) AS rep "
+        f"  FROM read_parquet('{_img}') d LEFT JOIN rep r USING (image_id)) "
+        "SELECT image_id, rep, "
         "  CAST(count(*) OVER (PARTITION BY rep) AS BIGINT) AS csize FROM allr"
     )
     return sqls

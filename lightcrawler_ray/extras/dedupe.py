@@ -711,3 +711,50 @@ def dedup_components(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
 
     ds = storage.read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def image_dedup_components(images_path: str, max_hamming: int = 7) -> rd.Dataset:
+    """Canonical-image assignment — connected components over the phash
+    near-dup pairs (same cluster semantics as ``dedup_components`` on the
+    text side).  Image ids are strings; they are factorized over the SORTED
+    unique paired ids so the component-min label equals the
+    lexicographically smallest image_id, then the (id → rep) map is
+    broadcast and the image table streams through one map_batches — payload
+    bytes never shuffle.  SQL-oracled by closing the stored-phash pair
+    replay with a recursive CTE."""
+    import ray
+
+    from .. import storage
+
+    pairs = phash_near_dups(images_path, max_hamming=max_hamming)
+    if len(pairs):
+        ids = np.unique(np.concatenate([
+            pairs["img_a"].to_numpy().astype(str),
+            pairs["img_b"].to_numpy().astype(str),
+        ]))
+        code = {s: i for i, s in enumerate(ids)}
+        edges = pd.DataFrame({
+            "a": np.array([code[x] for x in pairs["img_a"]], dtype=np.int64),
+            "b": np.array([code[x] for x in pairs["img_b"]], dtype=np.int64),
+        })
+        comp = connected_components(edges)
+        rep_map = {ids[n]: ids[l] for n, l in zip(comp["node"], comp["label"])}
+        csize = comp.groupby("label").size()
+        size_map = {ids[l]: int(c) for l, c in csize.items()}
+    else:
+        rep_map, size_map = {}, {}
+    maps_ref = ray.put((rep_map, size_map))
+
+    def assign(t: pa.Table) -> pa.Table:
+        rm, cs = ray.get(maps_ref)
+        ids = t.column("image_id").to_pylist()
+        rep = [rm.get(i, i) for i in ids]
+        n = [cs.get(r, 1) for r in rep]
+        return pa.table({
+            "image_id": t.column("image_id"),
+            "rep": pa.array(rep, pa.string()),
+            "csize": pa.array(n, pa.int64()),
+        })
+
+    ds = storage.read_parquet_clean(images_path, columns=["image_id"])
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -534,3 +534,19 @@ def test_image_gates_match_stored_dims(ray_session):
     # the fixture must exercise keeps AND at least two distinct drop reasons
     assert g["keep"].any()
     assert g.loc[~g["keep"], "reason"].nunique() >= 2
+
+
+def test_image_dedup_components_structure(ray_session):
+    """Image clusters: every rep is the lexicographic min of its members,
+    sizes are consistent, and the fixture's planted dups cluster."""
+    from lightcrawler_ray.extras import dedupe
+
+    _, paths = _fixture_paths()
+    got = dedupe.image_dedup_components(paths["images"]).to_pandas()
+    n = pq.read_table(paths["images"], columns=["image_id"]).num_rows
+    assert len(got) == n
+    grp = got.groupby("rep")["image_id"]
+    assert (grp.min() == grp.min().index).all()  # rep == min member
+    sizes = got.groupby("rep").size()
+    assert (got["csize"].to_numpy() == sizes[got["rep"]].to_numpy()).all()
+    assert (got["csize"] >= 2).any()  # planted near/exact dups cluster
