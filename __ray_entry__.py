@@ -575,6 +575,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_split": textstats.train_split,                # SQL-oracled (md5-low64 buckets)
         "decontaminate": textstats.decontaminate,            # SQL-oracled (gram join)
         "domain_sample": textstats.domain_sample,            # SQL-oracled (md5-low64 rule)
+        # deterministic sampling / ordering (SQL-oracled, bit-exact)
+        "stratified_sample": __import__(
+            "lightcrawler_ray.extras.sampling", fromlist=["stratified_sample"]
+        ).stratified_sample,
+        "shuffle_ranks": __import__(
+            "lightcrawler_ray.extras.sampling", fromlist=["shuffle_ranks"]
+        ).shuffle_ranks,
         # training-sequence packing (SQL-oracled distributed prefix sum)
         "pack_sequences": __import__(
             "lightcrawler_ray.extras.packing", fromlist=["pack_sequences"]
@@ -1280,6 +1287,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits, "
             "  COALESCE(h.n, 0) > 0 AS contaminated "
             "FROM documents d LEFT JOIN h USING (doc_id) WHERE d.doc_id % 97 <> 0"
+        ),
+        "stratified_sample": (
+            # the k hash-smallest docs per source, 1-based rank — the same
+            # (md5-low64, doc_id) order the engine's run-head slices follow
+            "SELECT source, doc_id, rank FROM ("
+            "  SELECT source, doc_id, CAST(row_number() OVER ("
+            "    PARTITION BY source "
+            "    ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) "
+            "  AS BIGINT) AS rank FROM documents) WHERE rank <= 10"
+        ),
+        "shuffle_ranks": (
+            # the engine's bucketed prefix sum == one global row_number over
+            # the same (md5-low64, doc_id) order
+            "SELECT doc_id, CAST(row_number() OVER ("
+            "  ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) - 1 "
+            "AS BIGINT) AS shuffle_rank FROM documents"
         ),
         "domain_sample": (
             # the engine's md5-low64(doc_id) mod 10000 < rate rule, rate a

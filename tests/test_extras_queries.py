@@ -550,3 +550,39 @@ def test_image_dedup_components_structure(ray_session):
     sizes = got.groupby("rep").size()
     assert (got["csize"].to_numpy() == sizes[got["rep"]].to_numpy()).all()
     assert (got["csize"] >= 2).any()  # planted near/exact dups cluster
+
+
+def test_sampling_primitives(ray_session):
+    """stratified_sample takes exactly min(k, source size) docs per source in
+    hash order; shuffle_ranks is a permutation of 0..n-1 consistent with the
+    hash order."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from lightcrawler_ray.extras import sampling
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "source"])
+    ids = t.column("doc_id").to_pylist()
+    srcs = t.column("source").to_pylist()
+
+    def h(i):
+        return int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:16], "little")
+
+    s = sampling.stratified_sample(sf, k=10)
+    by_src: dict[str, list[int]] = {}
+    for did, src in zip(ids, srcs):
+        by_src.setdefault(src, []).append(did)
+    for src, members in by_src.items():
+        want = sorted(members, key=lambda d: (h(d), d))[:10]
+        got = s[s["source"] == src].sort_values("rank")["doc_id"].tolist()
+        assert got == want
+        assert s[s["source"] == src]["rank"].tolist() == list(range(1, len(want) + 1))
+    assert len(s) == sum(min(10, len(m)) for m in by_src.values())
+
+    r = sampling.shuffle_ranks(sf)
+    assert sorted(r["shuffle_rank"]) == list(range(len(ids)))
+    want_order = sorted(ids, key=lambda d: (h(d), d))
+    got_order = r.set_index("shuffle_rank").sort_index()["doc_id"].tolist()
+    assert got_order == want_order
