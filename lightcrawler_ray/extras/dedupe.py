@@ -76,24 +76,25 @@ def minhash_band_rows(sf_dir: str) -> rd.Dataset:
     a, b = hashing.minhash_params(_MH_K)
 
     def sig_rows(t: pa.Table) -> pa.Table:
-        band_ids, band_hashes, doc_ids = [], [], []
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         rows_per_band = _MH_K // _MH_BANDS
-        for did, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
-            sig = hashing.minhash_signature(hashing.shingle_hashes(text, 3), a, b)
-            for bi in range(_MH_BANDS):
-                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                h = int.from_bytes(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
-                )
-                band_ids.append(bi)
-                band_hashes.append(h)
-                doc_ids.append(did)
-        bh = np.array(band_hashes, dtype=np.uint64)
+        # one vectorized (k × N) signature pass for the whole batch — the
+        # per-shingle md5 stays Python (the oracle pins md5_number_lower),
+        # everything after it is one matrix op + segmented min
+        hs_list = [hashing.shingle_hashes(x, 3) for x in t.column("text").to_pylist()]
+        sigs = hashing.minhash_signatures_batch(hs_list, a, b)  # (D, k)
+        d = len(ids)
+        chunks = sigs.reshape(d * _MH_BANDS, rows_per_band)
+        bh = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(c.tobytes(), digest_size=8).digest(), "big")
+             for c in chunks),
+            dtype=np.uint64, count=d * _MH_BANDS,
+        )
         return pa.table(
             {"part": pa.array((bh % _PAIR_PARTITIONS).astype(np.int32)),
-             "band_id": pa.array(band_ids, pa.int32()),
+             "band_id": pa.array(np.tile(np.arange(_MH_BANDS, dtype=np.int32), d)),
              "band_hash": pa.array(bh),
-             "doc_id": pa.array(doc_ids, pa.int64())}
+             "doc_id": pa.array(np.repeat(ids, _MH_BANDS))}
         )
 
     return _docs(sf_dir).map_batches(sig_rows, batch_format="pyarrow")

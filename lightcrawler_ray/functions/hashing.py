@@ -175,6 +175,37 @@ def minhash_signature(hs: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
     return prod.min(axis=1)
 
 
+def minhash_signatures_batch(
+    hs_list: list[np.ndarray], a: np.ndarray, b: np.ndarray,
+    cap: int = 1 << 18,
+) -> np.ndarray:
+    """MinHash signatures for a whole BATCH of shingle-hash sets at once —
+    value-identical to ``minhash_signature`` per doc (test-pinned), but one
+    (k × N) universal-hash matrix + one segmented ``minimum.reduceat`` per
+    doc GROUP instead of a small numpy call per doc.  Groups are capped at
+    ``cap`` total shingles so the intermediate stays ~k·cap·8 B (~134 MB at
+    k=64) regardless of block size.  Returns a (len(hs_list), k) uint64
+    array; empty sets get the all-max signature."""
+    k = a.size
+    out = np.full((len(hs_list), k), np.iinfo(np.uint64).max, dtype=np.uint64)
+    i, d = 0, len(hs_list)
+    while i < d:
+        j, tot = i, 0
+        while j < d and (tot == 0 or tot + hs_list[j].size <= cap):
+            tot += hs_list[j].size
+            j += 1
+        idx = [q for q in range(i, j) if hs_list[q].size]
+        if idx:
+            sizes = np.array([hs_list[q].size for q in idx], dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+            x = (np.concatenate([hs_list[q] for q in idx]) & np.uint64(_MERSENNE))
+            with np.errstate(over="ignore"):
+                prod = a[:, None] * x[None, :] + b[:, None]
+            out[idx, :] = np.minimum.reduceat(prod, starts, axis=1).T
+        i = j
+    return out
+
+
 def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     """Hashes of the text's word n-gram shingles (md5 low-64 little-endian,
     i.e. DuckDB md5_number_lower — SQL oracles replay the minhash exactly)."""

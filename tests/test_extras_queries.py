@@ -586,3 +586,20 @@ def test_sampling_primitives(ray_session):
     want_order = sorted(ids, key=lambda d: (h(d), d))
     got_order = r.set_index("shuffle_rank").sort_index()["doc_id"].tolist()
     assert got_order == want_order
+
+
+def test_minhash_batch_matches_per_doc():
+    """The batched signature path must be value-identical to the per-doc
+    one, including empty and single-shingle docs and group splits."""
+    import numpy as np
+
+    from lightcrawler_ray.functions import hashing
+
+    a, b = hashing.minhash_params(64)
+    texts = ["", "one", "a b c d e f g", "x y z", "a b c", "lone"] + [
+        f"w{i} w{i+1} w{i+2} w{i+3} extra words here {i}" for i in range(50)
+    ]
+    hs = [hashing.shingle_hashes(x, 3) for x in texts]
+    batched = hashing.minhash_signatures_batch(hs, a, b, cap=16)  # force splits
+    for i, h in enumerate(hs):
+        assert (batched[i] == hashing.minhash_signature(h, a, b)).all(), i
