@@ -515,6 +515,27 @@ def _q_image_filter_gate(sf_dir: str):
     return multimodal.image_filter_gate(paths["images"])
 
 
+def _q_caption_lang_id(sf_dir: str):
+    from lightcrawler_ray.extras import multimodal
+
+    _, paths = _fixture_paths()
+    return multimodal.caption_lang_id(paths["images"])
+
+
+def _q_image_histogram(sf_dir: str):
+    from lightcrawler_ray.extras import multimodal
+
+    _, paths = _fixture_paths()
+    return multimodal.image_histogram(paths["images"])
+
+
+def _q_image_dhash_near_dups(sf_dir: str):
+    from lightcrawler_ray.extras import dedupe
+
+    _, paths = _fixture_paths()
+    return dedupe.image_dhash_near_dups(paths["images"])
+
+
 def _q_image_resize(sf_dir: str):
     import pyarrow as pa
 
@@ -550,11 +571,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events": rel.range_join_events,
         "hopping_window": rel.hopping_window,
         "quantiles_price": rel.quantiles_price,
+        "quantiles_by_group": rel.quantiles_by_group,
         "topk_per_group": rel.topk_per_group,
+        "latest_per_key": rel.latest_per_key,
         # training-data text ops (SQL-oracled)
         "token_counts": textstats.token_counts,
         "stopword_ratio": textstats.stopword_ratio,
         "lang_id": textstats.lang_id,
+        "vocab_topk": textstats.vocab_topk,
+        "tfidf_topk": textstats.tfidf_topk,
+        "unigram_logprob": textstats.unigram_logprob,
+        "corpus_mix": textstats.corpus_mix,
         # dedup family
         "dedup_exact": rel.exact_dedup_first,
         "ngram_jaccard_pairs": dedupe.ngram_jaccard_pairs,
@@ -564,6 +591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups_lsh": dedupe.embedding_near_dups_lsh,  # SQL-oracled (plane replay)
         "dup_span_stats": dedupe.dup_span_stats,             # SQL-oracled (window grams)
         "dedup_components": dedupe.dedup_components,         # SQL-oracled (recursive CTE)
+        "dedup_apply": dedupe.dedup_apply,                   # SQL-oracled (CTE + anti-join)
         # similarity search
         "ann_topk": ann.topk_bruteforce,
         "ann_topk_lsh": ann.topk_lsh,                        # SQL-oracled (plane replay)
@@ -613,6 +641,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedup_components": _q_image_dedup_components, # SQL-oracled (recursive CTE)
         "image_aspect_buckets": _q_image_aspect_buckets,     # SQL-oracled (stored-dims replay)
         "image_filter_gate": _q_image_filter_gate,           # SQL-oracled (stored-dims replay)
+        "image_histogram": _q_image_histogram,               # SQL-oracled (stored-hist replay)
+        "caption_lang_id": _q_caption_lang_id,               # SQL-oracled (same CASE replay)
+        "image_dhash_near_dups": _q_image_dhash_near_dups,   # SQL-oracled (stored-dhash replay)
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
         # S10 lookup face (SQL-oracled)
@@ -1001,6 +1032,42 @@ def _crawl_family_sqls() -> dict[str, str]:
             "    WHEN n_cap_tokens < 3 THEN 'caption_short' "
             "    WHEN n_cap_tokens > 32 THEN 'caption_long' "
             "    ELSE 'ok' END AS reason FROM s)"
+        ),
+        # per-format luminance histogram: the engine decodes and bins from
+        # payload bytes; the oracle re-aggregates the sidecar's stored
+        # per-image histograms (independent paths, exact integer binning)
+        "image_histogram": (
+            "SELECT i.fmt, count(*) AS n_img, "
+            + ", ".join(
+                f"CAST(sum(t.hist16[{b + 1}]) AS BIGINT) AS px_{b:02d}"
+                for b in range(16)
+            )
+            + f" FROM read_parquet('{paths['images_truth']}') t "
+            f"JOIN read_parquet('{paths['images']}') i USING (image_id) "
+            "WHERE t.decoded GROUP BY i.fmt"
+        ),
+        # language id over the caption column — the documents-table CASE
+        # replay pointed at the image table
+        "caption_lang_id": (
+            "SELECT image_id, CASE "
+            "WHEN CAST(len(regexp_extract_all(substring(caption, 1, 2000), '[一-鿿]')) AS DOUBLE)"
+            "   / len(substring(caption, 1, 2000)) > 0.15 THEN 'zh' "
+            "WHEN CAST(len(regexp_extract_all(substring(caption, 1, 2000), '[a-zA-Z]')) AS DOUBLE)"
+            "   / len(substring(caption, 1, 2000)) > 0.4 "
+            " AND len(list_filter(list_distinct(list_transform("
+            "       regexp_extract_all(substring(caption, 1, 2000), '[a-zA-Z]+'), x -> lower(x))), "
+            f"      w -> w IN {_SW_LANG})) > 0 THEN 'en' "
+            f"ELSE 'other' END AS lang_pred FROM read_parquet('{paths['images']}')"
+        ),
+        # difference-hash near-dup pairs: engine recomputes dhash from the
+        # bytes; oracle replays the <=hamming join over the sidecar column
+        "image_dhash_near_dups": (
+            "WITH s AS (SELECT image_id, dhash "
+            f"FROM read_parquet('{paths['images_truth']}') WHERE decoded) "
+            "SELECT a.image_id AS img_a, b.image_id AS img_b, "
+            "CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming "
+            "FROM s a JOIN s b ON a.image_id < b.image_id "
+            "WHERE bit_count(xor(a.dhash, b.dhash)) <= 7"
         ),
         "audio_features": (
             "SELECT clip_id, sr, duration_s, rms, zcr, "
@@ -1573,11 +1640,68 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 0.95, v FROM s WHERE rn = CAST(ceil(0.95 * n) AS BIGINT) "
             "UNION ALL SELECT 0.99, v FROM s WHERE rn = CAST(ceil(0.99 * n) AS BIGINT)"
         ),
+        "quantiles_by_group": (
+            "WITH s AS (SELECT event_type, value AS v, "
+            "  row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn, "
+            "  count(*) OVER (PARTITION BY event_type) AS n FROM events) "
+            "SELECT event_type, 0.5 AS q, v AS value FROM s "
+            "  WHERE rn = CAST(ceil(0.5 * n) AS BIGINT) "
+            "UNION ALL SELECT event_type, 0.95, v FROM s "
+            "  WHERE rn = CAST(ceil(0.95 * n) AS BIGINT) "
+            "UNION ALL SELECT event_type, 0.99, v FROM s "
+            "  WHERE rn = CAST(ceil(0.99 * n) AS BIGINT)"
+        ),
         "topk_per_group": (
             "SELECT user_id, event_id, value, rank FROM ("
             "  SELECT user_id, event_id, value, row_number() OVER ("
             "  PARTITION BY user_id ORDER BY value DESC, event_id) AS rank "
             "  FROM events) WHERE rank <= 3"
+        ),
+        "latest_per_key": (
+            "SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS last_ts_us, "
+            "event_id AS last_event_id, event_type AS last_event_type, "
+            "CAST(value AS DOUBLE) AS last_value FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY user_id "
+            "  ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
+        ),
+        # vocabulary / tf-idf: identical tokenization on both sides —
+        # lowercase + any-whitespace split with empties dropped
+        "vocab_topk": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term "
+            "FROM documents) "
+            "SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df "
+            "FROM toks GROUP BY term ORDER BY tf DESC, term LIMIT 100"
+        ),
+        "tfidf_topk": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+            "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1), "
+            "n AS (SELECT count(*) AS n FROM documents), "
+            "r AS (SELECT tf.doc_id, tf.term, "
+            "  tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score, "
+            "  row_number() OVER (PARTITION BY tf.doc_id "
+            "    ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) DESC, tf.term) AS rank "
+            "  FROM tf JOIN df USING (term) CROSS JOIN n) "
+            "SELECT doc_id, term, score, rank FROM r WHERE rank <= 3"
+        ),
+        "unigram_logprob": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT term, count(*) AS tf FROM toks GROUP BY 1), "
+            "tot AS (SELECT count(*) AS t FROM toks), "
+            "d AS (SELECT doc_id, -ln(CAST(tf.tf AS DOUBLE) / tot.t) AS lp "
+            "  FROM toks JOIN tf USING (term) CROSS JOIN tot) "
+            "SELECT doc_id, avg(lp) AS nll, count(*) AS n_tokens "
+            "FROM d GROUP BY doc_id"
+        ),
+        "corpus_mix": (
+            "SELECT lang, source, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents GROUP BY lang, source"
         ),
         # crawl family: BFS membership/order/schedule re-derived in SQL over
         # the fixture INPUTS; doc/image/codec fields from generation truth
@@ -1609,6 +1733,23 @@ def oracle_sql() -> dict[str, str]:
         "  FROM documents d LEFT JOIN rep r USING (doc_id)) "
         "SELECT doc_id, rep, "
         "  CAST(count(*) OVER (PARTITION BY rep) AS BIGINT) AS csize FROM allr"
+    )
+    # surviving corpus after fuzzy dedup: close the pair replay into
+    # components, then anti-join the losers (rep < doc_id) out
+    sqls["dedup_apply"] = (
+        "WITH RECURSIVE pairs AS ("
+        + sqls["simhash_near_dups"]
+        + "), "
+        "e AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+        "      UNION SELECT doc_b, doc_a FROM pairs), "
+        "reach(u, v) AS ("
+        "  SELECT u, v FROM e "
+        "  UNION "
+        "  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u), "
+        "rep AS (SELECT u AS doc_id, least(u, min(v)) AS rep "
+        "  FROM reach GROUP BY u) "
+        "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d "
+        "WHERE d.doc_id NOT IN (SELECT doc_id FROM rep WHERE rep < doc_id)"
     )
     # image-side clusters: same recursive closure over the stored-phash pair
     # replay (the engine recomputes phash by decoding; independent paths)

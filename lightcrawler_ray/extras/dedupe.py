@@ -759,3 +759,65 @@ def image_dedup_components(images_path: str, max_hamming: int = 7) -> rd.Dataset
 
     ds = storage.read_parquet_clean(images_path, columns=["image_id"])
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def dedup_apply(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
+    """Materialize the SURVIVING corpus — the actual product of a fuzzy
+    dedup pass: every document except near-dup cluster losers (a doc loses
+    when its simhash component representative — the smallest reachable
+    doc_id — is another doc).
+
+    Scale shape: pairs and components come from the banded/coarse-partition
+    pipelines above; only the LOSER id set (≪ corpus — dup clusters are
+    sparse; at a 1-2% dup rate, 10⁸ ids per 10¹⁰ docs, a few GB as a
+    frozenset — shard the broadcast past that) is broadcast via
+    ``ray.put``, and the corpus streams through one filter map_batches.
+    Payload text never shuffles and singletons never enter any exchange.
+    SQL-oracled by closing the pair replay with a recursive CTE and
+    anti-joining."""
+    import ray
+
+    from .. import storage
+
+    pairs = simhash_near_dups(sf_dir, max_hamming=max_hamming)
+    comp = connected_components(pairs[["doc_a", "doc_b"]])
+    nodes = comp["node"].to_numpy().astype(np.int64)
+    labels = comp["label"].to_numpy().astype(np.int64)
+    losers = np.sort(nodes[nodes != labels])
+    losers_ref = ray.put(losers)
+
+    def keep(t: pa.Table) -> pa.Table:
+        lo = ray.get(losers_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        # sorted-array membership: one vectorized searchsorted per batch
+        pos = np.searchsorted(lo, ids)
+        pos_c = np.minimum(pos, len(lo) - 1) if len(lo) else pos
+        is_loser = (lo[pos_c] == ids) if len(lo) else np.zeros(len(ids), bool)
+        return t.filter(pa.array(~is_loser))
+
+    ds = storage.read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def image_dhash_near_dups(images_path: str, max_hamming: int = 7,
+                          n_bands: int = 8) -> pd.DataFrame:
+    """Near-duplicate IMAGE pairs by DIFFERENCE hash — the gradient
+    perceptual-hash family alongside ``phash_near_dups`` (running both
+    catches crops/re-encodes either alone misses).  Decode + dhash run on
+    the same actor-pool stage (one decode serves phash and dhash), then the
+    banded-pigeonhole coarse-partition join.  SQL-oracled from the truth
+    sidecar's stored per-image dhash (the engine recomputes it from the
+    payload bytes — independent paths)."""
+    from .multimodal import image_stats
+
+    sigs = image_stats(images_path).map_batches(
+        lambda t: pa.table({"image_id": t.column("image_id"),
+                            "simhash": t.column("dhash")}),
+        batch_format="pyarrow",
+    )
+    return _banded_hamming_pairs(
+        sigs, "image_id", n_bands, max_hamming, "img_a", "img_b", pa.string()
+    )

@@ -31,22 +31,28 @@ class ImageDecodeStats:
         self.decode = imagecodec.decode  # real-codec swap point (PIL if present)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        means, phashes, ok = [], [], []
+        means, phashes, dhashes, hists, ok = [], [], [], [], []
         for blob in t.column("bytes").to_pylist():
             try:
                 px = self.decode(blob)
                 means.append([float(m) for m in px.reshape(-1, 3).mean(axis=0)])
                 phashes.append(hashing.phash64(px))
+                dhashes.append(hashing.dhash64(px))
+                hists.append([int(v) for v in hashing.hist16(px)])
                 ok.append(True)
             except imagecodec.CodecError:
                 means.append([0.0, 0.0, 0.0])
                 phashes.append(0)
+                dhashes.append(0)
+                hists.append([0] * 16)
                 ok.append(False)
         return pa.table(
             {
                 "image_id": t.column("image_id"),
                 "mean_rgb": pa.array(means, pa.list_(pa.float64(), 3)),
                 "phash": pa.array(phashes, pa.int64()),
+                "dhash": pa.array(dhashes, pa.int64()),
+                "hist16": pa.array(hists, pa.list_(pa.int64(), 16)),
                 "decoded": pa.array(ok, pa.bool_()),
             }
         )
@@ -423,3 +429,83 @@ def image_filter_gate(images_path: str) -> rd.Dataset:
     )
     return ds.map_batches(ImageFilterGate, concurrency=2, batch_size=64,
                           batch_format="pyarrow")
+
+
+class ImageHistogram:
+    """Actor-pool stage: decode → per-FORMAT 16-bin luminance histogram
+    PARTIALS — one row per format per batch, already combined inside the
+    batch, so the downstream groupby shuffles |fmts| × |batches| tiny rows
+    instead of per-image vectors (the pricing_summary combiner pattern on
+    the image axis).  Integer luminance binning (hashing.hist16) keeps the
+    merge order-independent and bit-exact."""
+
+    def __init__(self):
+        self.decode = imagecodec.decode  # real-codec swap point
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        acc: dict[str, np.ndarray] = {}
+        cnt: dict[str, int] = {}
+        for blob, fmt in zip(t.column("bytes").to_pylist(), t.column("fmt").to_pylist()):
+            try:
+                h = hashing.hist16(self.decode(blob))
+            except imagecodec.CodecError:
+                continue
+            if fmt in acc:
+                acc[fmt] += h
+                cnt[fmt] += 1
+            else:
+                acc[fmt] = h.copy()
+                cnt[fmt] = 1
+        fmts = sorted(acc)
+        cols: dict[str, pa.Array] = {
+            "fmt": pa.array(fmts, pa.string()),
+            "n_img": pa.array([cnt[f] for f in fmts], pa.int64()),
+        }
+        for b in range(16):
+            cols[f"px_{b:02d}"] = pa.array([int(acc[f][b]) for f in fmts], pa.int64())
+        return pa.table(cols)
+
+
+def image_histogram(images_path: str) -> rd.Dataset:
+    """Corpus-level luminance histogram per image format — the
+    exposure/quality profile a vision-data pipeline computes before
+    filtering.  Decode + in-batch combine on the actor pool, then one tiny
+    groupby over (|fmts| × |batches|) partial rows.  SQL-oracled from the
+    per-image stored histograms (the engine recomputes them from bytes —
+    independent paths)."""
+    from ray.data.aggregate import Sum
+
+    from .. import storage
+
+    ds = storage.read_parquet_clean(images_path, columns=["bytes", "fmt"])
+    parts = ds.map_batches(
+        ImageHistogram, batch_format="pyarrow", batch_size=64, concurrency=2, num_cpus=1
+    )
+    aggs = [Sum("n_img")] + [Sum(f"px_{b:02d}") for b in range(16)]
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            [c[4:-1] if c.startswith("sum(") else c for c in t.column_names]
+        )
+
+    return parts.groupby("fmt").aggregate(*aggs).map_batches(
+        rename, batch_format="pyarrow"
+    )
+
+
+def caption_lang_id(images_path: str) -> rd.Dataset:
+    """Language id over the CAPTION column of the image table — the text
+    stages composing over a multimodal table (caption routing/balancing is
+    the first gate of an image-text curation pipeline).  Same heuristic and
+    SQL replay as the documents-table ``lang_id``; zero shuffles."""
+    from ..functions import texttools
+    from .. import storage
+
+    ds = storage.read_parquet_clean(images_path, columns=["image_id", "caption"])
+
+    def f(t: pa.Table) -> pa.Table:
+        out = [texttools.lang_id(x) for x in t.column("caption").to_pylist()]
+        return pa.table({"image_id": t.column("image_id"),
+                         "lang_pred": pa.array(out, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")

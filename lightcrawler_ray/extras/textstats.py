@@ -224,3 +224,191 @@ def domain_sample(sf_dir: str) -> rd.Dataset:
         })
 
     return _docs(sf_dir, ["doc_id", "source"]).map_batches(f, batch_format="pyarrow")
+
+
+def vocab_topk(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Corpus vocabulary — the tokenizer-training prep step: term frequency
+    and document frequency per whitespace token, top-k by tf (ties: term
+    asc).
+
+    Scale shape — partial aggregation before the shuffle: each batch emits
+    ONE (term, tf, df) row per distinct term it contains (a Counter over
+    the batch plus a per-doc set for df), so the groupby moves
+    vocabulary-sized partials, never token instances; the merged table is
+    bounded by |vocab|, and only that bounded table is sorted/limited on
+    the driver.  SQL-oracled (unnest + group + window, identical split)."""
+    from collections import Counter
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        tf: Counter = Counter()
+        df: Counter = Counter()
+        for x in t.column("text").to_pylist():
+            toks = (x or "").lower().split()
+            tf.update(toks)
+            df.update(set(toks))
+        terms = sorted(tf)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array([tf[w] for w in terms], pa.int64()),
+            "df": pa.array([df[w] for w in terms], pa.int64()),
+        })
+
+    merged = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("tf"), Sum("df"))
+        .to_pandas()  # |vocab| rows — bounded by the language, not the data
+        .rename(columns={"sum(tf)": "tf", "sum(df)": "df"})
+    )
+    merged = merged.sort_values(["tf", "term"], ascending=[False, True], kind="stable")
+    return merged.head(k).reset_index(drop=True)[["term", "tf", "df"]]
+
+
+def tfidf_topk(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Per-document top-k terms by tf·idf (idf = ln(N/df); ties: term asc)
+    — the relevance-feature step of a retrieval/quality pipeline.
+
+    Scale shape — the document frequency table is VOCABULARY-sized, so it
+    is aggregated once (the same bounded partial-df path as
+    ``vocab_topk``), broadcast via ``ray.put``, and the corpus then streams
+    through ONE map_batches that scores and ranks within each doc locally
+    — zero shuffles over the corpus itself.  For an unbounded vocabulary
+    the broadcast side would first prune to terms above a min-df floor.
+    SQL-oracled (same integer tf/df/N inputs → bit-identical doubles)."""
+    import math
+    from collections import Counter
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        df: Counter = Counter()
+        n = 0
+        for x in t.column("text").to_pylist():
+            df.update(set((x or "").lower().split()))
+            n += 1
+        terms = sorted(df)
+        return pa.table({
+            "term": pa.array(terms + ["\x00docs"], pa.string()),
+            "df": pa.array([df[w] for w in terms] + [n], pa.int64()),
+        })
+
+    merged = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial_df, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df"))
+        .to_pandas()
+    )
+    df_map = dict(zip(merged["term"], merged["sum(df)"]))
+    n_docs = int(df_map.pop("\x00docs"))
+    df_ref = ray.put((df_map, n_docs))
+
+    def score(t: pa.Table) -> pa.Table:
+        dfm, n = ray.get(df_ref)
+        ids, terms, scores, ranks = [], [], [], []
+        for did, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            tf = Counter((x or "").lower().split())
+            scored = sorted(
+                ((w, c * math.log(n / dfm[w])) for w, c in tf.items()),
+                key=lambda p: (-p[1], p[0]),
+            )[:k]
+            for r, (w, s) in enumerate(scored, 1):
+                ids.append(did)
+                terms.append(w)
+                scores.append(s)
+                ranks.append(r)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "score": pa.array(scores, pa.float64()),
+            "rank": pa.array(ranks, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(score, batch_format="pyarrow")
+
+
+def unigram_logprob(sf_dir: str) -> rd.Dataset:
+    """Per-document mean negative log-probability under the corpus unigram
+    LM — the CCNet-style language-model quality score (Wenzek et al. 2020
+    use a KenLM 5-gram; the unigram LM is the same pipeline shape with the
+    model swapped).  p(w) = tf_w / T over the whole corpus.
+
+    Scale shape — identical to ``tfidf_topk``: the LM table is
+    vocabulary-bounded, aggregated once from per-batch partials, broadcast
+    via ``ray.put``; the corpus then streams through one scoring
+    map_batches, zero shuffles.  SQL-oracled (same doubles; summation-order
+    float drift is ~1e-12 on ~100-token docs, far inside the compare's
+    rounding)."""
+    import math
+    from collections import Counter
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial_tf(t: pa.Table) -> pa.Table:
+        tf: Counter = Counter()
+        for x in t.column("text").to_pylist():
+            tf.update((x or "").lower().split())
+        terms = sorted(tf)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array([tf[w] for w in terms], pa.int64()),
+        })
+
+    merged = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial_tf, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("tf"))
+        .to_pandas()
+    )
+    tf_map = dict(zip(merged["term"], (int(v) for v in merged["sum(tf)"])))
+    total = sum(tf_map.values())
+    lm_ref = ray.put((tf_map, total))
+
+    def score(t: pa.Table) -> pa.Table:
+        tfm, tot = ray.get(lm_ref)
+        ids, scores, ns = [], [], []
+        for did, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            toks = (x or "").lower().split()
+            if not toks:
+                continue
+            s = sum(-math.log(tfm[w] / tot) for w in toks)
+            ids.append(did)
+            scores.append(s / len(toks))
+            ns.append(len(toks))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "nll": pa.array(scores, pa.float64()),
+            "n_tokens": pa.array(ns, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(score, batch_format="pyarrow")
+
+
+def corpus_mix(sf_dir: str) -> rd.Dataset:
+    """Per-(lang, source) mixture profile — document count and total chars,
+    the table a pretraining run reports before/after reweighting.  Native
+    multi-key Ray Data groupby over exact integer sums (no float drift);
+    the shuffle key space is |langs| × |sources|, tiny at any corpus size
+    once per-batch combining has run."""
+    from ray.data.aggregate import Count, Sum
+
+    def rename(t: pa.Table) -> pa.Table:
+        names = [
+            {"count()": "n_docs", "sum(n_chars)": "total_chars"}.get(c, c)
+            for c in t.column_names
+        ]
+        return t.rename_columns(names)
+
+    return (
+        _docs(sf_dir, ["lang", "source", "n_chars"])
+        .groupby(["lang", "source"])
+        .aggregate(Count(), Sum("n_chars"))
+        .map_batches(rename, batch_format="pyarrow")
+    )

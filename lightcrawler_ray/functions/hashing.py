@@ -123,17 +123,22 @@ def _dct_matrix(n: int = 32) -> np.ndarray:
     return _DCT32
 
 
-def _mean_pool(gray: np.ndarray, out: int = 32) -> np.ndarray:
-    """Resize HxW to out×out by area mean-pooling (no PIL in this container)."""
+def _mean_pool_rect(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Resize HxW to out_h×out_w by area mean-pooling (no PIL here)."""
     h, w = gray.shape
-    ys = (np.arange(out + 1) * h // out).astype(np.int64)
-    xs = (np.arange(out + 1) * w // out).astype(np.int64)
+    ys = (np.arange(out_h + 1) * h // out_h).astype(np.int64)
+    xs = (np.arange(out_w + 1) * w // out_w).astype(np.int64)
     c = np.zeros((h + 1, w + 1), dtype=np.float64)
     c[1:, 1:] = gray.astype(np.float64).cumsum(0).cumsum(1)
     area = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
     s = c[ys[1:, None], xs[None, 1:]] - c[ys[:-1, None], xs[None, 1:]] \
         - c[ys[1:, None], xs[None, :-1]] + c[ys[:-1, None], xs[None, :-1]]
     return s / np.maximum(area, 1)
+
+
+def _mean_pool(gray: np.ndarray, out: int = 32) -> np.ndarray:
+    """Resize HxW to out×out by area mean-pooling (no PIL in this container)."""
+    return _mean_pool_rect(gray, out, out)
 
 
 def phash64(pixels: np.ndarray) -> int:
@@ -150,6 +155,29 @@ def phash64(pixels: np.ndarray) -> int:
     bits = (block > med).astype(np.uint64)
     val = int((bits << np.arange(64, dtype=np.uint64)).sum())
     return val - (1 << 64) if val >= (1 << 63) else val  # to signed int64 range
+
+
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit difference hash of an (h, w, 3) uint8 image — the gradient
+    perceptual-hash family (pool to an 8×9 grid, bit = left-to-right
+    brightness increase).  Complements phash64: dhash keys on local
+    gradients where phash keys on low-frequency structure, so running both
+    catches near-dups either alone misses.  Signed int64 like phash64."""
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    small = _mean_pool_rect(gray, 8, 9)
+    bits = (small[:, 1:] > small[:, :-1]).astype(np.uint64).flatten()
+    val = int((bits << np.arange(64, dtype=np.uint64)).sum())
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def hist16(pixels: np.ndarray) -> np.ndarray:
+    """16-bin luminance histogram of an (h, w, 3) uint8 image in EXACT
+    integer arithmetic (lum = (299R + 587G + 114B) // 1000, bin = lum >> 4)
+    so partial sums merge bit-identically in any order and the SQL oracle
+    replays the binning from stored per-image histograms."""
+    px = pixels.astype(np.int64)
+    lum = (px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114) // 1000
+    return np.bincount((lum >> 4).ravel(), minlength=16).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------

@@ -665,3 +665,103 @@ def sessionize(sf_dir: str, partitions: int = 32) -> rd.Dataset:
         .groupby("part")
         .map_groups(count_partition, batch_format="pyarrow")
     )
+
+
+def latest_per_key(sf_dir: str, partitions: int = 32) -> rd.Dataset:
+    """Latest-version-per-key dedup — the "keep the newest crawl of each
+    URL" primitive (the reference keeps one row per doc key, newest wins —
+    DaoXlegalLawContentRecord's replace-on-key upsert): here the latest
+    event per user by ts, ties broken by highest event_id.
+
+    Scale shape — partial reduce BEFORE the shuffle: each batch first
+    collapses to one winner row per user (lexsort + run-end pick, pure
+    numpy), so the groupby shuffle moves at most |keys ∩ batch| rows per
+    batch rather than every event — the combiner pattern ``pricing_summary``
+    uses, applied to an argmax instead of a sum.  The same run-end pick
+    then merges the partials inside each coarse ``user % P`` partition
+    (P Python calls total, complete users per call)."""
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def pick_last(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        e = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((e, ts, u))
+        us = u[order]
+        run_end = np.ones(us.size, dtype=bool)
+        run_end[:-1] = us[1:] != us[:-1]
+        keep = order[run_end]
+        return pa.table({
+            "user_id": pa.array(u[keep], pa.int64()),
+            "last_ts_us": pa.array(ts[keep], pa.int64()),
+            "last_event_id": pa.array(e[keep], pa.int64()),
+            "last_event_type": t.column("event_type").take(pa.array(keep)),
+            "last_value": pc.cast(t.column("value").take(pa.array(keep)), pa.float64()),
+        })
+
+    def merge_partition(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("last_ts_us").to_numpy(zero_copy_only=False)
+        e = g.column("last_event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, ts, u))
+        us = u[order]
+        run_end = np.ones(us.size, dtype=bool)
+        run_end[:-1] = us[1:] != us[:-1]
+        keep = pa.array(order[run_end])
+        return g.take(keep)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], partitions - 1), pa.int32())
+        return t.append_column("part", part)
+
+    return (
+        ds.map_batches(pick_last, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge_partition, batch_format="pyarrow")
+        .select_columns(["user_id", "last_ts_us", "last_event_id",
+                         "last_event_type", "last_value"])
+    )
+
+
+def quantiles_by_group(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.95, 0.99)) -> pd.DataFrame:
+    """Per-group exact quantiles — ``quantiles_price``'s bounded-domain
+    histogram trick, keyed: each batch emits its (event_type, cents)
+    partial histogram, one groupby-Sum merges them, and the driver cumsums
+    a table bounded by |groups| × value-domain (never by row count — the
+    property that keeps this exact at 100 TB while ``Dataset.sort`` would
+    move every row).  Quantile = value at 1-based rank ``ceil(q · n)``
+    within the group, matching the oracle's row_number arithmetic."""
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").dictionary_encode().combine_chunks()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            t.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        key = codes * (1 << 32) + cents  # cents domain ≪ 2^32
+        u, c = np.unique(key, return_counts=True)
+        dic = et.dictionary.to_pylist()
+        return pa.table({
+            "event_type": pa.array([dic[int(k >> 32)] for k in u], pa.string()),
+            "cents": pa.array(u & ((1 << 32) - 1), pa.int64()),
+            "n": pa.array(c, pa.int64()),
+        })
+
+    merged = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["event_type", "cents"]).aggregate(Sum("n")).to_pandas()
+        .sort_values(["event_type", "cents"]).reset_index(drop=True)
+    )
+    out_g, out_q, out_v = [], [], []
+    for g, part in merged.groupby("event_type", sort=True):
+        cum = part["sum(n)"].cumsum().to_numpy()
+        n = int(cum[-1])
+        for q in qs:
+            target = int(np.ceil(q * n))
+            i = int(np.searchsorted(cum, target, side="left"))
+            out_g.append(g)
+            out_q.append(q)
+            out_v.append(float(part["cents"].iloc[i]) / 100.0)
+    return pd.DataFrame({"event_type": out_g, "q": out_q, "value": out_v})

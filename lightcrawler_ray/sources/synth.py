@@ -443,8 +443,8 @@ def build_seeds(p: GraphParams, n_seeds: int | None = None) -> pa.Table:
 def ensure_fixtures(p: GraphParams | None = None, root: str = "/tmp/lcray_fixtures") -> dict[str, str]:
     """Materialize all fixture tables once; returns name → parquet path."""
     p = p or GraphParams()
-    key = (
-        f"v3_p{p.n_pages}_h{p.n_hosts}_i{p.n_images}_s{p.seed}_d{p.out_degree}"
+    key = (  # v4: images_truth gained dhash + hist16 columns
+        f"v4_p{p.n_pages}_h{p.n_hosts}_i{p.n_images}_s{p.seed}_d{p.out_degree}"
         f"_b{p.body_repeat}_k{p.images_per_detail}_n{p.n_seeds}"
     )
     d = os.path.join(root, key)
@@ -485,7 +485,7 @@ def _images_truth(images: pa.Table) -> pa.Table:
     from ..extras.multimodal import ImageDecodeStats
 
     t = ImageDecodeStats()(images.select(["image_id", "bytes"]))
-    return t.select(["image_id", "mean_rgb", "phash", "decoded"])
+    return t.select(["image_id", "mean_rgb", "phash", "dhash", "hist16", "decoded"])
 
 
 # ---------------------------------------------------------------------------

@@ -52,6 +52,34 @@ class TestHashing:
         assert d01 <= 4
         assert d02 > 10
 
+    def test_dhash_near_dup_vs_different(self):
+        px = synth._gen_pixels(5, 42)
+        lossy = imagecodec.decode(imagecodec.encode(px, "jpeg"))
+        other = synth._gen_pixels(6, 42)
+        h0 = hashing.dhash64(px)
+        h1 = hashing.dhash64(lossy)
+        h2 = hashing.dhash64(other)
+        d01 = hashing.hamming64(np.array([h0]).astype(np.int64).view(np.uint64),
+                                np.array([h1]).astype(np.int64).view(np.uint64))[0]
+        d02 = hashing.hamming64(np.array([h0]).astype(np.int64).view(np.uint64),
+                                np.array([h2]).astype(np.int64).view(np.uint64))[0]
+        assert d01 <= 4
+        assert d02 > 10
+        assert -(1 << 63) <= h0 < (1 << 63)
+
+    def test_hist16_exact_integer_binning(self):
+        px = synth._gen_pixels(7, 42)
+        h = hashing.hist16(px)
+        assert h.sum() == px.shape[0] * px.shape[1]
+        lum = (px[:, :, 0].astype(np.int64) * 299
+               + px[:, :, 1].astype(np.int64) * 587
+               + px[:, :, 2].astype(np.int64) * 114) // 1000
+        ref = np.bincount((lum >> 4).ravel(), minlength=16)
+        assert (h == ref).all()
+        # order-independent merge: two halves sum to the whole
+        top, bot = px[: px.shape[0] // 2], px[px.shape[0] // 2:]
+        assert (hashing.hist16(top) + hashing.hist16(bot) == h).all()
+
 
 class TestCodec:
     @pytest.mark.parametrize("fmt", ["png", "bmp"])
