@@ -572,6 +572,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": rel.hopping_window,
         "quantiles_price": rel.quantiles_price,
         "quantiles_by_group": rel.quantiles_by_group,
+        "length_gate": rel.length_gate,
+        "window_active_users": rel.window_active_users,
         "topk_per_group": rel.topk_per_group,
         "latest_per_key": rel.latest_per_key,
         # training-data text ops (SQL-oracled)
@@ -592,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_stats": dedupe.dup_span_stats,             # SQL-oracled (window grams)
         "dedup_components": dedupe.dedup_components,         # SQL-oracled (recursive CTE)
         "dedup_apply": dedupe.dedup_apply,                   # SQL-oracled (CTE + anti-join)
+        "decontaminate_fuzzy": dedupe.decontaminate_fuzzy,   # SQL-oracled (restricted LSH replay)
         # similarity search
         "ann_topk": ann.topk_bruteforce,
         "ann_topk_lsh": ann.topk_lsh,                        # SQL-oracled (plane replay)
@@ -1188,6 +1191,37 @@ def oracle_sql() -> dict[str, str]:
     _mh_a, _mh_b = _hashing.minhash_params(64)
     _A = "[" + ",".join(f"{int(v)}::HUGEINT" for v in _mh_a) + "]"
     _B = "[" + ",".join(f"{int(v)}::HUGEINT" for v in _mh_b) + "]"
+    # the MinHash-LSH replay CTE chain (shared by minhash_lsh_pairs and
+    # decontaminate_fuzzy): tokenizer 3-gram shingles (chr(31)-joined) →
+    # md5_number_lower & (2^61-1) → 64 inlined (a*x+b) mod 2^64 permutations
+    # → 16 bands × 4 rows (band equality = minhash-list equality; the
+    # engine's band blake2b is just a grouping key) → exact space-split
+    # 3-gram shingle sets for verification, same float division
+    _mh_ctes = (
+        "tok AS (SELECT doc_id, "
+        "  regexp_extract_all(lower(text), '[\\w一-鿿]+') AS toks FROM documents), "
+        "sh AS (SELECT doc_id, "
+        "  CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[]) "
+        "       WHEN len(toks) < 3 THEN [array_to_string(toks, chr(31))] "
+        "       ELSE list_transform(range(1, len(toks) - 1), "
+        "            i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2]) "
+        "  END AS shingles FROM tok), "
+        "ux AS (SELECT doc_id, md5_number_lower(s) & 2305843009213693951 AS x "
+        "  FROM sh, unnest(shingles) u(s)), "
+        "mh AS (SELECT doc_id, k, "
+        f"  min(CAST((({_A})[k+1] * x + ({_B})[k+1]) "
+        "      % 18446744073709551616 AS UBIGINT)) AS mv "
+        "  FROM ux, unnest(range(64)) r(k) GROUP BY doc_id, k "
+        "  UNION ALL "
+        "  SELECT doc_id, k, 18446744073709551615::UBIGINT AS mv "
+        "  FROM sh, unnest(range(64)) r(k) WHERE len(shingles) = 0), "
+        "bk AS (SELECT doc_id, k // 4 AS band_id, list(mv ORDER BY k) AS key "
+        "  FROM mh GROUP BY doc_id, k // 4), "
+        "vw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+        "vsh AS (SELECT doc_id, list_distinct(list_transform( "
+        "  range(1, greatest(len(w) - 2, 1) + 1), "
+        "  j -> array_to_string(list_slice(w, j, j + 2), ' '))) AS g FROM vw)"
+    )
     sqls = {
         "crawl_report": (
             # decimal semantics (values are 2-decimal): integer-cent sums,
@@ -1406,38 +1440,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, 0 AS fingerprint FROM d WHERE n = 0"
         ),
         "minhash_lsh_pairs": (
-            # replays the WHOLE LSH pipeline deterministically: tokenizer
-            # 3-gram shingles (chr(31)-joined) → md5_number_lower & (2^61-1)
-            # → 64 inlined (a*x+b) mod 2^64 permutations → 16 bands × 4 rows
-            # (band equality = minhash-list equality; the engine's band
-            # blake2b is just a grouping key) → candidate pairs → exact
+            # the shared _mh_ctes replay → candidate pairs → exact
             # space-split 3-gram Jaccard >= 0.5, same float division.
-            "WITH tok AS (SELECT doc_id, "
-            "  regexp_extract_all(lower(text), '[\\w一-鿿]+') AS toks FROM documents), "
-            "sh AS (SELECT doc_id, "
-            "  CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[]) "
-            "       WHEN len(toks) < 3 THEN [array_to_string(toks, chr(31))] "
-            "       ELSE list_transform(range(1, len(toks) - 1), "
-            "            i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2]) "
-            "  END AS shingles FROM tok), "
-            "ux AS (SELECT doc_id, md5_number_lower(s) & 2305843009213693951 AS x "
-            "  FROM sh, unnest(shingles) u(s)), "
-            "mh AS (SELECT doc_id, k, "
-            f"  min(CAST((({_A})[k+1] * x + ({_B})[k+1]) "
-            "      % 18446744073709551616 AS UBIGINT)) AS mv "
-            "  FROM ux, unnest(range(64)) r(k) GROUP BY doc_id, k "
-            "  UNION ALL "
-            "  SELECT doc_id, k, 18446744073709551615::UBIGINT AS mv "
-            "  FROM sh, unnest(range(64)) r(k) WHERE len(shingles) = 0), "
-            "bk AS (SELECT doc_id, k // 4 AS band_id, list(mv ORDER BY k) AS key "
-            "  FROM mh GROUP BY doc_id, k // 4), "
+            f"WITH {_mh_ctes}, "
             "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
             "  FROM bk a JOIN bk b "
-            "  ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id), "
-            "vw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
-            "vsh AS (SELECT doc_id, list_distinct(list_transform( "
-            "  range(1, greatest(len(w) - 2, 1) + 1), "
-            "  j -> array_to_string(list_slice(w, j, j + 2), ' '))) AS g FROM vw) "
+            "  ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id) "
             "SELECT doc_a, doc_b, "
             "  CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) "
             "  / greatest(len(list_distinct(ga.g || gb.g)), 1) AS jaccard "
@@ -1651,6 +1659,24 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT event_type, 0.99, v FROM s "
             "  WHERE rn = CAST(ceil(0.99 * n) AS BIGINT)"
         ),
+        "length_gate": (
+            "WITH s AS (SELECT lang, n_chars, "
+            "  row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn, "
+            "  count(*) OVER (PARTITION BY lang) AS n FROM documents), "
+            "b AS (SELECT lang, "
+            "  CAST(max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT) "
+            "       THEN n_chars END) AS BIGINT) AS lo, "
+            "  CAST(max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) "
+            "       THEN n_chars END) AS BIGINT) AS hi "
+            "  FROM s GROUP BY lang) "
+            "SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars, "
+            "b.lo, b.hi, d.n_chars BETWEEN b.lo AND b.hi AS keep "
+            "FROM documents d JOIN b USING (lang)"
+        ),
+        "window_active_users": (
+            "SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS win, "
+            "count(DISTINCT user_id) AS n_users FROM events GROUP BY 1"
+        ),
         "topk_per_group": (
             "SELECT user_id, event_id, value, rank FROM ("
             "  SELECT user_id, event_id, value, row_number() OVER ("
@@ -1733,6 +1759,21 @@ def oracle_sql() -> dict[str, str]:
         "  FROM documents d LEFT JOIN rep r USING (doc_id)) "
         "SELECT doc_id, rep, "
         "  CAST(count(*) OVER (PARTITION BY rep) AS BIGINT) AS csize FROM allr"
+    )
+    # fuzzy decontamination: the same MinHash replay, candidates restricted
+    # to train x eval (doc_id % 97), verified at the same Jaccard threshold
+    sqls["decontaminate_fuzzy"] = (
+        f"WITH {_mh_ctes}, "
+        "cand AS (SELECT DISTINCT a.doc_id AS t_id, b.doc_id AS e_id "
+        "  FROM bk a JOIN bk b ON a.band_id = b.band_id AND a.key = b.key "
+        "  AND a.doc_id % 97 <> 0 AND b.doc_id % 97 = 0) "
+        "SELECT t_id AS doc_id, e_id AS eval_id, "
+        "  CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) "
+        "  / greatest(len(list_distinct(ga.g || gb.g)), 1) AS jaccard "
+        "FROM cand JOIN vsh ga ON ga.doc_id = cand.t_id "
+        "JOIN vsh gb ON gb.doc_id = cand.e_id "
+        "WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) "
+        "  / greatest(len(list_distinct(ga.g || gb.g)), 1) >= 0.5"
     )
     # surviving corpus after fuzzy dedup: close the pair replay into
     # components, then anti-join the losers (rep < doc_id) out

@@ -821,3 +821,109 @@ def image_dhash_near_dups(images_path: str, max_hamming: int = 7,
     return _banded_hamming_pairs(
         sigs, "image_id", n_bands, max_hamming, "img_a", "img_b", pa.string()
     )
+
+
+def decontaminate_fuzzy(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    """FUZZY benchmark decontamination — flag training docs whose MinHash
+    3-gram Jaccard against ANY eval doc reaches ``threshold`` (the near-dup
+    upgrade of ``textstats.decontaminate``'s exact n-gram rule; eval slice =
+    doc_id % 97 == 0, as there).
+
+    Scale shape: the eval side is SMALL by construction, so ONE filtered
+    streaming pass builds its banded minhash keys and 3-gram shingle sets
+    and broadcasts both via ``ray.put``; the training corpus then streams
+    through ONE map_batches that signs each batch (the same vectorized
+    ``minhash_signatures_batch`` the LSH pipeline uses), probes the
+    broadcast (band_id, band_hash) index, and verifies candidates against
+    the broadcast eval shingle sets — ZERO shuffles, driver memory
+    O(eval set + hits).  Oracle: the ``minhash_lsh_pairs`` SQL replay
+    restricted to train x eval pairs."""
+    import ray
+
+    from .. import storage
+    from ..functions import hashing as _h
+
+    a, b = _h.minhash_params(_MH_K)
+    rows_per_band = _MH_K // _MH_BANDS
+
+    def _grams(text: str) -> set[str]:
+        w = text.split(" ")
+        return {" ".join(w[j:j + 3]) for j in range(max(1, len(w) - 2))}
+
+    def _band_hashes(texts: list[str]) -> np.ndarray:
+        sigs = _h.minhash_signatures_batch(
+            [_h.shingle_hashes(x, 3) for x in texts], a, b
+        )
+        chunks = sigs.reshape(len(texts) * _MH_BANDS, rows_per_band)
+        return np.fromiter(
+            (int.from_bytes(hashlib.blake2b(c.tobytes(), digest_size=8).digest(), "big")
+             for c in chunks),
+            dtype=np.uint64, count=len(texts) * _MH_BANDS,
+        ).reshape(len(texts), _MH_BANDS)
+
+    def eval_side(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = ids % 97 == 0
+        ids = ids[m]
+        texts = [x for x, keep in zip(t.column("text").to_pylist(), m) if keep]
+        bh = _band_hashes(texts) if len(texts) else np.empty((0, _MH_BANDS), np.uint64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "bands": pa.array([[int(v) for v in row] for row in bh],
+                              pa.list_(pa.uint64(), _MH_BANDS)),
+            "shingles": pa.array([sorted(_grams(x)) for x in texts],
+                                 pa.list_(pa.string())),
+        })
+
+    ev = (
+        storage.read_parquet_clean(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+        .map_batches(eval_side, batch_format="pyarrow")
+        .to_pandas()  # eval slice: small by construction
+    )
+    band_idx: dict[tuple[int, int], list[int]] = {}
+    for did, bands in zip(ev["doc_id"], ev["bands"]):
+        for band_id, bh in enumerate(bands):
+            band_idx.setdefault((band_id, int(bh)), []).append(int(did))
+    ev_sh = {int(d): set(s) for d, s in zip(ev["doc_id"], ev["shingles"])}
+    idx_ref = ray.put((band_idx, ev_sh))
+
+    def probe(t: pa.Table) -> pa.Table:
+        bidx, esh = ray.get(idx_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = ids % 97 != 0
+        tids = ids[m]
+        texts = [x for x, keep in zip(t.column("text").to_pylist(), m) if keep]
+        out_d, out_e, out_j = [], [], []
+        if len(texts):
+            bh = _band_hashes(texts)
+            for i, did in enumerate(tids):
+                cands: set[int] = set()
+                for band_id in range(_MH_BANDS):
+                    cands.update(bidx.get((band_id, int(bh[i, band_id])), ()))
+                if not cands:
+                    continue
+                g = _grams(texts[i])
+                for e in sorted(cands):
+                    j = len(g & esh[e]) / max(1, len(g | esh[e]))
+                    if j >= threshold:
+                        out_d.append(int(did))
+                        out_e.append(e)
+                        out_j.append(j)
+        return pa.table({
+            "doc_id": pa.array(out_d, pa.int64()),
+            "eval_id": pa.array(out_e, pa.int64()),
+            "jaccard": pa.array(out_j, pa.float64()),
+        })
+
+    out = (
+        storage.read_parquet_clean(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+        .map_batches(probe, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if out.empty:  # all-empty blocks lose the schema through to_pandas
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                            "eval_id": pd.Series([], dtype="int64"),
+                            "jaccard": pd.Series([], dtype="float64")})
+    return out.sort_values(["doc_id", "eval_id"]).reset_index(drop=True)

@@ -765,3 +765,97 @@ def quantiles_by_group(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.95, 0.99)) -
             out_q.append(q)
             out_v.append(float(part["cents"].iloc[i]) / 100.0)
     return pd.DataFrame({"event_type": out_g, "q": out_q, "value": out_v})
+
+
+def length_gate(sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95) -> rd.Dataset:
+    """Percentile-derived outlier filter — the "drop the shortest/longest
+    5% per language" curation gate, with the thresholds COMPUTED from the
+    data (a two-pass derived-threshold pipeline, the shape every adaptive
+    quality gate shares).
+
+    Pass 1 reuses the bounded-domain histogram-quantile trick keyed by
+    lang (the shuffle carries |langs| × |length-domain| partial rows, never
+    documents); the tiny {lang: (lo, hi)} map broadcasts via ``ray.put``
+    and pass 2 streams the corpus through one vectorized filter.  Exact
+    integer thresholds → bit-exact SQL replay via window row_number."""
+    ds = _pq(sf_dir, "documents", ["lang", "n_chars"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        lang = t.column("lang").dictionary_encode().combine_chunks()
+        codes = lang.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = codes * (1 << 32) + nch
+        u, c = np.unique(key, return_counts=True)
+        dic = lang.dictionary.to_pylist()
+        return pa.table({
+            "lang": pa.array([dic[int(k >> 32)] for k in u], pa.string()),
+            "n_chars": pa.array(u & ((1 << 32) - 1), pa.int64()),
+            "n": pa.array(c, pa.int64()),
+        })
+
+    merged = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"]).aggregate(Sum("n")).to_pandas()
+        .sort_values(["lang", "n_chars"]).reset_index(drop=True)
+    )
+    bounds: dict[str, tuple[int, int]] = {}
+    for g, part in merged.groupby("lang", sort=True):
+        cum = part["sum(n)"].cumsum().to_numpy()
+        n = int(cum[-1])
+        vals = part["n_chars"].to_numpy()
+        lo = int(vals[np.searchsorted(cum, int(np.ceil(lo_q * n)), side="left")])
+        hi = int(vals[np.searchsorted(cum, int(np.ceil(hi_q * n)), side="left")])
+        bounds[g] = (lo, hi)
+    b_ref = ray.put(bounds)
+
+    def gate(t: pa.Table) -> pa.Table:
+        bb = ray.get(b_ref)
+        langs = t.column("lang").to_pylist()
+        nch = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.array([bb[x][0] for x in langs], dtype=np.int64)
+        hi = np.array([bb[x][1] for x in langs], dtype=np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "lang": t.column("lang"),
+            "n_chars": pa.array(nch, pa.int64()),
+            "lo": pa.array(lo, pa.int64()),
+            "hi": pa.array(hi, pa.int64()),
+            "keep": pa.array((nch >= lo) & (nch <= hi)),
+        })
+
+    return _pq(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
+        gate, batch_format="pyarrow"
+    )
+
+
+def window_active_users(sf_dir: str, window_us: int = 3_600_000_000) -> rd.Dataset:
+    """Distinct users per tumbling window — the count-distinct aggregate,
+    done as two bounded exchanges: per-batch (window, user) uniques first
+    (the partial), one groupby collapses duplicates across batches, a
+    second tiny groupby counts per window.  Both shuffles carry at most one
+    row per (window, user) — never one per event."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        win = ts // window_us
+        key = np.unique(win * (1 << 32) + u)  # user_id domain ≪ 2^32
+        return pa.table({
+            "win": pa.array(key >> 32, pa.int64()),
+            "user_id": pa.array(key & ((1 << 32) - 1), pa.int64()),
+        })
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["win" if c == "win" else "n_users" if c == "count()" else c
+             for c in t.column_names]
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["win", "user_id"]).aggregate(Count())
+        .map_batches(lambda t: t.select(["win", "user_id"]), batch_format="pyarrow")
+        .groupby("win").aggregate(Count())
+        .map_batches(rename, batch_format="pyarrow")
+    )
