@@ -515,6 +515,13 @@ def _q_image_filter_gate(sf_dir: str):
     return multimodal.image_filter_gate(paths["images"])
 
 
+def _q_image_meta_scan(sf_dir: str):
+    from lightcrawler_ray.extras import multimodal
+
+    _, paths = _fixture_paths()
+    return multimodal.image_meta_scan(paths["images"])
+
+
 def _q_caption_lang_id(sf_dir: str):
     from lightcrawler_ray.extras import multimodal
 
@@ -574,6 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_by_group": rel.quantiles_by_group,
         "length_gate": rel.length_gate,
         "window_active_users": rel.window_active_users,
+        "rollup_events": rel.rollup_events,
         "topk_per_group": rel.topk_per_group,
         "latest_per_key": rel.latest_per_key,
         # training-data text ops (SQL-oracled)
@@ -646,6 +654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_filter_gate": _q_image_filter_gate,           # SQL-oracled (stored-dims replay)
         "image_histogram": _q_image_histogram,               # SQL-oracled (stored-hist replay)
         "caption_lang_id": _q_caption_lang_id,               # SQL-oracled (same CASE replay)
+        "image_meta_scan": _q_image_meta_scan,               # SQL-oracled (stored-meta replay)
         "image_dhash_near_dups": _q_image_dhash_near_dups,   # SQL-oracled (stored-dhash replay)
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
@@ -1048,6 +1057,13 @@ def _crawl_family_sqls() -> dict[str, str]:
             + f" FROM read_parquet('{paths['images_truth']}') t "
             f"JOIN read_parquet('{paths['images']}') i USING (image_id) "
             "WHERE t.decoded GROUP BY i.fmt"
+        ),
+        # header-only metadata scan: the engine parses the payload's 11-byte
+        # container header; the oracle reads the stored metadata columns
+        "image_meta_scan": (
+            "SELECT image_id, fmt, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h, "
+            "CAST(octet_length(bytes) AS BIGINT) AS n_bytes, true AS valid "
+            f"FROM read_parquet('{paths['images']}')"
         ),
         # language id over the caption column — the documents-table CASE
         # replay pointed at the image table
@@ -1676,6 +1692,17 @@ def oracle_sql() -> dict[str, str]:
         "window_active_users": (
             "SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS win, "
             "count(DISTINCT user_id) AS n_users FROM events GROUP BY 1"
+        ),
+        "rollup_events": (
+            # integer-cent exact at every level; '*'/-1 sentinels for the
+            # rolled-up keys so values hash-compare with the Ray side
+            "SELECT COALESCE(event_type, '*') AS event_type, "
+            "COALESCE(day, -1) AS day, count(*) AS n_events, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 "
+            "AS total_value FROM ("
+            "  SELECT event_type, "
+            "  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day, value "
+            "  FROM events) GROUP BY ROLLUP (event_type, day)"
         ),
         "topk_per_group": (
             "SELECT user_id, event_id, value, rank FROM ("

@@ -509,3 +509,46 @@ def caption_lang_id(images_path: str) -> rd.Dataset:
                          "lang_pred": pa.array(out, pa.string())})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def image_meta_scan(images_path: str) -> rd.Dataset:
+    """Header-only metadata scan — read each payload's 11-byte container
+    header (magic + fmt + dims) WITHOUT decoding: the cheap first pass a
+    100 TB image pipeline runs to route/filter before paying for decode
+    (the real-codec analogue parses PNG IHDR / JPEG SOF markers the same
+    way).  Payload sizes come from the Arrow offsets (``binary_length``,
+    zero-copy) and only an 11-byte ``binary_slice`` per row materializes.
+    SQL-oracled against the table's stored fmt/w/h metadata — independent
+    paths (the engine trusts only the bytes)."""
+    import pyarrow.compute as pc
+
+    from .. import storage
+    from ..functions.imagecodec import _CODE_FMT, _MAGIC
+
+    def scan(t: pa.Table) -> pa.Table:
+        blobs = t.column("bytes").combine_chunks()
+        n_bytes = pc.cast(pc.binary_length(blobs), pa.int64())
+        heads = pc.binary_slice(blobs, 0, 11).to_pylist()
+        fmts, ws, hs, valid = [], [], [], []
+        for hd in heads:
+            if len(hd) >= 11 and hd[:2] == _MAGIC and hd[2:3] in _CODE_FMT:
+                fmts.append(_CODE_FMT[hd[2:3]])
+                hs.append(int.from_bytes(hd[3:7], "little"))
+                ws.append(int.from_bytes(hd[7:11], "little"))
+                valid.append(True)
+            else:
+                fmts.append("")
+                hs.append(0)
+                ws.append(0)
+                valid.append(False)
+        return pa.table({
+            "image_id": t.column("image_id"),
+            "fmt": pa.array(fmts, pa.string()),
+            "w": pa.array(ws, pa.int64()),
+            "h": pa.array(hs, pa.int64()),
+            "n_bytes": n_bytes,
+            "valid": pa.array(valid, pa.bool_()),
+        })
+
+    ds = storage.read_parquet_clean(images_path, columns=["image_id", "bytes"])
+    return ds.map_batches(scan, batch_format="pyarrow", batch_size=256)

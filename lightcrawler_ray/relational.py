@@ -859,3 +859,55 @@ def window_active_users(sf_dir: str, window_us: int = 3_600_000_000) -> rd.Datas
         .groupby("win").aggregate(Count())
         .map_batches(rename, batch_format="pyarrow")
     )
+
+
+def rollup_events(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP aggregation — (event_type, day) totals plus per-type subtotals
+    plus the grand total, the reporting shape warehouses produce with
+    GROUP BY ROLLUP.  The corpus is scanned ONCE: per-batch integer-cent
+    partials collapse to the fine (event_type, day) level through one tiny
+    groupby, and the coarser levels derive from the AGGREGATED table on the
+    driver (bounded by |types| × |days|, never by row count).  Rolled-up
+    keys use '*' / -1 sentinels so the SQL replay (COALESCE over ROLLUP)
+    hash-compares exactly."""
+    ds = _pq(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").dictionary_encode().combine_chunks()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        day = ts // 86_400_000_000
+        cents = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        key = codes * (1 << 32) + day  # day domain ≪ 2^32
+        u, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv)
+        c = np.bincount(inv, weights=cents).astype(np.int64)
+        dic = et.dictionary.to_pylist()
+        return pa.table({
+            "event_type": pa.array([dic[int(k >> 32)] for k in u], pa.string()),
+            "day": pa.array(u & ((1 << 32) - 1), pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "cents": pa.array(c, pa.int64()),
+        })
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"]).aggregate(Sum("n"), Sum("cents"))
+        .to_pandas()
+        .rename(columns={"sum(n)": "n", "sum(cents)": "cents"})
+    )
+    sub = (
+        fine.groupby("event_type", as_index=False)[["n", "cents"]].sum()
+        .assign(day=-1)
+    )
+    grand = pd.DataFrame({
+        "event_type": ["*"], "day": [-1],
+        "n": [int(fine["n"].sum())], "cents": [int(fine["cents"].sum())],
+    })
+    out = pd.concat(
+        [fine[["event_type", "day", "n", "cents"]], sub[["event_type", "day", "n", "cents"]], grand],
+        ignore_index=True,
+    )
+    out["total_value"] = out.pop("cents").astype(np.int64) / 100.0
+    return out.rename(columns={"n": "n_events"}).sort_values(
+        ["event_type", "day"]).reset_index(drop=True)
