@@ -32,6 +32,12 @@ _SW_LANG = (
     "('the','of','and','a','to','in','is','was','it','for','on','as','are',"
     "'with','be','by','at','this','that','from','or','an')"
 )
+# PII patterns: the single source of truth lives in extras/textstats.py;
+# plain-string RE2 (no quotes, no SQL-escape hazards) so they inject into
+# single-quoted SQL literals verbatim
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{4}\b"
 
 
 def entry() -> Any:
@@ -584,6 +590,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_events": rel.rollup_events,
         "topk_per_group": rel.topk_per_group,
         "latest_per_key": rel.latest_per_key,
+        "corr_qty_price": rel.corr_qty_price,        # SQL-oracled (HUGEINT algebraic agg)
+        "price_histogram": rel.price_histogram,      # SQL-oracled (int-cents bins)
+        "json_field_stats": rel.json_field_stats,    # SQL-oracled (RE2 extract both sides)
         # training-data text ops (SQL-oracled)
         "token_counts": textstats.token_counts,
         "stopword_ratio": textstats.stopword_ratio,
@@ -614,6 +623,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_split": textstats.train_split,                # SQL-oracled (md5-low64 buckets)
         "decontaminate": textstats.decontaminate,            # SQL-oracled (gram join)
         "domain_sample": textstats.domain_sample,            # SQL-oracled (md5-low64 rule)
+        "pii_scrub": textstats.pii_scrub,                    # SQL-oracled (RE2 replay)
+        "curate_corpus": textstats.curate_corpus,            # SQL-oracled (CTE funnel)
+        # distributed sketches (SQL-oracled register state)
+        "hll_registers": __import__(
+            "lightcrawler_ray.extras.sketches", fromlist=["hll_registers"]
+        ).hll_registers,
         # deterministic sampling / ordering (SQL-oracled, bit-exact)
         "stratified_sample": __import__(
             "lightcrawler_ray.extras.sampling", fromlist=["stratified_sample"]
@@ -1716,6 +1731,79 @@ def oracle_sql() -> dict[str, str]:
             "CAST(value AS DOUBLE) AS last_value FROM ("
             "  SELECT *, row_number() OVER (PARTITION BY user_id "
             "  ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
+        ),
+        "corr_qty_price": (
+            # exact algebraic aggregate: HUGEINT sufficient statistics, then
+            # the identical double-op order as the engine's limb-recombined
+            # Python-int finalize — bit-exact, block-order independent
+            "WITH s AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n, "
+            "  sum(CAST(round(l_quantity) AS HUGEINT)) AS sx, "
+            "  sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sy, "
+            "  sum(CAST(round(l_quantity) AS HUGEINT) "
+            "    * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sxy, "
+            "  sum(CAST(round(l_quantity) AS HUGEINT) "
+            "    * CAST(round(l_quantity) AS HUGEINT)) AS sxx, "
+            "  sum(CAST(round(l_extendedprice * 100) AS HUGEINT) "
+            "    * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS syy "
+            "  FROM lineitem GROUP BY l_returnflag) "
+            "SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows, "
+            "CAST(n * sxy - sx * sy AS DOUBLE) "
+            "  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) "
+            "  / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS corr_qp FROM s"
+        ),
+        "price_histogram": (
+            "SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 100000 AS bin, "
+            "count(*) AS n_items, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 "
+            "AS sum_price FROM lineitem GROUP BY bin"
+        ),
+        "json_field_stats": (
+            # same RE2 pattern the engine's pc.extract_regex kernel runs
+            'SELECT event_type, count(*) AS n_events, '
+            'CAST(sum(CAST(regexp_extract(props, \'"k": (\\d+)\', 1) AS BIGINT)) AS BIGINT)'
+            ' AS sum_k, '
+            'min(CAST(regexp_extract(props, \'"k": (\\d+)\', 1) AS BIGINT)) AS min_k, '
+            'max(CAST(regexp_extract(props, \'"k": (\\d+)\', 1) AS BIGINT)) AS max_k '
+            'FROM events GROUP BY event_type'
+        ),
+        "pii_scrub": (
+            # rebuild the deterministic contact footer, replay the exact
+            # pattern constants (injected from textstats — single source of
+            # truth) in the same substitution order
+            "WITH aug AS (SELECT doc_id, text || ' contact u' "
+            "|| CAST(doc_id AS VARCHAR) || '@ex.com ip 10.0.' "
+            "|| CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) "
+            "|| ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s "
+            "FROM documents) "
+            f"SELECT doc_id, len(regexp_extract_all(s, '{_PII_EMAIL}')) AS n_email, "
+            f"len(regexp_extract_all(s, '{_PII_IPV4}')) AS n_ipv4, "
+            f"len(regexp_extract_all(s, '{_PII_PHONE}')) AS n_phone, "
+            "length(regexp_replace(regexp_replace(regexp_replace("
+            f"s, '{_PII_EMAIL}', '<PII>', 'g'), '{_PII_IPV4}', '<PII>', 'g'), "
+            f"'{_PII_PHONE}', '<PII>', 'g')) AS red_len FROM aug"
+        ),
+        "curate_corpus": (
+            "WITH f AS (SELECT substr(text, 1, 40) AS key, "
+            "  CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS f1, "
+            "  CASE WHEN n_chars >= 200 AND lang IN ('en', 'zh') THEN 1 ELSE 0 END AS f2 "
+            "  FROM documents) "
+            "SELECT 'total' AS stage, count(*) AS n_docs FROM f "
+            "UNION ALL SELECT 'len_gate', CAST(sum(f1) AS BIGINT) FROM f "
+            "UNION ALL SELECT 'lang_gate', CAST(sum(f2) AS BIGINT) FROM f "
+            "UNION ALL SELECT 'dedup', "
+            "count(DISTINCT CASE WHEN f2 = 1 THEN key END) FROM f"
+        ),
+        "hll_registers": (
+            # bit-exact register-state replay: md5_number_lower IS the
+            # engine's digest[8:16]-little-endian key hash; max(rho) ==
+            # rho(min(remainder)) because rho is monotone in bit length
+            "WITH h AS (SELECT DISTINCT md5_number_lower(CAST(user_id AS VARCHAR)) AS h "
+            "FROM events), "
+            "r AS (SELECT CAST(h % 1024 AS BIGINT) AS bucket, "
+            "  CAST(h // 1024 AS BIGINT) AS rem FROM h), "
+            "m AS (SELECT bucket, min(rem) AS min_rem FROM r GROUP BY bucket) "
+            "SELECT bucket, CAST(CASE WHEN min_rem = 0 THEN 55 "
+            "ELSE 55 - length(bin(min_rem)) END AS BIGINT) AS max_rho FROM m"
         ),
         # vocabulary / tf-idf: identical tokenization on both sides —
         # lowercase + any-whitespace split with empties dropped

@@ -1,0 +1,86 @@
+"""Distributed sketches — HyperLogLog register construction for
+approximate COUNT DISTINCT at 100 TB.
+
+The register state (not just the estimate) is the deliverable: registers
+merge with a plain MAX, so partial sketches combine associatively across
+any block order / any number of nodes, and the final estimate is a pure
+driver-side function of 2^p numbers.  Everything is deterministic
+(md5-low64 key hashing, the exact value DuckDB's ``md5_number_lower``
+computes), so the SQL oracle replays the register state bit-for-bit.
+
+Design note (why min-remainder, not per-row rho): rho = 1 + leading zeros
+of the 54-bit remainder is monotone decreasing in the remainder's bit
+length, so ``max(rho) == rho(min(remainder))``.  Carrying min(remainder)
+through the shuffle avoids any float log2 edge cases near 2^53 and lets
+both sides compute rho exactly on the tiny final table (Python
+``int.bit_length`` / DuckDB ``length(bin(x))``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Min
+
+P = 10                      # 2^10 = 1024 registers
+M = 1 << P
+REM_BITS = 64 - P           # remainder width; rho ∈ [1, REM_BITS+1]
+
+
+def _low64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+
+
+def hll_registers(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog(p=10) registers over distinct ``events.user_id``.
+
+    Scale pattern: per batch, keys dedup locally (np.unique) before
+    hashing, each batch emits ≤1024 (bucket, min_rem) partial rows, and the
+    shuffle is a tiny groupby-min over ≤ blocks×1024 rows — the input never
+    moves.  Output: (bucket, max_rho) for every non-empty register."""
+    from .. import storage
+
+    ds = storage.read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uids = np.unique(t.column("user_id").to_numpy(zero_copy_only=False))
+        h = np.fromiter(
+            (_low64(str(int(u))) for u in uids), dtype=np.uint64, count=len(uids)
+        )
+        bucket = (h & np.uint64(M - 1)).astype(np.int64)
+        rem = (h >> np.uint64(P)).astype(np.int64)  # < 2^54, fits signed
+        t2 = pa.table({"bucket": pa.array(bucket), "rem": pa.array(rem)})
+        g = pa.TableGroupBy(t2, "bucket").aggregate([("rem", "min")])
+        return g.rename_columns(["bucket", "rem"])
+
+    regs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Min("rem", alias_name="min_rem"))
+        .to_pandas()  # ≤ 1024 rows
+    )
+    rho = [
+        REM_BITS + 1 - int(r).bit_length() if r else REM_BITS + 1
+        for r in regs["min_rem"]
+    ]
+    return (
+        pd.DataFrame({"bucket": regs["bucket"].astype(np.int64), "max_rho": np.array(rho, np.int64)})
+        .sort_values("bucket").reset_index(drop=True)
+    )
+
+
+def hll_estimate(registers: pd.DataFrame) -> float:
+    """Flajolet et al. 2007 raw estimate with the small-range linear
+    counting correction — a pure function of the register table."""
+    rho = np.zeros(M, np.float64)
+    rho[registers["bucket"].to_numpy()] = registers["max_rho"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / M)
+    est = alpha * M * M / np.sum(np.exp2(-rho))
+    zeros = M - len(registers)
+    if est <= 2.5 * M and zeros:
+        est = M * np.log(M / zeros)
+    return float(est)

@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions import texttools
@@ -412,3 +413,101 @@ def corpus_mix(sf_dir: str) -> rd.Dataset:
         .aggregate(Count(), Sum("n_chars"))
         .map_batches(rename, batch_format="pyarrow")
     )
+
+
+# --- PII scan / redaction -------------------------------------------------
+
+# RE2-compatible patterns, identical semantics in Python re and DuckDB
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+def pii_scrub(sf_dir: str) -> rd.Dataset:
+    """PII detection + redaction counts per document — the scrubbing pass a
+    training corpus needs before release.  The scanner (count emails / IPv4s
+    / phone numbers, report the redacted length after replacing each class
+    with ``<PII>`` in a fixed order) is general; because the synthetic corpus
+    is PII-free, each doc is first augmented with a deterministic contact
+    footer (a pure function of doc_id, mirroring a crawled page footer) so
+    the scan has observable positives.  The oracle rebuilds the same footer
+    and replays the same RE2 patterns in the same substitution order —
+    exact.  Embarrassingly parallel map_batches: zero shuffles; regexes
+    compile once per worker at module import."""
+    import re
+
+    re_email, re_ipv4, re_phone = re.compile(PII_EMAIL), re.compile(PII_IPV4), re.compile(PII_PHONE)
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        n_em, n_ip, n_ph, rlen = [], [], [], []
+        for did, x in zip(ids, t.column("text").to_pylist()):
+            s = f"{x} contact u{did}@ex.com ip 10.0.{did % 256}.{did % 100} tel 555-{did % 10000:04d}"
+            n_em.append(len(re_email.findall(s)))
+            n_ip.append(len(re_ipv4.findall(s)))
+            n_ph.append(len(re_phone.findall(s)))
+            s = re_phone.sub("<PII>", re_ipv4.sub("<PII>", re_email.sub("<PII>", s)))
+            rlen.append(len(s))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_email": pa.array(n_em, pa.int64()),
+            "n_ipv4": pa.array(n_ip, pa.int64()),
+            "n_phone": pa.array(n_ph, pa.int64()),
+            "red_len": pa.array(rlen, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+# --- end-to-end curation funnel ------------------------------------------
+
+
+def curate_corpus(sf_dir: str, min_chars: int = 200, prefix: int = 40) -> pd.DataFrame:
+    """The flagship curation funnel composed end to end: length gate →
+    language gate (en/zh) → exact dedup (keep-first on a text-prefix key),
+    reported as per-stage retention counts — the audit artifact every
+    curation run ships with.
+
+    ONE linear pipeline, ONE shuffle: a map_batches pass computes the two
+    gate flags and the dedup key per row; the groupby(key) aggregates
+    count / gate-sums / gated-indicator per key; a second map_batches
+    partial collapses the grouped table so the driver sees O(blocks) rows,
+    never O(keys).  Stage counts fall out of the same grouped result —
+    nothing is read or shuffled twice."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        n = t.column("n_chars").to_numpy(zero_copy_only=False)
+        lang = t.column("lang").to_pylist()
+        f1 = (n >= min_chars).astype(np.int64)
+        f2 = f1 * np.array([1 if l in ("en", "zh") else 0 for l in lang], np.int64)
+        key = [x[:prefix] for x in t.column("text").to_pylist()]
+        return pa.table({
+            "key": pa.array(key), "f1": pa.array(f1), "f2": pa.array(f2),
+        })
+
+    grouped = (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(
+            Count(alias_name="cnt"), Sum("f1", alias_name="s1"),
+            Sum("f2", alias_name="s2"), Max("f2", alias_name="kept"),
+        )
+    )
+
+    def collapse(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "total": pa.array([int(pc.sum(t["cnt"]).as_py() or 0)], pa.int64()),
+            "n_f1": pa.array([int(pc.sum(t["s1"]).as_py() or 0)], pa.int64()),
+            "n_f2": pa.array([int(pc.sum(t["s2"]).as_py() or 0)], pa.int64()),
+            "n_kept": pa.array([int(pc.sum(t["kept"]).as_py() or 0)], pa.int64()),
+        })
+
+    part = grouped.map_batches(collapse, batch_format="pyarrow").to_pandas()
+    tot = part.sum()
+    return pd.DataFrame({
+        "stage": ["total", "len_gate", "lang_gate", "dedup"],
+        "n_docs": np.array([tot.total, tot.n_f1, tot.n_f2, tot.n_kept], np.int64),
+    })

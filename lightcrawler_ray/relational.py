@@ -13,6 +13,8 @@ calls ray.init().
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -911,3 +913,118 @@ def rollup_events(sf_dir: str) -> pd.DataFrame:
     out["total_value"] = out.pop("cents").astype(np.int64) / 100.0
     return out.rename(columns={"n": "n_events"}).sort_values(
         ["event_type", "day"]).reset_index(drop=True)
+
+
+def corr_qty_price(sf_dir: str) -> pd.DataFrame:
+    """Grouped Pearson correlation (l_quantity vs l_extendedprice per
+    l_returnflag) as an EXACT distributed algebraic aggregate.
+
+    Scale pattern: the five sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²)
+    are summed per batch inside map_batches, so the shuffle moves
+    O(groups × blocks) rows.  Σy² of int64 cents overflows int64 across a
+    big corpus, so each batch emits it as two int64 limbs (hi = v >> 30,
+    lo = v & (2^30-1)); the limbs sum safely through Ray's int64 groupby
+    (hi ≤ 9.1e8/batch → ~10^7 batches before overflow, i.e. >10 PB) and are
+    recombined driver-side in Python arbitrary-precision ints.  The final
+    correlation is computed from exact integers with the same double-op
+    order as the DuckDB HUGEINT oracle — bit-identical, block-order
+    independent."""
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.rint(t.column("l_quantity").to_numpy(zero_copy_only=False)).astype(np.int64)
+        y = np.rint(t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        yy = y * y  # ≤ ~1.2e14 per row; safe for batches ≤ ~7e4 rows
+        t2 = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": pa.array(np.ones(len(x), np.int64)),
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxy": pa.array(x * y), "sxx": pa.array(x * x),
+            "syy_hi": pa.array(yy >> 30), "syy_lo": pa.array(yy & ((1 << 30) - 1)),
+        })
+        g = pa.TableGroupBy(t2, "l_returnflag").aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx", "syy_hi", "syy_lo")]
+        )
+        return g.rename_columns(["l_returnflag", "n", "sx", "sy", "sxy", "sxx", "syy_hi", "syy_lo"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_returnflag")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy_hi", "syy_lo")])
+        .to_pandas()  # O(groups) rows
+    )
+    out = []
+    for r in agg.itertuples(index=False):
+        n, sx, sy, sxy, sxx = (int(r.n), int(r.sx), int(r.sy), int(r.sxy), int(r.sxx))
+        syy = (int(r.syy_hi) << 30) + int(r.syy_lo)
+        # same op order as the oracle: double(numerator) / sqrt / sqrt
+        corr = float(n * sxy - sx * sy) / math.sqrt(float(n * sxx - sx * sx)) / math.sqrt(
+            float(n * syy - sy * sy)
+        )
+        out.append((r.l_returnflag, n, corr))
+    return (
+        pd.DataFrame(out, columns=["l_returnflag", "n_rows", "corr_qp"])
+        .sort_values("l_returnflag").reset_index(drop=True)
+    )
+
+
+def price_histogram(sf_dir: str, width_cents: int = 100_000) -> rd.Dataset:
+    """Equal-width histogram of l_extendedprice ($1000 bins): per-batch
+    int-cents bucketing + in-block combine, then a tiny groupby — the
+    standard partial-aggregation shape; counts and sums exact int64."""
+    ds = _pq(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        t2 = pa.table({
+            "bin": pa.array(cents // width_cents),
+            "n": pa.array(np.ones(len(cents), np.int64)),
+            "cents": pa.array(cents),
+        })
+        g = pa.TableGroupBy(t2, "bin").aggregate([("n", "sum"), ("cents", "sum")])
+        return g.rename_columns(["bin", "n", "cents"])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "bin": t["bin"], "n_items": t["n"],
+            "sum_price": pc.divide(pc.cast(t["cents"], pa.float64()), 100.0),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def json_field_stats(sf_dir: str) -> rd.Dataset:
+    """Per-event-type stats of the numeric ``k`` field inside the JSON
+    ``props`` column — the semi-structured-extraction primitive of an event
+    pipeline.  Extraction is the vectorized Arrow C++ RE2 kernel
+    (pc.extract_regex), NOT a per-row json.loads; the aggregate is the usual
+    partial-combine.  All-integer → exact; the oracle replays the same regex
+    in DuckDB (also RE2)."""
+    ds = _pq(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t.column("props"), r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        t2 = pa.table({
+            "event_type": t["event_type"],
+            "n": pa.array(np.ones(len(t), np.int64)),
+            "sum_k": k, "min_k": k, "max_k": k,
+        })
+        g = pa.TableGroupBy(t2, "event_type").aggregate(
+            [("n", "sum"), ("sum_k", "sum"), ("min_k", "min"), ("max_k", "max")]
+        )
+        return g.rename_columns(["event_type", "n", "sum_k", "min_k", "max_k"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n_events"), Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"), Max("max_k", alias_name="max_k"),
+        )
+    )

@@ -1,0 +1,95 @@
+"""Edge-semantics tests for the round-4 continuation batch: the HLL sketch
+(estimate accuracy + merge associativity), the exact-corr limb math at
+int64-overflow scale, the PII pattern single-source contract, and the
+curation-funnel invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hll_estimate_within_expected_error(ray_session):
+    from lightcrawler_ray.extras import sketches
+
+    regs = sketches.hll_registers(SF)
+    est = sketches.hll_estimate(regs)
+    truth = len(
+        np.unique(pq.read_table(f"{SF}/events.parquet", columns=["user_id"])["user_id"])
+    )
+    # p=10 → std err ≈ 1.04/sqrt(1024) ≈ 3.3%; allow 3 sigma
+    assert abs(est - truth) / truth < 0.10, (est, truth)
+
+
+def test_hll_registers_merge_is_max(ray_session):
+    """Register tables from disjoint partitions merge with a plain MAX to the
+    full-corpus table — the associativity a multi-node run relies on."""
+    from lightcrawler_ray.extras import sketches
+
+    full = sketches.hll_registers(SF).set_index("bucket")["max_rho"]
+    uids = pq.read_table(f"{SF}/events.parquet", columns=["user_id"])["user_id"].to_numpy()
+    merged: dict[int, int] = {}
+    for part in (uids[: len(uids) // 2], uids[len(uids) // 2:]):
+        for u in np.unique(part):
+            h = sketches._low64(str(int(u)))
+            b, rem = h & (sketches.M - 1), h >> sketches.P
+            rho = sketches.REM_BITS + 1 - rem.bit_length() if rem else sketches.REM_BITS + 1
+            merged[b] = max(merged.get(b, 0), rho)
+    assert merged == full.to_dict()
+
+
+def test_corr_limb_recombination_exact():
+    """The hi/lo int64 limb split of Σy² recombines exactly past int64 range."""
+    y = np.array([9_999_999] * 4096, np.int64)  # max-ish cents
+    yy = y * y
+    hi, lo = int((yy >> 30).sum()), int((yy & ((1 << 30) - 1)).sum())
+    assert (hi << 30) + lo == int(yy.astype(object).sum())  # exact big-int truth
+    # and 3000 such batch-partials still fit the int64 shuffle accumulators
+    assert hi * 3000 < 2**63 and lo * 3000 < 2**63
+
+
+def test_corr_matches_numpy(ray_session):
+    from lightcrawler_ray import relational as rel
+
+    df = rel.corr_qty_price(SF).set_index("l_returnflag")
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    ).to_pandas()
+    for flag, sub in t.groupby("l_returnflag"):
+        ref = np.corrcoef(sub["l_quantity"], sub["l_extendedprice"])[0, 1]
+        assert abs(df.loc[flag, "corr_qp"] - ref) < 1e-9
+        assert df.loc[flag, "n_rows"] == len(sub)
+
+
+def test_pii_patterns_single_source():
+    """The SQL oracle embeds copies of the textstats patterns (to keep
+    oracle_sql() import-light); this pins them identical."""
+    import __ray_entry__ as e
+    from lightcrawler_ray.extras import textstats
+
+    assert e._PII_EMAIL == textstats.PII_EMAIL
+    assert e._PII_IPV4 == textstats.PII_IPV4
+    assert e._PII_PHONE == textstats.PII_PHONE
+
+
+def test_pii_scrub_counts(ray_session):
+    from lightcrawler_ray.extras import textstats
+
+    df = textstats.pii_scrub(SF).to_pandas()
+    # every doc gets exactly the one planted footer of each class
+    assert (df["n_email"] == 1).all() and (df["n_ipv4"] == 1).all() and (df["n_phone"] == 1).all()
+    assert (df["red_len"] > 0).all()
+
+
+def test_curate_funnel_invariants(ray_session):
+    from lightcrawler_ray.extras import textstats
+
+    df = textstats.curate_corpus(SF).set_index("stage")["n_docs"]
+    assert df["total"] >= df["len_gate"] >= df["lang_gate"] >= df["dedup"] > 0
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert df["total"] == n_docs
+    # the prefix key actually collapses something on this corpus
+    assert df["dedup"] < df["lang_gate"]
