@@ -593,6 +593,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_qty_price": rel.corr_qty_price,        # SQL-oracled (HUGEINT algebraic agg)
         "price_histogram": rel.price_histogram,      # SQL-oracled (int-cents bins)
         "json_field_stats": rel.json_field_stats,    # SQL-oracled (RE2 extract both sides)
+        "running_total": rel.running_total,          # SQL-oracled (SUM OVER ROWS)
+        "event_gaps": rel.event_gaps,                # SQL-oracled (LAG)
+        "pivot_event_counts": rel.pivot_event_counts,  # SQL-oracled (FILTER pivot)
+        "left_enrich_events": rel.left_enrich_events,  # SQL-oracled (LEFT JOIN)
         # training-data text ops (SQL-oracled)
         "token_counts": textstats.token_counts,
         "stopword_ratio": textstats.stopword_ratio,
@@ -629,6 +633,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers": __import__(
             "lightcrawler_ray.extras.sketches", fromlist=["hll_registers"]
         ).hll_registers,
+        "kmv_sketch": __import__(
+            "lightcrawler_ray.extras.sketches", fromlist=["kmv_sketch"]
+        ).kmv_sketch,
         # deterministic sampling / ordering (SQL-oracled, bit-exact)
         "stratified_sample": __import__(
             "lightcrawler_ray.extras.sampling", fromlist=["stratified_sample"]
@@ -1792,6 +1799,36 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'lang_gate', CAST(sum(f2) AS BIGINT) FROM f "
             "UNION ALL SELECT 'dedup', "
             "count(DISTINCT CASE WHEN f2 = 1 THEN key END) FROM f"
+        ),
+        "running_total": (
+            # cents-exact: the engine's segmented int64 cumsum equals the
+            # DECIMAL running sum cast to double at each row
+            "SELECT event_id, user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100 AS running_value FROM events"
+        ),
+        "event_gaps": (
+            "SELECT event_id, user_id, COALESCE(CAST(epoch_us(ts) AS BIGINT) "
+            "- lag(CAST(epoch_us(ts) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us FROM events"
+        ),
+        "pivot_event_counts": (
+            "SELECT user_id, "
+            + ", ".join(
+                f"count(*) FILTER (WHERE event_type = '{ty}') AS n_{ty}"
+                for ty in ("click", "view", "purchase", "signup", "error")
+            )
+            + " FROM events GROUP BY user_id"
+        ),
+        "left_enrich_events": (
+            "SELECT e.event_id, e.user_id, COALESCE(s.s_name, 'none') AS supp_name "
+            "FROM events e LEFT JOIN supplier s ON e.user_id = s.s_suppkey"
+        ),
+        "kmv_sketch": (
+            # 63-bit KMV state: k smallest distinct (md5-low64 >> 1) key hashes
+            "SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT) AS rank, h "
+            "FROM (SELECT DISTINCT CAST(md5_number_lower(CAST(user_id AS VARCHAR)) "
+            "// 2 AS BIGINT) AS h FROM events) ORDER BY h LIMIT 64"
         ),
         "hll_registers": (
             # bit-exact register-state replay: md5_number_lower IS the

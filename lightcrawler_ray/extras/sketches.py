@@ -84,3 +84,45 @@ def hll_estimate(registers: pd.DataFrame) -> float:
     if est <= 2.5 * M and zeros:
         est = M * np.log(M / zeros)
     return float(est)
+
+
+def kmv_sketch(sf_dir: str, k: int = 64) -> pd.DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002) over
+    ``events.user_id``: the k smallest 63-bit key hashes.  Like the HLL
+    registers, the SKETCH STATE is the deliverable — two partitions' states
+    merge by keeping the k smallest of the union, so the global state is a
+    tiny sort+limit over per-batch partials (each batch contributes ≤k
+    rows; the input never shuffles).  63-bit values (h >> 1) so the state
+    survives int64 columns everywhere.  SQL-oracled bit-exactly."""
+    from .. import storage
+
+    ds = storage.read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uids = np.unique(t.column("user_id").to_numpy(zero_copy_only=False))
+        h = np.fromiter(
+            (_low64(str(int(u))) >> 1 for u in uids), dtype=np.int64, count=len(uids)
+        )
+        h = np.unique(h)[:k]  # local k-min partial
+        return pa.table({"h": pa.array(h, pa.int64())})
+
+    # a key seen in many batches emits its h from each, so dedup BEFORE the
+    # k-cut (a sort+limit over raw partials could fill its k rows with
+    # duplicates); the groupby input is ≤ blocks×k rows — a tiny shuffle
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("h", alias_name="hmin"))
+        .sort("h")
+        .limit(k)
+        .to_pandas()
+    )
+    h = out["h"].to_numpy()
+    return pd.DataFrame({"rank": np.arange(len(h), dtype=np.int64), "h": h})
+
+
+def kmv_estimate(state: pd.DataFrame, k: int = 64) -> float:
+    """(k-1) / normalized kth minimum — the standard KMV estimator."""
+    if len(state) < k:
+        return float(len(state))
+    return (k - 1) / (float(state["h"].iloc[k - 1]) / float(1 << 63))

@@ -1028,3 +1028,121 @@ def json_field_stats(sf_dir: str) -> rd.Dataset:
             Min("min_k", alias_name="min_k"), Max("max_k", alias_name="max_k"),
         )
     )
+
+
+def running_total(sf_dir: str, partitions: int = 32) -> rd.Dataset:
+    """Per-user running total (SUM OVER ROWS UNBOUNDED PRECEDING, ordered by
+    ts then event_id) — the windowed prefix sum of a feature pipeline.
+    Same coarse-partition shape as sessionize: ONE shuffle on
+    hash(user) % P, then a lexsort + segmented cumsum inside each partition
+    (per-event work is pure numpy; cents-exact int64)."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], partitions - 1), pa.int32())
+        return t.append_column("part", part)
+
+    def cumsum_partition(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(g.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        us, cs = u[order], np.cumsum(cents[order])
+        new_user = np.ones(us.size, dtype=bool)
+        new_user[1:] = us[1:] != us[:-1]
+        bounds = np.nonzero(new_user)[0]
+        counts = np.diff(np.append(bounds, us.size))
+        seg_base = np.repeat(cs[bounds] - cents[order][bounds], counts)
+        return pa.table({
+            "event_id": pa.array(eid[order], pa.int64()),
+            "user_id": pa.array(us, pa.int64()),
+            "running_value": pa.array((cs - seg_base) / 100.0, pa.float64()),
+        })
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(cumsum_partition, batch_format="pyarrow")
+    )
+
+
+def event_gaps(sf_dir: str, partitions: int = 32) -> rd.Dataset:
+    """Per-user LAG: microseconds since the user's previous event (-1 for
+    the first), ordered by (ts, event_id) — the lag/lead window primitive,
+    coarse-partitioned and vectorized like running_total."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], partitions - 1), pa.int32())
+        return t.append_column("part", part)
+
+    def lag_partition(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        us, tss = u[order], ts[order]
+        gap = np.empty(us.size, np.int64)
+        gap[0] = -1
+        gap[1:] = np.where(us[1:] == us[:-1], tss[1:] - tss[:-1], -1)
+        return pa.table({
+            "event_id": pa.array(eid[order], pa.int64()),
+            "user_id": pa.array(us, pa.int64()),
+            "gap_us": pa.array(gap, pa.int64()),
+        })
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lag_partition, batch_format="pyarrow")
+    )
+
+
+def pivot_event_counts(sf_dir: str) -> rd.Dataset:
+    """PIVOT: per-user event-type counts as fixed columns — per-batch
+    indicator columns + in-block combine, then the tiny groupby-sum (the
+    partial-aggregation shape; the wide row never exists pre-aggregation)."""
+    types = ("click", "view", "purchase", "signup", "error")
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        for ty in types:
+            cols[f"n_{ty}"] = pc.cast(pc.equal(t["event_type"], ty), pa.int64())
+        t2 = pa.table(cols)
+        g = pa.TableGroupBy(t2, "user_id").aggregate([(f"n_{ty}", "sum") for ty in types])
+        return g.rename_columns(["user_id"] + [f"n_{ty}" for ty in types])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in types])
+    )
+
+
+def left_enrich_events(sf_dir: str) -> rd.Dataset:
+    """Broadcast LEFT OUTER join: events × supplier on user_id = s_suppkey,
+    misses null-filled with 'none' — same ray.put-once / searchsorted-probe
+    shape as dim_enrich but preserving unmatched rows (outer semantics)."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    sk = sup.column("s_suppkey").to_numpy().astype(np.int64)
+    order = np.argsort(sk)
+    side_ref = ray.put((sk[order],
+                        np.array(sup.column("s_name").to_pylist(), dtype=object)[order]))
+    ds = _pq(sf_dir, "events", ["event_id", "user_id"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        keys, names = ray.get(side_ref)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.clip(np.searchsorted(keys, uid), 0, len(keys) - 1)
+        hit = keys[idx] == uid
+        out = np.where(hit, names[idx], "none")
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "supp_name": pa.array(out.tolist(), pa.string()),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow")

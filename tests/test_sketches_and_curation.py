@@ -93,3 +93,42 @@ def test_curate_funnel_invariants(ray_session):
     assert df["total"] == n_docs
     # the prefix key actually collapses something on this corpus
     assert df["dedup"] < df["lang_gate"]
+
+
+def test_kmv_estimate_accuracy(ray_session):
+    from lightcrawler_ray.extras import sketches
+
+    state = sketches.kmv_sketch(SF)
+    assert len(state) == 64 and state["h"].is_unique and state["h"].is_monotonic_increasing
+    est = sketches.kmv_estimate(state)
+    truth = len(
+        np.unique(pq.read_table(f"{SF}/events.parquet", columns=["user_id"])["user_id"])
+    )
+    # k=64 → std err ≈ 1/sqrt(62) ≈ 12.7%; allow 3 sigma
+    assert abs(est - truth) / truth < 0.40, (est, truth)
+
+
+def test_left_enrich_has_hits_and_misses(ray_session):
+    from lightcrawler_ray import relational as rel
+
+    df = rel.left_enrich_events(SF).to_pandas()
+    assert (df["supp_name"] == "none").any(), "fixture must have unmatched users"
+    assert (df["supp_name"] != "none").any(), "fixture must have matched users"
+    n = pq.read_metadata(f"{SF}/events.parquet").num_rows
+    assert len(df) == n, "LEFT join preserves every left row"
+
+
+def test_running_total_last_equals_group_sum(ray_session):
+    """The final running value per user equals the user's exact total."""
+    from lightcrawler_ray import relational as rel
+
+    df = rel.running_total(SF).to_pandas()
+    t = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "value"]).to_pandas()
+    t["cents"] = np.rint(t["value"] * 100).astype(np.int64)
+    totals = t.groupby("user_id")["cents"].sum() / 100.0
+    got = df.groupby("user_id")["running_value"].max()
+    # for users whose values are all non-negative, max(running) == total
+    nonneg = t.groupby("user_id")["cents"].min() >= 0
+    users = nonneg[nonneg].index
+    assert len(users) > 0
+    assert np.allclose(got.loc[users], totals.loc[users])
