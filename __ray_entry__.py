@@ -38,6 +38,10 @@ _SW_LANG = (
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _PII_PHONE = r"\b\d{3}-\d{4}\b"
+# BPE pre-tokenizer pattern (mirror of textstats.BPE_PATTERN, pinned by
+# test_pii_patterns_single_source's sibling assert), apostrophe doubled for
+# the SQL literal
+_BPE_PATTERN_SQL = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+".replace("'", "''")
 
 
 def entry() -> Any:
@@ -593,6 +597,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_qty_price": rel.corr_qty_price,        # SQL-oracled (HUGEINT algebraic agg)
         "price_histogram": rel.price_histogram,      # SQL-oracled (int-cents bins)
         "json_field_stats": rel.json_field_stats,    # SQL-oracled (RE2 extract both sides)
+        "order_revenue_join": rel.order_revenue_join,  # SQL-oracled (co-partitioned join)
+        "moving_avg": rel.moving_avg,                # SQL-oracled (ROWS 4 PRECEDING)
         "running_total": rel.running_total,          # SQL-oracled (SUM OVER ROWS)
         "event_gaps": rel.event_gaps,                # SQL-oracled (LAG)
         "pivot_event_counts": rel.pivot_event_counts,  # SQL-oracled (FILTER pivot)
@@ -628,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": textstats.decontaminate,            # SQL-oracled (gram join)
         "domain_sample": textstats.domain_sample,            # SQL-oracled (md5-low64 rule)
         "pii_scrub": textstats.pii_scrub,                    # SQL-oracled (RE2 replay)
+        "bpe_token_counts": textstats.bpe_token_counts,      # SQL-oracled (RE2 replay)
         "curate_corpus": textstats.curate_corpus,            # SQL-oracled (CTE funnel)
         # distributed sketches (SQL-oracled register state)
         "hll_registers": __import__(
@@ -1799,6 +1806,25 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'lang_gate', CAST(sum(f2) AS BIGINT) FROM f "
             "UNION ALL SELECT 'dedup', "
             "count(DISTINCT CASE WHEN f2 = 1 THEN key END) FROM f"
+        ),
+        "order_revenue_join": (
+            # large-×-large equi-join; revenue in exact 10^-4-dollar units
+            "SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 "
+            "AS revenue FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+            "GROUP BY o_orderpriority"
+        ),
+        "moving_avg": (
+            "SELECT event_id, user_id, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) "
+            "/ 100 / count(*) OVER w AS mavg FROM events WINDOW w AS ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
+        ),
+        "bpe_token_counts": (
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            f"'{_BPE_PATTERN_SQL}')) AS n_bpe_tokens FROM documents"
         ),
         "running_total": (
             # cents-exact: the engine's segmented int64 cumsum equals the

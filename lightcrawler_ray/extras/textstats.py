@@ -511,3 +511,25 @@ def curate_corpus(sf_dir: str, min_chars: int = 200, prefix: int = 40) -> pd.Dat
         "stage": ["total", "len_gate", "lang_gate", "dedup"],
         "n_docs": np.array([tot.total, tot.n_f1, tot.n_f2, tot.n_kept], np.int64),
     })
+
+
+# RE2-compatible BPE-style pre-tokenizer (GPT-2 shape minus lookaheads,
+# which RE2 lacks): contraction suffixes, space-prefixed words / numbers /
+# punctuation runs
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+
+
+def bpe_token_counts(sf_dir: str) -> rd.Dataset:
+    """Token counting under a BPE-ish regex pre-tokenizer (the GPT-2 split
+    classes, RE2-compatible) — the cost-estimation pass of a training-data
+    pipeline.  Embarrassingly parallel map_batches; the oracle replays the
+    identical pattern through DuckDB's RE2."""
+    import re
+
+    pat = re.compile(BPE_PATTERN)
+
+    def f(t: pa.Table) -> pa.Table:
+        n = [len(pat.findall(x)) for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"), "n_bpe_tokens": pa.array(n, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")

@@ -1146,3 +1146,121 @@ def left_enrich_events(sf_dir: str) -> rd.Dataset:
         })
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def order_revenue_join(sf_dir: str, partitions: int = 64) -> rd.Dataset:
+    """Large-×-large co-partitioned equi-join — the shuffle hash join the
+    broadcast pattern can't do: lineitem revenue per order joined with
+    orders on orderkey, aggregated to revenue per order priority.
+
+    Scale shape: lineitem first collapses per (batch, orderkey) — the
+    partial-agg combiner — so the join input is one row per order per
+    block, not one per line.  Both sides then tag part = orderkey & (P-1),
+    union into one dataset, and a single groupby(part) co-locates matching
+    keys; inside a partition the probe is a numpy searchsorted, and only
+    O(priorities) partial rows leave each partition.  ONE shuffle total,
+    no driver-side table.  Revenue accumulates in exact 10^-4-dollar int64
+    units (same as pricing_summary)."""
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        base_u = np.rint(t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_h = np.rint(t.column("l_discount").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        t2 = pa.table({
+            "key": t["l_orderkey"],
+            "rev_u": pa.array(base_u * (100 - disc_h), pa.int64()),
+        })
+        g = pa.TableGroupBy(t2, "key").aggregate([("rev_u", "sum")])
+        k = g["key"]
+        return pa.table({
+            "part": pc.cast(pc.bit_wise_and(k, partitions - 1), pa.int32()),
+            "key": k, "rev_u": g["rev_u_sum"],
+            "priority": pa.nulls(len(g), pa.string()),
+        })
+
+    def orders_tag(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"]
+        return pa.table({
+            "part": pc.cast(pc.bit_wise_and(k, partitions - 1), pa.int32()),
+            "key": k, "rev_u": pa.nulls(len(t), pa.int64()),
+            "priority": t["o_orderpriority"],
+        })
+
+    both = li.map_batches(li_partial, batch_format="pyarrow").union(
+        orders.map_batches(orders_tag, batch_format="pyarrow")
+    )
+
+    def join_partition(g: pa.Table) -> pa.Table:
+        pr = g.column("priority").to_numpy(zero_copy_only=False)
+        is_order = pd.notna(pr)
+        key = g.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = g.column("rev_u").to_numpy(zero_copy_only=False)
+        okey, opri = key[is_order], pr[is_order]
+        o_order = np.argsort(okey, kind="stable")
+        okey, opri = okey[o_order], opri[o_order]
+        lkey = key[~is_order]
+        lrev = rev[~is_order].astype(np.int64)
+        idx = np.clip(np.searchsorted(okey, lkey), 0, max(len(okey) - 1, 0))
+        hit = (okey[idx] == lkey) if len(okey) else np.zeros(len(lkey), bool)
+        t2 = pa.table({
+            "o_orderpriority": pa.array(opri[idx[hit]].tolist(), pa.string()),
+            "rev_u": pa.array(lrev[hit]),
+            "key": pa.array(lkey[hit]),
+        })
+        gp = pa.TableGroupBy(t2, "o_orderpriority").aggregate(
+            [("rev_u", "sum"), ("key", "count_distinct")]
+        )
+        return gp.rename_columns(["o_orderpriority", "rev_u", "n_orders"])
+
+    agg = (
+        both.groupby("part")
+        .map_groups(join_partition, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("rev_u", alias_name="rev_u"), Sum("n_orders", alias_name="n_orders"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table({
+            "o_orderpriority": t["o_orderpriority"], "n_orders": t["n_orders"],
+            "revenue": pc.divide(pc.cast(t["rev_u"], pa.float64()), 10000.0),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def moving_avg(sf_dir: str, window: int = 5, partitions: int = 32) -> rd.Dataset:
+    """Trailing-window moving average (ROWS BETWEEN 4 PRECEDING AND CURRENT
+    ROW) of event value per user — coarse-partitioned like running_total;
+    the window sum is a cumsum difference with the window start clamped to
+    the user segment (pure numpy, cents-exact)."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], partitions - 1), pa.int32())
+        return t.append_column("part", part)
+
+    def mavg_partition(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(g.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        us, c = u[order], cents[order]
+        new_user = np.ones(us.size, dtype=bool)
+        new_user[1:] = us[1:] != us[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_user, np.arange(us.size), 0))
+        lo = np.maximum(seg_start, np.arange(us.size) - (window - 1))
+        cs = np.concatenate(([0], np.cumsum(c)))
+        ws = cs[np.arange(us.size) + 1] - cs[lo]
+        n = np.arange(us.size) - lo + 1
+        return pa.table({
+            "event_id": pa.array(eid[order]),
+            "user_id": pa.array(us),
+            "mavg": pa.array(ws.astype(np.float64) / 100.0 / n, pa.float64()),
+        })
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(mavg_partition, batch_format="pyarrow")
+    )

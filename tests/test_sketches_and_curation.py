@@ -132,3 +132,48 @@ def test_running_total_last_equals_group_sum(ray_session):
     users = nonneg[nonneg].index
     assert len(users) > 0
     assert np.allclose(got.loc[users], totals.loc[users])
+
+
+def test_bpe_pattern_single_source():
+    import __ray_entry__ as e
+    from lightcrawler_ray.extras import textstats
+
+    assert e._BPE_PATTERN_SQL == textstats.BPE_PATTERN.replace("'", "''")
+
+
+def test_order_revenue_join_vs_pandas(ray_session):
+    """The co-partitioned shuffle join equals a driver-side merge."""
+    from lightcrawler_ray import relational as rel
+
+    got = rel.order_revenue_join(SF).to_pandas().set_index("o_orderpriority").sort_index()
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).to_pandas()
+    od = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).to_pandas()
+    li["rev_u"] = (
+        np.rint(li["l_extendedprice"] * 100).astype(np.int64)
+        * (100 - np.rint(li["l_discount"] * 100).astype(np.int64))
+    )
+    m = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    ref = m.groupby("o_orderpriority").agg(
+        n_orders=("o_orderkey", "nunique"), rev_u=("rev_u", "sum")
+    )
+    assert (got["n_orders"] == ref["n_orders"]).all()
+    assert np.allclose(got["revenue"], ref["rev_u"] / 10000.0)
+
+
+def test_moving_avg_window_clamps_at_segment_start(ray_session):
+    """First row of each user averages only itself; fifth row averages 5."""
+    from lightcrawler_ray import relational as rel
+
+    df = rel.moving_avg(SF).to_pandas()
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    ).to_pandas().sort_values(["user_id", "ts", "event_id"])
+    ev["cents"] = np.rint(ev["value"] * 100).astype(np.int64)
+    first = ev.groupby("user_id").head(1)
+    got = df.set_index("event_id")["mavg"]
+    assert np.allclose(got.loc[first["event_id"]].to_numpy(),
+                       first["cents"].to_numpy() / 100.0)
