@@ -525,6 +525,13 @@ def _q_image_filter_gate(sf_dir: str):
     return multimodal.image_filter_gate(paths["images"])
 
 
+def _q_image_tile_plan(sf_dir: str):
+    from lightcrawler_ray.extras import multimodal
+
+    _, paths = _fixture_paths()
+    return multimodal.image_tile_plan(paths["images"])
+
+
 def _q_image_meta_scan(sf_dir: str):
     from lightcrawler_ray.extras import multimodal
 
@@ -643,6 +650,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_sketch": __import__(
             "lightcrawler_ray.extras.sketches", fromlist=["kmv_sketch"]
         ).kmv_sketch,
+        "cms_counts": __import__(
+            "lightcrawler_ray.extras.sketches", fromlist=["cms_counts"]
+        ).cms_counts,
+        "image_tile_plan": _q_image_tile_plan,               # SQL-oracled (stored-dims replay)
         # deterministic sampling / ordering (SQL-oracled, bit-exact)
         "stratified_sample": __import__(
             "lightcrawler_ray.extras.sampling", fromlist=["stratified_sample"]
@@ -1233,6 +1244,7 @@ def oracle_sql() -> dict[str, str]:
     # (a*x + b) mod 2^64 signature (x = md5_number_lower(shingle) & (2^61-1))
     from lightcrawler_ray.functions import hashing as _hashing
 
+    _, paths = _fixture_paths()  # image-fixture parquet for stored-dims replays
     _mh_a, _mh_b = _hashing.minhash_params(64)
     _A = "[" + ",".join(f"{int(v)}::HUGEINT" for v in _mh_a) + "]"
     _B = "[" + ",".join(f"{int(v)}::HUGEINT" for v in _mh_b) + "]"
@@ -1855,6 +1867,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT) AS rank, h "
             "FROM (SELECT DISTINCT CAST(md5_number_lower(CAST(user_id AS VARCHAR)) "
             "// 2 AS BIGINT) AS h FROM events) ORDER BY h LIMIT 64"
+        ),
+        "cms_counts": (
+            # Count-Min register replay: same md5 'd:key' bucket rule
+            "WITH d AS (SELECT unnest([0, 1, 2, 3]) AS row_d), "
+            "h AS (SELECT row_d, CAST(md5_number_lower(CAST(row_d AS VARCHAR) "
+            "|| ':' || CAST(user_id AS VARCHAR)) % 256 AS BIGINT) AS bucket "
+            "FROM events CROSS JOIN d) "
+            "SELECT row_d, bucket, count(*) AS cnt FROM h GROUP BY row_d, bucket"
+        ),
+        "image_tile_plan": (
+            # stored-dims replay of the engine's decode-derived tile grid
+            "WITH dd AS (SELECT image_id, CAST(w AS BIGINT) AS w, "
+            f"CAST(h AS BIGINT) AS h FROM read_parquet('{paths['images']}')), "
+            "x AS (SELECT image_id, w, h, "
+            "unnest(range(0, CAST(ceil(w / 64.0) AS BIGINT))) AS i FROM dd), "
+            "xy AS (SELECT image_id, w, h, i, "
+            "unnest(range(0, CAST(ceil(h / 64.0) AS BIGINT))) AS j FROM x) "
+            "SELECT image_id, i AS tile_x, j AS tile_y, i * 64 AS x0, "
+            "j * 64 AS y0, least(64, w - i * 64) AS tw, "
+            "least(64, h - j * 64) AS th FROM xy"
         ),
         "hll_registers": (
             # bit-exact register-state replay: md5_number_lower IS the

@@ -552,3 +552,43 @@ def image_meta_scan(images_path: str) -> rd.Dataset:
 
     ds = storage.read_parquet_clean(images_path, columns=["image_id", "bytes"])
     return ds.map_batches(scan, batch_format="pyarrow", batch_size=256)
+
+
+class ImageTilePlan(_DecodeDims):
+    """Tile-grid planner: per image, the coordinate plan for TILE×TILE
+    crops (edge tiles clipped) — the fan-out step before patch-level
+    encoding at 100 TB.  Decode once per image in the actor pool, then the
+    expansion is pure run-length arithmetic (repeat/arange — no Python loop
+    over tiles); payload bytes never leave the stage."""
+
+    TILE = 64
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        w, h = self.dims(t)
+        T = self.TILE
+        nx = -(-w // T)
+        ny = -(-h // T)
+        per_img = nx * ny
+        row_idx = np.repeat(np.arange(len(t), dtype=np.int64), per_img)
+        ids = t.column("image_id").take(pa.array(row_idx))
+        wrep, hrep = np.repeat(w, per_img), np.repeat(h, per_img)
+        nyrep = np.repeat(ny, per_img)
+        # within-image tile index 0..nx*ny-1, laid out x-major (i = k // ny)
+        starts = np.repeat(np.cumsum(per_img) - per_img, per_img)
+        k = np.arange(per_img.sum(), dtype=np.int64) - starts
+        i, j = k // nyrep, k % nyrep
+        return pa.table({
+            "image_id": ids,
+            "tile_x": pa.array(i), "tile_y": pa.array(j),
+            "x0": pa.array(i * T), "y0": pa.array(j * T),
+            "tw": pa.array(np.minimum(T, wrep - i * T)),
+            "th": pa.array(np.minimum(T, hrep - j * T)),
+        })
+
+
+def image_tile_plan(images_path: str) -> rd.Dataset:
+    from .. import storage
+
+    ds = storage.read_parquet_clean(images_path, columns=["image_id", "bytes"])
+    return ds.map_batches(ImageTilePlan, concurrency=2, batch_size=64,
+                          batch_format="pyarrow")

@@ -126,3 +126,60 @@ def kmv_estimate(state: pd.DataFrame, k: int = 64) -> float:
     if len(state) < k:
         return float(len(state))
     return (k - 1) / (float(state["h"].iloc[k - 1]) / float(1 << 63))
+
+
+CMS_D = 4       # hash rows
+CMS_W = 256     # buckets per row
+
+
+def cms_counts(sf_dir: str) -> rd.Dataset:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of event frequency
+    per user — the heavy-hitters sketch.  Register state = exact int counts
+    per (row, bucket), which sum associatively across blocks (order-free),
+    so the whole sketch is a per-batch partial count + a 1024-row groupby.
+    SQL-oracled bit-exactly via the same md5 bucket rule."""
+    from .. import storage
+
+    ds = storage.read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uids = t.column("user_id").to_numpy(zero_copy_only=False)
+        # hash each DISTINCT key once per row-d, then count via inverse index
+        uniq, inv = np.unique(uids, return_inverse=True)
+        rows, buckets, counts = [], [], []
+        binc = np.bincount(inv)
+        for d in range(CMS_D):
+            bk = np.fromiter(
+                (_low64(f"{d}:{int(u)}") % CMS_W for u in uniq),
+                dtype=np.int64, count=len(uniq),
+            )
+            t2 = np.zeros(CMS_W, np.int64)
+            np.add.at(t2, bk, binc)
+            nz = np.nonzero(t2)[0]
+            rows.append(np.full(len(nz), d, np.int64))
+            buckets.append(nz)
+            counts.append(t2[nz])
+        return pa.table({
+            "row_d": pa.array(np.concatenate(rows)),
+            "bucket": pa.array(np.concatenate(buckets)),
+            "cnt": pa.array(np.concatenate(counts)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["row_d", "bucket"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+
+def cms_estimate(state: pd.DataFrame, key: int) -> int:
+    """Point frequency estimate: min over rows of the key's bucket count."""
+    est = None
+    for d in range(CMS_D):
+        b = _low64(f"{d}:{int(key)}") % CMS_W
+        sub = state[(state["row_d"] == d) & (state["bucket"] == b)]["cnt"]
+        c = int(sub.iloc[0]) if len(sub) else 0
+        est = c if est is None else min(est, c)
+    return int(est or 0)

@@ -177,3 +177,32 @@ def test_moving_avg_window_clamps_at_segment_start(ray_session):
     got = df.set_index("event_id")["mavg"]
     assert np.allclose(got.loc[first["event_id"]].to_numpy(),
                        first["cents"].to_numpy() / 100.0)
+
+
+def test_cms_estimate_upper_bounds_truth(ray_session):
+    """CMS never under-counts, and is near-exact for heavy keys at this load."""
+    from lightcrawler_ray.extras import sketches
+
+    state = sketches.cms_counts(SF).to_pandas()
+    uids = pq.read_table(f"{SF}/events.parquet", columns=["user_id"])["user_id"].to_numpy()
+    truth = pd.Series(uids).value_counts()
+    total = len(uids)
+    for key in truth.index[:5].tolist() + truth.index[-3:].tolist():
+        est = sketches.cms_estimate(state, int(key))
+        assert est >= truth[key], "CMS must never undercount"
+        # standard bound: overcount ≤ e/W * total with prob 1 - e^-D
+        assert est - truth[key] <= (2.72 / sketches.CMS_W) * total * 3
+
+
+def test_image_tile_plan_covers_exactly(ray_session):
+    """Tiles partition each image exactly: areas sum to w*h, no overlap."""
+    import __ray_entry__ as e
+
+    df = e._q_image_tile_plan("unused").to_pandas()
+    _, paths = e._fixture_paths()
+    dims = pq.read_table(paths["images"], columns=["image_id", "w", "h"]).to_pandas()
+    area = df.assign(a=df["tw"] * df["th"]).groupby("image_id")["a"].sum()
+    for _, r in dims.iterrows():
+        assert area[r["image_id"]] == r["w"] * r["h"]
+    assert (df["tw"] > 0).all() and (df["th"] > 0).all()
+    assert (df["x0"] + df["tw"] <= df.merge(dims, on="image_id")["w"]).all()
