@@ -610,6 +610,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": rel.event_gaps,                # SQL-oracled (LAG)
         "pivot_event_counts": rel.pivot_event_counts,  # SQL-oracled (FILTER pivot)
         "left_enrich_events": rel.left_enrich_events,  # SQL-oracled (LEFT JOIN)
+        "interval_overlap_join": rel.interval_overlap_join,  # SQL-oracled (self-join replay)
+        "outlier_flags": rel.outlier_flags,          # SQL-oracled (HUGEINT z-gate)
+        "order_line_concat": rel.order_line_concat,  # SQL-oracled (string_agg ORDER BY)
+        "profile_columns": rel.profile_columns,      # SQL-oracled (per-column UNION)
         # training-data text ops (SQL-oracled)
         "token_counts": textstats.token_counts,
         "stopword_ratio": textstats.stopword_ratio,
@@ -643,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": textstats.pii_scrub,                    # SQL-oracled (RE2 replay)
         "bpe_token_counts": textstats.bpe_token_counts,      # SQL-oracled (RE2 replay)
         "curate_corpus": textstats.curate_corpus,            # SQL-oracled (CTE funnel)
+        "pmi_collocations": textstats.pmi_collocations,      # SQL-oracled (same float op order)
         # distributed sketches (SQL-oracled register state)
         "hll_registers": __import__(
             "lightcrawler_ray.extras.sketches", fromlist=["hll_registers"]
@@ -654,6 +659,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "lightcrawler_ray.extras.sketches", fromlist=["cms_counts"]
         ).cms_counts,
         "image_tile_plan": _q_image_tile_plan,               # SQL-oracled (stored-dims replay)
+        "bloom_decontaminate": __import__(
+            "lightcrawler_ray.extras.sketches", fromlist=["bloom_decontaminate"]
+        ).bloom_decontaminate,                               # SQL-oracled (bit-state replay)
         # deterministic sampling / ordering (SQL-oracled, bit-exact)
         "stratified_sample": __import__(
             "lightcrawler_ray.extras.sampling", fromlist=["stratified_sample"]
@@ -1861,6 +1869,111 @@ def oracle_sql() -> dict[str, str]:
         "left_enrich_events": (
             "SELECT e.event_id, e.user_id, COALESCE(s.s_name, 'none') AS supp_name "
             "FROM events e LEFT JOIN supplier s ON e.user_id = s.s_suppkey"
+        ),
+        "interval_overlap_join": (
+            # interval-vs-interval self-join: closed overlap of the same
+            # data-dependent [orderdate, orderdate + (okey % 30 + 1) days]
+            # intervals the engine derives
+            "WITH iv AS (SELECT o_custkey, o_orderkey, o_orderstatus, "
+            "  CAST(epoch_us(o_orderdate) AS BIGINT) AS s, "
+            "  CAST(epoch_us(o_orderdate) AS BIGINT) "
+            "  + (o_orderkey % 30 + 1) * 86400000000 AS e "
+            "  FROM orders WHERE o_orderstatus IN ('O', 'F')) "
+            "SELECT a.o_custkey, a.o_orderkey AS a_orderkey, "
+            "b.o_orderkey AS b_orderkey "
+            "FROM iv a JOIN iv b ON a.o_custkey = b.o_custkey "
+            "AND a.s <= b.e AND b.s <= a.e "
+            "WHERE a.o_orderstatus = 'O' AND b.o_orderstatus = 'F'"
+        ),
+        "outlier_flags": (
+            # float-free 1.5σ gate: 2|dev| > isqrt(9C) on the engine side is
+            # replayed as 4*dev*dev > 9*C in HUGEINT (a > floor(sqrt(C)) iff
+            # a*a > C for nonneg integers) — no sqrt double anywhere
+            "WITH x AS (SELECT o_orderkey, o_orderpriority, "
+            "  CAST(round(o_totalprice * 100) AS HUGEINT) AS xc FROM orders), "
+            "s AS (SELECT o_orderpriority, CAST(count(*) AS HUGEINT) AS n, "
+            "  sum(xc) AS sx, sum(xc * xc) AS sxx FROM x GROUP BY o_orderpriority) "
+            "SELECT x.o_orderkey, x.o_orderpriority, "
+            "CAST(x.xc * s.n - s.sx AS BIGINT) AS dev_scaled, "
+            "4 * (x.xc * s.n - s.sx) * (x.xc * s.n - s.sx) "
+            "> 9 * (s.n * s.sxx - s.sx * s.sx) AS is_outlier "
+            "FROM x JOIN s USING (o_orderpriority)"
+        ),
+        "order_line_concat": (
+            "SELECT l_orderkey, count(*) AS n_lines, "
+            "string_agg(CAST(l_linenumber AS VARCHAR), '-' "
+            "ORDER BY l_linenumber) AS line_sig FROM lineitem GROUP BY l_orderkey"
+        ),
+        "profile_columns": (
+            # one SELECT per profiled column over the same canonical int64
+            # domains (cents / rounded units / epoch-us); string columns by
+            # contract carry NULL min/max (engine emits NaN — equal under
+            # the driver's float compare)
+            "SELECT 'l_extendedprice' AS col_name, count(*) AS n_rows, "
+            "  CAST(count(*) - count(l_extendedprice) AS BIGINT) AS n_nulls, "
+            "  count(DISTINCT CAST(round(l_extendedprice * 100) AS BIGINT)) AS n_distinct, "
+            "  CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS min_v, "
+            "  CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS max_v "
+            "FROM lineitem "
+            "UNION ALL SELECT 'l_linestatus', count(*), "
+            "  CAST(count(*) - count(l_linestatus) AS BIGINT), "
+            "  count(DISTINCT l_linestatus), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) "
+            "FROM lineitem "
+            "UNION ALL SELECT 'l_quantity', count(*), "
+            "  CAST(count(*) - count(l_quantity) AS BIGINT), "
+            "  count(DISTINCT CAST(round(l_quantity) AS BIGINT)), "
+            "  CAST(min(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE), "
+            "  CAST(max(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) FROM lineitem "
+            "UNION ALL SELECT 'l_returnflag', count(*), "
+            "  CAST(count(*) - count(l_returnflag) AS BIGINT), "
+            "  count(DISTINCT l_returnflag), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) "
+            "FROM lineitem "
+            "UNION ALL SELECT 'l_shipdate', count(*), "
+            "  CAST(count(*) - count(l_shipdate) AS BIGINT), "
+            "  count(DISTINCT l_shipdate), "
+            "  CAST(min(CAST(epoch_us(l_shipdate) AS BIGINT)) AS DOUBLE), "
+            "  CAST(max(CAST(epoch_us(l_shipdate) AS BIGINT)) AS DOUBLE) FROM lineitem"
+        ),
+        "pmi_collocations": (
+            # identical tokenization as vocab_topk; PMI doubles computed in
+            # the engine's literal op order (((c12/B)*U)/c1*U)/c2 before ln
+            "WITH t AS (SELECT list_filter(string_split_regex(lower(text), "
+            "'\\s+'), x -> x <> '') AS l FROM documents), "
+            "u AS (SELECT unnest(l) AS w FROM t), "
+            "uc AS (SELECT w, count(*) AS c FROM u GROUP BY w), "
+            "ut AS (SELECT count(*) AS s FROM u), "
+            "bi AS (SELECT l, unnest(range(1, len(l))) AS i FROM t), "
+            "bg AS (SELECT l[i] AS w1, l[i + 1] AS w2 FROM bi), "
+            "bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2), "
+            "bt AS (SELECT count(*) AS s FROM bg) "
+            "SELECT w1, w2, c12, "
+            "ln(CAST(c12 AS DOUBLE) / bt.s * ut.s / c1.c * ut.s / c2.c) AS pmi "
+            "FROM bc JOIN uc c1 ON c1.w = bc.w1 JOIN uc c2 ON c2.w = bc.w2 "
+            "CROSS JOIN bt CROSS JOIN ut WHERE c12 >= 5 "
+            "ORDER BY pmi DESC, w1, w2 LIMIT 50"
+        ),
+        "bloom_decontaminate": (
+            # bit-exact Bloom replay: same md5-low64('d:gram') % 2^16 bit
+            # rule on both sides, so even the false positives agree
+            "WITH t AS (SELECT doc_id, list_filter(string_split_regex("
+            "lower(text), '\\s+'), x -> x <> '') AS l FROM documents), "
+            "gi AS (SELECT doc_id, l, unnest(range(1, len(l) - 3)) AS i FROM t), "
+            "g AS (SELECT DISTINCT doc_id, "
+            "  array_to_string(list_slice(l, i, i + 4), ' ') AS gram FROM gi), "
+            "d AS (SELECT unnest([0, 1, 2]) AS d), "
+            "bits AS (SELECT DISTINCT CAST(md5_number_lower("
+            "  CAST(d.d AS VARCHAR) || ':' || gram) % 65536 AS BIGINT) AS b "
+            "  FROM g CROSS JOIN d WHERE doc_id % 97 = 0), "
+            "ph AS (SELECT g.doc_id, g.gram, CAST(md5_number_lower("
+            "  CAST(d.d AS VARCHAR) || ':' || g.gram) % 65536 AS BIGINT) AS b "
+            "  FROM g CROSS JOIN d WHERE g.doc_id % 97 <> 0), "
+            "hg AS (SELECT ph.doc_id, ph.gram, count(bits.b) AS k "
+            "  FROM ph LEFT JOIN bits ON ph.b = bits.b GROUP BY ph.doc_id, ph.gram), "
+            "hd AS (SELECT doc_id, CAST(count(*) FILTER (WHERE k = 3) AS BIGINT) AS n "
+            "  FROM hg GROUP BY doc_id) "
+            "SELECT dd.doc_id, COALESCE(hd.n, 0) AS n_bloom_hits, "
+            "COALESCE(hd.n, 0) > 0 AS flagged "
+            "FROM documents dd LEFT JOIN hd USING (doc_id) WHERE dd.doc_id % 97 <> 0"
         ),
         "kmv_sketch": (
             # 63-bit KMV state: k smallest distinct (md5-low64 >> 1) key hashes

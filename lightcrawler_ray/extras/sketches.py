@@ -183,3 +183,80 @@ def cms_estimate(state: pd.DataFrame, key: int) -> int:
         c = int(sub.iloc[0]) if len(sub) else 0
         est = c if est is None else min(est, c)
     return int(est or 0)
+
+
+BLOOM_M = 1 << 16   # bits (8 KiB packed)
+BLOOM_K = 3         # hash functions
+
+
+def bloom_decontaminate(sf_dir: str, n: int = 5) -> rd.Dataset:
+    """Bloom-filter benchmark decontamination — the SKETCHED form of
+    ``textstats.decontaminate``: instead of broadcasting the eval set's raw
+    n-gram strings (gigabytes for a real benchmark suite), broadcast a
+    fixed 2^16-bit Bloom filter (Bloom 1970) of them — 8 KiB per worker at
+    ANY eval-set size — and flag training docs whose distinct 5-grams probe
+    into it.  One-sided by construction: every truly contaminated doc is
+    flagged (no false negatives); hash collisions can only ADD flags, and
+    because the bit state and probes are deterministic (md5-low64 of
+    ``"d:gram"``, the same ``md5_number_lower`` value DuckDB computes), the
+    false positives are reproducible and the whole filter — bit build AND
+    probe verdicts — replays bit-exactly in SQL.
+
+    Scale shape: pass 1 streams the eval slice (doc_id % 97 == 0) into
+    per-batch distinct bit partials (each batch emits ≤ 2^16 rows), one
+    tiny groupby dedups them, and the driver packs ≤ 2^16 set bits into a
+    numpy bool array broadcast via ``ray.put``; pass 2 streams the training
+    corpus through one stateless map_batches probing each doc's distinct
+    grams.  ZERO corpus shuffles, O(1) broadcast state."""
+    import ray
+
+    from .. import storage
+
+    def grams_of(x: str) -> set[str]:
+        toks = (x or "").lower().split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    def eval_bits(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        bits: set[int] = set()
+        for did, x in zip(ids, texts):
+            if did % 97:
+                continue
+            for g in grams_of(x):
+                for d in range(BLOOM_K):
+                    bits.add(_low64(f"{d}:{g}") % BLOOM_M)
+        return pa.table({"b": pa.array(sorted(bits), pa.int64())})
+
+    ds = storage.read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    set_bits = (
+        ds.map_batches(eval_bits, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Min("b", alias_name="bmin"))
+        .to_pandas()  # ≤ 2^16 rows
+    )
+    bits = np.zeros(BLOOM_M, dtype=bool)
+    bits[set_bits["b"].to_numpy()] = True
+    bits_ref = ray.put(bits)
+
+    def probe(t: pa.Table) -> pa.Table:
+        bv = ray.get(bits_ref)
+        ids_out, hits = [], []
+        for did, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            if did % 97 == 0:
+                continue
+            cnt = 0
+            for g in grams_of(x):
+                if all(bv[_low64(f"{d}:{g}") % BLOOM_M] for d in range(BLOOM_K)):
+                    cnt += 1
+            ids_out.append(did)
+            hits.append(cnt)
+        return pa.table({
+            "doc_id": pa.array(ids_out, pa.int64()),
+            "n_bloom_hits": pa.array(hits, pa.int64()),
+            "flagged": pa.array([h > 0 for h in hits], pa.bool_()),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow")

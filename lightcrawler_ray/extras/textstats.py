@@ -533,3 +533,89 @@ def bpe_token_counts(sf_dir: str) -> rd.Dataset:
         return pa.table({"doc_id": t.column("doc_id"), "n_bpe_tokens": pa.array(n, pa.int64())})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def pmi_collocations(sf_dir: str, min_count: int = 5, k: int = 50) -> pd.DataFrame:
+    """Top-k bigram collocations by pointwise mutual information
+    (Church & Hanks 1990) — the phrase-mining step of corpus analysis:
+    PMI(w1, w2) = ln(P(w1 w2) / (P(w1) P(w2))) with bigram probability over
+    total bigram count B and unigram probabilities over total token count
+    U, restricted to bigrams seen >= ``min_count`` times (rare-pair PMI is
+    noise).  Ties at equal PMI break (w1, w2) ascending.
+
+    Scale shape — ONE corpus pass emits per-batch partial unigram AND
+    bigram counts into a single (w1, w2) keyed table (unigrams ride with
+    w2 = '' — a token the whitespace tokenizer can never produce), so the
+    only corpus-sized work is the streaming count; the shuffle moves
+    vocabulary-sized partials.  The merged table is materialized ONCE at
+    |vocab| + |bigram vocab| rows (bounded, ≪ corpus; the same bound
+    vocab_topk already relies on), unigram counts broadcast via ``ray.put``
+    as a dict, and the PMI scoring streams over the bigram rows with the
+    k-cut done by sort+limit on the filtered (>= min_count) survivors.
+    The float op order ln(c12/B*U/c1*U/c2) is mirrored literally in the
+    SQL oracle, so the doubles agree."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        uc: Counter = Counter()
+        bc: Counter = Counter()
+        for x in t.column("text").to_pylist():
+            toks = (x or "").lower().split()
+            uc.update(toks)
+            bc.update(zip(toks, toks[1:]))
+        w1 = list(uc.keys()) + [a for a, _ in bc.keys()]
+        w2 = [""] * len(uc) + [b for _, b in bc.keys()]
+        cnt = list(uc.values()) + list(bc.values())
+        return pa.table({
+            "w1": pa.array(w1, pa.string()),
+            "w2": pa.array(w2, pa.string()),
+            "cnt": pa.array(cnt, pa.int64()),
+        })
+
+    merged = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()  # |vocab| + |bigram vocab| rows — bounded, not corpus
+    )
+    uni = merged.map_batches(
+        lambda t: t.filter(pc.equal(t["w2"], "")), batch_format="pyarrow"
+    ).to_pandas()  # vocab-sized
+    u_counts = dict(zip(uni["w1"], uni["cnt"].astype(int)))
+    u_total = int(uni["cnt"].sum())
+    # bigram total = everything that isn't a unigram row — one tiny aggregate
+    b_total = int(merged.aggregate(Sum("cnt", alias_name="s"))["s"]) - u_total
+    u_ref = ray.put(u_counts)
+
+    def score(t: pa.Table) -> pa.Table:
+        uc = ray.get(u_ref)
+        keep = pc.and_(
+            pc.not_equal(t["w2"], ""), pc.greater_equal(t["cnt"], min_count)
+        )
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({
+                "w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+                "c12": pa.array([], pa.int64()), "pmi": pa.array([], pa.float64()),
+            })
+        w1 = t.column("w1").to_pylist()
+        w2 = t.column("w2").to_pylist()
+        c12 = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = np.fromiter((uc[w] for w in w1), np.int64, len(w1))
+        c2 = np.fromiter((uc[w] for w in w2), np.int64, len(w2))
+        pmi = np.log(c12.astype(np.float64) / b_total * u_total / c1 * u_total / c2)
+        return pa.table({
+            "w1": pa.array(w1, pa.string()), "w2": pa.array(w2, pa.string()),
+            "c12": pa.array(c12), "pmi": pa.array(pmi, pa.float64()),
+        })
+
+    return (
+        merged.map_batches(score, batch_format="pyarrow")
+        .sort(["pmi", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+        .to_pandas()
+    )

@@ -1264,3 +1264,310 @@ def moving_avg(sf_dir: str, window: int = 5, partitions: int = 32) -> rd.Dataset
         .groupby("part")
         .map_groups(mavg_partition, batch_format="pyarrow")
     )
+
+
+def interval_overlap_join(sf_dir: str, partitions: int = 32) -> rd.Dataset:
+    """Interval OVERLAP join with VARIABLE durations — the third join
+    primitive Ray Data lacks natively (``asof_latest_order`` is point-vs-
+    latest, ``range_join_events`` is point-vs-fixed-window; this one is
+    interval-vs-interval): pair every open ('O') order interval with every
+    finished ('F') order interval of the SAME customer that overlaps it,
+    where an order's interval is [o_orderdate, o_orderdate +
+    (o_orderkey % 30 + 1) days] — a data-dependent duration, so it does NOT
+    reduce to a shifted range join.
+
+    Scale shape — ONE shuffle on the coarse ``custkey % P`` key co-locates
+    each customer's intervals; within a partition the candidate set is the
+    per-key A×B cross product expanded by repeat/arange arithmetic and
+    masked by the overlap predicate — no Python per group.  Partitioning
+    assumption: per-key interval counts are bounded (orders per customer
+    here; salt hot keys + dedup when they are not), so the expansion is
+    O(Σ|A_k||B_k|), never |partition|².  At equal boundaries the overlap is
+    CLOSED (a.start <= b.end AND b.start <= a.end), matching the SQL."""
+    DAY_US = 86_400_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["o_orderstatus"], value_set=pa.array(["O", "F"])))
+        okey = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        e = s + (okey % 30 + 1) * DAY_US
+        side = pc.equal(t["o_orderstatus"], "F").to_numpy(zero_copy_only=False).astype(np.int8)
+        cust = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "key": pa.array(cust), "side": pa.array(side),
+            "okey": pa.array(okey), "s": pa.array(s), "e": pa.array(e),
+            "part": pa.array((cust & (partitions - 1)).astype(np.int32)),
+        })
+
+    def match_partition(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "o_custkey": pa.array([], pa.int64()),
+            "a_orderkey": pa.array([], pa.int64()),
+            "b_orderkey": pa.array([], pa.int64()),
+        })
+        n = g.num_rows
+        if n == 0:
+            return empty
+        key = g.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        side = g.column("side").to_numpy(zero_copy_only=False).astype(np.int64)
+        okey = g.column("okey").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = g.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        e = g.column("e").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((okey, s, side, key))
+        key, side, okey, s, e = key[order], side[order], okey[order], s[order], e[order]
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = key[1:] != key[:-1]
+        seg = np.cumsum(new_key) - 1           # segment id per row
+        nseg = int(seg[-1]) + 1
+        seg_rows = np.bincount(seg, minlength=nseg)
+        n_a = np.bincount(seg, weights=(side == 0), minlength=nseg).astype(np.int64)
+        n_b = (seg_rows - n_a).astype(np.int64)
+        seg_start = np.zeros(nseg, np.int64)
+        seg_start[1:] = np.cumsum(seg_rows)[:-1]
+        a_start, b_start = seg_start, seg_start + n_a  # A sorts before B (side 0 < 1)
+        ppseg = n_a * n_b                       # candidate pairs per segment
+        total = int(ppseg.sum())
+        if total == 0:
+            return empty
+        pair_seg = np.repeat(np.arange(nseg), ppseg)
+        offs = np.concatenate(([0], np.cumsum(ppseg)[:-1]))
+        within = np.arange(total) - np.repeat(offs, ppseg)
+        a_idx = a_start[pair_seg] + within // n_b[pair_seg]
+        b_idx = b_start[pair_seg] + within % n_b[pair_seg]
+        ok = (s[a_idx] <= e[b_idx]) & (s[b_idx] <= e[a_idx])
+        a_idx, b_idx = a_idx[ok], b_idx[ok]
+        return pa.table({
+            "o_custkey": pa.array(key[a_idx]),
+            "a_orderkey": pa.array(okey[a_idx]),
+            "b_orderkey": pa.array(okey[b_idx]),
+        })
+
+    return (
+        _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(match_partition, batch_format="pyarrow")
+    )
+
+
+def outlier_flags(sf_dir: str) -> rd.Dataset:
+    """EXACT per-group z-score outlier flags (|x − μ| > 1.5σ over
+    ``o_totalprice`` cents per ``o_orderpriority``) with no float anywhere
+    in the decision — the quality-gate shape of a curation pipeline where a
+    float threshold would make the kept-set block-order dependent.  (1.5σ,
+    not 2σ: a bounded-support distribution like this table's uniform prices
+    has NO mass beyond 2σ ≈ 0.58·range, so a 2σ gate is vacuous on it.)
+
+    Scale shape — two streaming passes: pass 1 is the corr_qty_price
+    algebraic-aggregate pattern (per-batch partial n/Σx/Σx² with Σx² as
+    int64 hi/lo limbs, one O(groups) shuffle); the driver recombines limbs
+    in Python big ints and turns each group's variance into an INTEGER
+    threshold T = isqrt(9(nΣx² − (Σx)²)) — 2·|xn − Σx| > T is then exactly
+    (x−μ)² > (1.5σ)² because both sides are integers (⌊√C⌋ < a ⟺ a² > C
+    with a = 2|dev|).  Pass 2 streams the corpus through a stateless
+    vectorized comparison against the 5-entry broadcast table.
+    ``dev_scaled`` (= xn − Σx) stays int64-safe (with the ×2 headroom) up
+    to ~7e10 rows per group at max cents; past that the flag math moves to
+    limbs the same way Σx² already does."""
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.rint(t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        xx = x * x
+        t2 = pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "n": pa.array(np.ones(len(x), np.int64)),
+            "sx": pa.array(x),
+            "sxx_hi": pa.array(xx >> 30),
+            "sxx_lo": pa.array(xx & ((1 << 30) - 1)),
+        })
+        g = pa.TableGroupBy(t2, "o_orderpriority").aggregate(
+            [(c, "sum") for c in ("n", "sx", "sxx_hi", "sxx_lo")]
+        )
+        return g.rename_columns(["o_orderpriority", "n", "sx", "sxx_hi", "sxx_lo"])
+
+    stats = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("o_orderpriority")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sxx_hi", "sxx_lo")])
+        .to_pandas()  # O(groups) rows
+    )
+    thr: dict[str, tuple[int, int, int]] = {}
+    for r in stats.itertuples(index=False):
+        n, sx = int(r.n), int(r.sx)
+        sxx = (int(r.sxx_hi) << 30) + int(r.sxx_lo)
+        thr[r.o_orderpriority] = (n, sx, math.isqrt(9 * (n * sxx - sx * sx)))
+
+    def flag(t: pa.Table) -> pa.Table:
+        x = np.rint(t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        pr = t.column("o_orderpriority").to_pylist()
+        n_arr = np.fromiter((thr[p][0] for p in pr), np.int64, len(pr))
+        sx_arr = np.fromiter((thr[p][1] for p in pr), np.int64, len(pr))
+        t_arr = np.fromiter((thr[p][2] for p in pr), np.int64, len(pr))
+        dev = x * n_arr - sx_arr
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_orderpriority": t["o_orderpriority"],
+            "dev_scaled": pa.array(dev),
+            "is_outlier": pa.array(2 * np.abs(dev) > t_arr),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def order_line_concat(sf_dir: str, partitions: int = 64) -> rd.Dataset:
+    """Ordered within-group string aggregation (per order: its line numbers
+    joined '-' in line order) — the collect_list/string_agg primitive, done
+    WITHOUT per-group Python: one coarse ``orderkey % P`` shuffle, a
+    partition-wide lexsort, then the group strings are built in a single
+    Arrow kernel call (``ListArray.from_arrays`` over the group offsets +
+    ``pc.binary_join``) — the same segment arithmetic as sessionize, but
+    producing variable-length string state instead of counts.  The sort key
+    (orderkey, linenumber) is total for this table; a table with duplicate
+    sort keys would need one more tie-break column to stay deterministic."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pc.cast(pc.bit_wise_and(t["l_orderkey"], partitions - 1), pa.int32())
+        )
+
+    def concat_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "l_orderkey": pa.array([], pa.int64()),
+                "n_lines": pa.array([], pa.int64()),
+                "line_sig": pa.array([], pa.string()),
+            })
+        ok = g.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = g.column("l_linenumber").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ln, ok))
+        ok, ln = ok[order], ln[order]
+        new = np.ones(ok.size, dtype=bool)
+        new[1:] = ok[1:] != ok[:-1]
+        starts = np.nonzero(new)[0]
+        offsets = np.concatenate((starts, [ok.size])).astype(np.int32)
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pc.cast(pa.array(ln), pa.string())
+        )
+        return pa.table({
+            "l_orderkey": pa.array(ok[starts]),
+            "n_lines": pa.array(np.diff(offsets).astype(np.int64)),
+            "line_sig": pc.binary_join(la, "-"),
+        })
+
+    return (
+        _pq(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(concat_partition, batch_format="pyarrow")
+    )
+
+
+# (column, canonicalization) pairs profiled by profile_columns: strings keep
+# identity for distinctness (hashed to int63 for the shuffle key) and carry
+# no min/max; numerics canonicalize to exact int64 (cents / rounded units /
+# epoch-us) so min/max and distinctness are float-free on both sides.
+_PROFILE_COLS = (
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_quantity", "unit"),
+    ("l_extendedprice", "cents"),
+    ("l_shipdate", "ts"),
+)
+
+
+def profile_columns(sf_dir: str) -> pd.DataFrame:
+    """Column profiling (the dataset-card step): per column — row count,
+    null count, EXACT distinct count, and min/max (numerics only) over
+    ``lineitem``, computed without ever materializing a column.
+
+    Scale shape — pass 1 collapses each batch to its distinct
+    (col, value, is_null) partial counts, so the only shuffle moves
+    Σ|distinct| rows, never the corpus; pass 2 re-aggregates the distinct
+    table per column DISTRIBUTED (count of value rows = exact distinct, sum
+    of counts = rows, min/max over canonical ints) so the driver receives
+    exactly one row per profiled column.  String values travel as their
+    md5-low63 (distinctness is hash-faithful; min/max for strings is NULL
+    by contract — lexical order of a hash is meaningless)."""
+    import hashlib
+
+    def _low63(sv: str) -> int:
+        return int.from_bytes(hashlib.md5(sv.encode()).digest()[8:], "little") >> 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols, vals, cnts, nulls = [], [], [], []
+        for name, kind in _PROFILE_COLS:
+            arr = t[name]
+            n_null = arr.null_count
+            a = arr.drop_null()
+            if kind == "str":
+                u, c = np.unique(np.asarray(a.to_pylist(), dtype=object), return_counts=True)
+                v = np.fromiter((_low63(sv) for sv in u), np.int64, len(u))
+            else:
+                if kind == "cents":
+                    raw = np.rint(a.to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+                elif kind == "unit":
+                    raw = np.rint(a.to_numpy(zero_copy_only=False)).astype(np.int64)
+                else:  # ts → epoch us
+                    raw = pc.cast(a, pa.int64()).to_numpy(zero_copy_only=False)
+                v, c = np.unique(raw, return_counts=True)
+            k = len(v) + (1 if n_null else 0)
+            cols.append(np.full(k, name, dtype=object))
+            vals.append(np.concatenate((v, [0])) if n_null else v)
+            cnts.append(np.concatenate((c, [n_null])) if n_null else c)
+            nulls.append(np.concatenate((np.zeros(len(v), np.int8), [1])) if n_null
+                         else np.zeros(len(v), np.int8))
+        return pa.table({
+            "col_name": pa.array(np.concatenate(cols), pa.string()),
+            "v": pa.array(np.concatenate(vals), pa.int64()),
+            "is_null": pa.array(np.concatenate(nulls), pa.int8()),
+            "cnt": pa.array(np.concatenate(cnts).astype(np.int64)),
+        })
+
+    def per_col_partial(t: pa.Table) -> pa.Table:
+        # operates on the distinct table: one partial row per column per block
+        col = np.asarray(t.column("col_name").to_pylist(), dtype=object)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        isn = t.column("is_null").to_numpy(zero_copy_only=False).astype(bool)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        names, nd, nr, nn, mn, mx = [], [], [], [], [], []
+        for name in np.unique(col):
+            m = col == name
+            mv, mc, mnul = v[m], cnt[m], isn[m]
+            names.append(str(name))
+            nd.append(int((~mnul).sum()))
+            nr.append(int(mc.sum()))
+            nn.append(int(mc[mnul].sum()))
+            live = mv[~mnul]
+            # neutral sentinels so an all-null slice can't corrupt Min/Max
+            mn.append(int(live.min()) if live.size else np.iinfo(np.int64).max)
+            mx.append(int(live.max()) if live.size else np.iinfo(np.int64).min)
+        return pa.table({
+            "col_name": pa.array(names, pa.string()),
+            "nd": pa.array(nd, pa.int64()), "nr": pa.array(nr, pa.int64()),
+            "nn": pa.array(nn, pa.int64()),
+            "mn": pa.array(mn, pa.int64()), "mx": pa.array(mx, pa.int64()),
+        })
+
+    agg = (
+        _pq(sf_dir, "lineitem", [c for c, _ in _PROFILE_COLS])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["col_name", "v", "is_null"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(per_col_partial, batch_format="pyarrow")
+        .groupby("col_name")
+        .aggregate(
+            Sum("nd", alias_name="n_distinct"), Sum("nr", alias_name="n_rows"),
+            Sum("nn", alias_name="n_nulls"),
+            Min("mn", alias_name="min_v"), Max("mx", alias_name="max_v"),
+        )
+        .to_pandas()  # exactly one row per profiled column
+    )
+    kinds = dict(_PROFILE_COLS)
+    is_str = agg["col_name"].map(kinds) == "str"
+    agg["min_v"] = np.where(is_str, np.nan, agg["min_v"].astype(np.float64))
+    agg["max_v"] = np.where(is_str, np.nan, agg["max_v"].astype(np.float64))
+    return (
+        agg[["col_name", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v"]]
+        .sort_values("col_name").reset_index(drop=True)
+    )
