@@ -539,6 +539,13 @@ def _q_image_meta_scan(sf_dir: str):
     return multimodal.image_meta_scan(paths["images"])
 
 
+def _q_image_zorder(sf_dir: str):
+    from lightcrawler_ray.extras import multimodal
+
+    _, paths = _fixture_paths()
+    return multimodal.image_zorder_keys(paths["images"])
+
+
 def _q_caption_lang_id(sf_dir: str):
     from lightcrawler_ray.extras import multimodal
 
@@ -575,7 +582,7 @@ def _q_image_resize(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from lightcrawler_ray import relational as rel
-    from lightcrawler_ray.extras import ann, dedupe, textstats
+    from lightcrawler_ray.extras import analytics, ann, dedupe, textstats
 
     return {
         # relational / SURVEY §2 (SQL-oracled)
@@ -658,6 +665,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts": __import__(
             "lightcrawler_ray.extras.sketches", fromlist=["cms_counts"]
         ).cms_counts,
+        # journey / reporting analytics (SQL-oracled, integer-exact)
+        "pagerank_transitions": analytics.pagerank_transitions,  # SQL-oracled (unrolled HUGEINT iterations)
+        "funnel_steps": analytics.funnel_steps,              # SQL-oracled (chained-min replay)
+        "retention_weekly": analytics.retention_weekly,      # SQL-oracled (self-match replay)
+        "cube_event_stats": analytics.cube_event_stats,      # SQL-oracled (GROUP BY CUBE)
+        "ntile_spend": analytics.ntile_spend,                # SQL-oracled (row_number + ntile)
+        "pareto_front_parts": analytics.pareto_front_parts,  # SQL-oracled (NOT EXISTS dominance)
+        "partition_checksums": analytics.partition_checksums,  # SQL-oracled (mod-prime sums)
+        # similarity join (SQL-oracled via DuckDB levenshtein)
+        "fuzzy_name_pairs": dedupe.fuzzy_name_pairs,
         "image_tile_plan": _q_image_tile_plan,               # SQL-oracled (stored-dims replay)
         "bloom_decontaminate": __import__(
             "lightcrawler_ray.extras.sketches", fromlist=["bloom_decontaminate"]
@@ -704,6 +721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_lang_id": _q_caption_lang_id,               # SQL-oracled (same CASE replay)
         "image_meta_scan": _q_image_meta_scan,               # SQL-oracled (stored-meta replay)
         "image_dhash_near_dups": _q_image_dhash_near_dups,   # SQL-oracled (stored-dhash replay)
+        "image_zorder": _q_image_zorder,                     # SQL-oracled (unrolled bit interleave)
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
         # S10 lookup face (SQL-oracled)
@@ -2134,6 +2152,113 @@ def oracle_sql() -> dict[str, str]:
         f"  FROM read_parquet('{_img}') d LEFT JOIN rep r USING (image_id)) "
         "SELECT image_id, rep, "
         "  CAST(count(*) OVER (PARTITION BY rep) AS BIGINT) AS csize FROM allr"
+    )
+    # ---- journey / reporting analytics (round-4 continuation batch 3) ----
+    # integer PageRank replay: the engine's three scaled-integer iterations
+    # (floor divisions only, no float damping) unroll into three HUGEINT
+    # CTE stages — the ann_topk_ivf unrolled-iteration technique
+    _pr = [
+        "WITH seq AS (SELECT user_id, event_type, lag(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
+        "w AS (SELECT prev AS src, event_type AS dst, "
+        "CAST(count(*) AS HUGEINT) AS c FROM seq WHERE prev IS NOT NULL "
+        "GROUP BY 1, 2), "
+        "wo AS (SELECT src, sum(c) AS wout FROM w GROUP BY src), "
+        "nodes AS (SELECT DISTINCT event_type AS v FROM events), "
+        "nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM nodes), "
+        "r0 AS (SELECT v, CAST(1000000000000 AS HUGEINT) // nn.n AS r "
+        "FROM nodes, nn)"
+    ]
+    for _k in (1, 2, 3):
+        _pr.append(
+            f", r{_k} AS (SELECT n0.v AS v, (SELECT 150000000000 // n FROM nn) "
+            "+ (85 * COALESCE(s.s, 0)) // 100 AS r FROM nodes n0 LEFT JOIN "
+            "(SELECT w.dst AS v, sum((p.r * w.c) // wo.wout) AS s "
+            f"FROM r{_k - 1} p JOIN w ON w.src = p.v "
+            "JOIN wo ON wo.src = w.src GROUP BY w.dst) s ON s.v = n0.v)"
+        )
+    sqls["pagerank_transitions"] = (
+        "".join(_pr)
+        + " SELECT v AS event_type, CAST(r AS BIGINT) AS rank_scaled FROM r3"
+    )
+    sqls["funnel_steps"] = (
+        "WITH e AS (SELECT user_id, event_type, "
+        "CAST(epoch_us(ts) AS BIGINT) AS t FROM events), "
+        "v AS (SELECT user_id, min(t) AS t1 FROM e "
+        "WHERE event_type = 'view' GROUP BY 1), "
+        "c AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN v USING (user_id) "
+        "WHERE e.event_type = 'click' AND e.t > v.t1 GROUP BY 1), "
+        "p AS (SELECT e.user_id, min(e.t) AS t3 FROM e JOIN c USING (user_id) "
+        "WHERE e.event_type = 'purchase' AND e.t > c.t2 GROUP BY 1), "
+        "u AS (SELECT DISTINCT user_id FROM e) "
+        "SELECT u.user_id, COALESCE(v.t1, -1) AS first_view_us, "
+        "COALESCE(c.t2, -1) AS first_click_us, "
+        "COALESCE(p.t3, -1) AS first_purchase_us, "
+        "CAST(v.t1 IS NOT NULL AS BIGINT) + CAST(c.t2 IS NOT NULL AS BIGINT) "
+        "+ CAST(p.t3 IS NOT NULL AS BIGINT) AS stage "
+        "FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) "
+        "LEFT JOIN p USING (user_id)"
+    )
+    sqls["retention_weekly"] = (
+        "WITH a AS (SELECT DISTINCT user_id, "
+        "CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS week FROM events) "
+        "SELECT week, count(*) AS n_active, "
+        "CAST(count(*) FILTER (WHERE EXISTS (SELECT 1 FROM a b "
+        "WHERE b.user_id = a.user_id AND b.week = a.week + 1)) AS BIGINT) "
+        "AS n_retained FROM a GROUP BY week"
+    )
+    sqls["cube_event_stats"] = (
+        "WITH x AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS isodow, "
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+        "SELECT COALESCE(event_type, '*') AS event_type, "
+        "COALESCE(isodow, -1) AS isodow, count(*) AS n_events, "
+        "CAST(sum(cents) AS BIGINT) / 100.0 AS total_value "
+        "FROM x GROUP BY CUBE (event_type, isodow)"
+    )
+    sqls["ntile_spend"] = (
+        "WITH s AS (SELECT o_custkey, "
+        "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents "
+        "FROM orders GROUP BY 1) "
+        "SELECT o_custkey, CAST(spend_cents AS BIGINT) AS spend_cents, "
+        "row_number() OVER (ORDER BY spend_cents, o_custkey) AS spend_rank, "
+        "ntile(4) OVER (ORDER BY spend_cents, o_custkey) AS quartile FROM s"
+    )
+    sqls["pareto_front_parts"] = (
+        "WITH p AS (SELECT p_partkey, "
+        "CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents, "
+        "CAST(p_size AS BIGINT) AS p_size FROM part) "
+        "SELECT p_partkey, price_cents, p_size FROM p a "
+        "WHERE NOT EXISTS (SELECT 1 FROM p b "
+        "WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size "
+        "AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))"
+    )
+    sqls["partition_checksums"] = (
+        # same md5-low64 rules as the engine; mod-prime additive checksum
+        "SELECT CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 64 AS BIGINT) "
+        "AS part, count(*) AS n_rows, "
+        "CAST(sum(md5_number_lower(CAST(doc_id AS VARCHAR) || ':' || text) "
+        "% 2305843009213693951) % 2305843009213693951 AS BIGINT) AS checksum "
+        "FROM documents GROUP BY 1"
+    )
+    sqls["fuzzy_name_pairs"] = (
+        "WITH p AS (SELECT p_partkey, p_name, "
+        "string_split(p_name, ' ')[-1] AS blk FROM part) "
+        "SELECT a.p_partkey AS a_key, b.p_partkey AS b_key, "
+        "a.p_name AS a_name, b.p_name AS b_name, "
+        "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist "
+        "FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey "
+        "WHERE a.p_name <> b.p_name AND levenshtein(a.p_name, b.p_name) <= 2"
+    )
+    _z_terms = " + ".join(
+        f"((w // {1 << b}) % 2) * {1 << (2 * b)} "
+        f"+ ((h // {1 << b}) % 2) * {1 << (2 * b + 1)}"
+        for b in range(16)
+    )
+    sqls["image_zorder"] = (
+        "WITH d AS (SELECT image_id, CAST(w AS BIGINT) AS w, "
+        f"CAST(h AS BIGINT) AS h FROM read_parquet('{paths['images']}')) "
+        f"SELECT image_id, w, h, CAST({_z_terms} AS BIGINT) AS zkey, "
+        f"CAST(({_z_terms}) // 16777216 AS BIGINT) AS zpart FROM d"
     )
     return sqls
 

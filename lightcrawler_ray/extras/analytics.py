@@ -1,0 +1,492 @@
+"""Journey / reporting analytics over the events and orders tables —
+graph ranking, funnel and retention measurement, CUBE reporting, global
+rank assignment (ntile), Pareto frontiers, and per-partition output
+checksums.
+
+Every operator here is an exact distributed algorithm with a bit-exact
+DuckDB replay (see ``__ray_entry__.oracle_sql``):
+
+- floats never enter an aggregation — money is int64 cents
+  (``np.rint(x*100)``, the corpus-proven round rule), timestamps are
+  epoch-microsecond int64, and PageRank runs in scaled-integer arithmetic
+  (floor divisions only) so three iterations replay as three unrolled
+  HUGEINT CTE stages;
+- the heavy work (transition extraction, funnel chaining, retention
+  self-match, rank assignment) is the sessionize coarse-partition shape:
+  ONE shuffle on ``key % P``, then pure-numpy segmented kernels inside
+  each partition — no per-key Python calls;
+- what reaches the driver is bounded by a DOMAIN, never by the data:
+  |event_types|² edges for PageRank, |types|×7 cells for CUBE, 2^14
+  bucket counts for the ntile prefix sum, ≤|distinct sizes| frontier
+  candidates per block for Pareto, 64 checksum rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+_PARTITIONS = 32
+
+_DAY_US = 86_400_000_000
+_WEEK_US = 7 * _DAY_US
+
+
+def _pq(sf_dir: str, table: str, columns: list[str]) -> rd.Dataset:
+    from .. import storage
+
+    return storage.read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _ts_us(col: pa.ChunkedArray) -> np.ndarray:
+    return col.to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+
+
+def _add_user_part(t: pa.Table, partitions: int = _PARTITIONS) -> pa.Table:
+    part = pc.cast(pc.bit_wise_and(t["user_id"], partitions - 1), pa.int32())
+    return t.append_column("part", part)
+
+
+# --------------------------------------------------------------------------
+# PageRank over the event-transition graph
+# --------------------------------------------------------------------------
+
+_PR_SCALE = 10**12
+_PR_ITERS = 3
+
+
+def pagerank_transitions(sf_dir: str) -> pd.DataFrame:
+    """Integer PageRank (Page et al. 1999) over the user-journey
+    transition graph: nodes are event types, edge (src → dst) weighted by
+    how often dst immediately follows src inside one user's timeline.
+
+    This is the crawl-priority primitive (SURVEY O1: rank pages by link
+    structure) expressed over the events table.  Scale shape in two
+    regimes:
+
+    - EDGE AGGREGATION is the data-sized part and is fully distributed:
+      one coarse shuffle on ``user % P``, then a per-partition lexsort +
+      adjacent-pair count (pure numpy; each partition owns complete
+      users), emitting ≤|types|² weighted edges per partition.
+    - ITERATION runs on the CONDENSED graph, bounded by the type domain
+      (≤25 edge rows), in driver-side Python arbitrary-precision ints.
+
+    All arithmetic is scaled-integer with floor division —
+    ``r' = (0.15·S)//n + (85·Σ (r_u·w_uv)//W_u)//100`` — so the oracle
+    unrolls the same three iterations as HUGEINT CTEs and hash-compares
+    bit-for-bit (no float damping anywhere)."""
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def edges(g: pa.Table) -> pa.Table:
+        et = g.column("event_type").dictionary_encode().combine_chunks()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_us(g.column("ts"))
+        eid = g.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        us, cs = u[order], codes[order]
+        same = us[1:] == us[:-1]
+        src, dst = cs[:-1][same], cs[1:][same]
+        key = src * 64 + dst
+        uk, cnt = np.unique(key, return_counts=True)
+        dic = et.dictionary.to_pylist()
+        return pa.table({
+            "src": pa.array([dic[int(k) // 64] for k in uk], pa.string()),
+            "dst": pa.array([dic[int(k) % 64] for k in uk], pa.string()),
+            "c": pa.array(cnt.astype(np.int64)),
+        })
+
+    w = (
+        ds.map_batches(_add_user_part, batch_format="pyarrow")
+        .groupby("part").map_groups(edges, batch_format="pyarrow")
+        .groupby(["src", "dst"]).aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # ≤ |types|² rows
+    )
+
+    def uniq_types(t: pa.Table) -> pa.Table:
+        return pa.table({"v": pc.unique(t["event_type"])})
+
+    nodes = sorted(
+        ds.map_batches(uniq_types, batch_format="pyarrow")
+        .groupby("v").count().to_pandas()["v"]
+    )  # ≤ |types| rows
+    n = len(nodes)
+    wout: dict[str, int] = {}
+    for s, c in zip(w["src"], w["c"]):
+        wout[s] = wout.get(s, 0) + int(c)
+    rank = {v: _PR_SCALE // n for v in nodes}
+    base = (15 * _PR_SCALE // 100) // n
+    for _ in range(_PR_ITERS):
+        contrib = {v: 0 for v in nodes}
+        for s, d, c in zip(w["src"], w["dst"], w["c"]):
+            contrib[d] += (rank[s] * int(c)) // wout[s]
+        rank = {v: base + (85 * contrib[v]) // 100 for v in nodes}
+    return pd.DataFrame({
+        "event_type": nodes,
+        "rank_scaled": np.array([rank[v] for v in nodes], np.int64),
+    })
+
+
+# --------------------------------------------------------------------------
+# Funnel: first view → first click after it → first purchase after that
+# --------------------------------------------------------------------------
+
+_INF = np.int64(1) << 62
+
+
+def funnel_steps(sf_dir: str, partitions: int = _PARTITIONS) -> rd.Dataset:
+    """Ordered three-step funnel per user (view → click → purchase): the
+    first view, the first click STRICTLY after it, the first purchase
+    strictly after that; ``stage`` counts how deep the user got.
+
+    The chained mins are stateful per user, so this is the sessionize
+    shape: ONE shuffle on ``user % P``, then per-partition masked
+    ``np.minimum.reduceat`` chains over user segments (each partition owns
+    complete users; per-event work is pure numpy).  Missing steps emit -1
+    sentinels so the int64 columns hash-compare against COALESCE in the
+    SQL replay."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def chain(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_us(g.column("ts"))
+        et = g.column("event_type").dictionary_encode().combine_chunks()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dic = {v: i for i, v in enumerate(et.dictionary.to_pylist())}
+        order = np.lexsort((ts, u))
+        us, tss, cs = u[order], ts[order], codes[order]
+        new_user = np.ones(us.size, dtype=bool)
+        new_user[1:] = us[1:] != us[:-1]
+        bounds = np.nonzero(new_user)[0]
+        seg = np.cumsum(new_user) - 1
+
+        def first_after(code: int, after_row: np.ndarray) -> np.ndarray:
+            mask = (cs == code) & (tss > after_row) if code >= 0 else np.zeros(us.size, bool)
+            vals = np.where(mask, tss, _INF)
+            return np.minimum.reduceat(vals, bounds)
+
+        zero = np.full(us.size, np.int64(-1))
+        t1 = first_after(dic.get("view", -1), zero)
+        t2 = first_after(dic.get("click", -1), t1[seg])
+        t3 = first_after(dic.get("purchase", -1), t2[seg])
+        stage = (t1 < _INF).astype(np.int64) + (t2 < _INF) + (t3 < _INF)
+        sent = np.int64(-1)
+        return pa.table({
+            "user_id": pa.array(us[bounds], pa.int64()),
+            "first_view_us": pa.array(np.where(t1 < _INF, t1, sent), pa.int64()),
+            "first_click_us": pa.array(np.where(t2 < _INF, t2, sent), pa.int64()),
+            "first_purchase_us": pa.array(np.where(t3 < _INF, t3, sent), pa.int64()),
+            "stage": pa.array(stage, pa.int64()),
+        })
+
+    return (
+        ds.map_batches(lambda t: _add_user_part(t, partitions), batch_format="pyarrow")
+        .groupby("part").map_groups(chain, batch_format="pyarrow")
+    )
+
+
+# --------------------------------------------------------------------------
+# Weekly retention
+# --------------------------------------------------------------------------
+
+def retention_weekly(sf_dir: str, partitions: int = _PARTITIONS) -> rd.Dataset:
+    """Week-over-week retention: per epoch-week, how many distinct users
+    were active, and how many of those were also active the NEXT week.
+
+    Scale shape: per-batch distinct (user, week) partials (np.unique on a
+    packed ``user·2³² + week`` composite — retention is then just "is
+    key+1 present", one searchsorted), one coarse ``user % P`` shuffle so
+    each partition owns complete users, per-week partial counts, and a
+    final tiny groupby bounded by |weeks|."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        week = _ts_us(t.column("ts")) // _WEEK_US
+        key = np.unique(u * (1 << 32) + week)
+        return pa.table({
+            "user_id": pa.array(key >> 32, pa.int64()),
+            "week": pa.array(key & ((1 << 32) - 1), pa.int64()),
+        })
+
+    def per_week(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        wk = g.column("week").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.unique(u * (1 << 32) + wk)  # merge cross-batch partials
+        nxt = np.zeros(key.size, dtype=bool)
+        idx = np.searchsorted(key, key + 1)
+        ok = idx < key.size
+        nxt[ok] = key[idx[ok]] == key[ok] + 1
+        weeks = (key & ((1 << 32) - 1)).astype(np.int64)
+        uw, inv = np.unique(weeks, return_inverse=True)
+        return pa.table({
+            "week": pa.array(uw, pa.int64()),
+            "n_active": pa.array(np.bincount(inv), pa.int64()),
+            "n_retained": pa.array(
+                np.bincount(inv, weights=nxt.astype(np.int64)).astype(np.int64)),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(lambda t: _add_user_part(t, partitions), batch_format="pyarrow")
+        .groupby("part").map_groups(per_week, batch_format="pyarrow")
+        .groupby("week")
+        .aggregate(Sum("n_active", alias_name="n_active"),
+                   Sum("n_retained", alias_name="n_retained"))
+    )
+
+
+# --------------------------------------------------------------------------
+# CUBE reporting
+# --------------------------------------------------------------------------
+
+def cube_event_stats(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE (event_type, iso-dow): all four grouping levels with
+    '*' / -1 roll-up sentinels, counts + int-cent value sums.
+
+    Like ``rollup_events``: the corpus is scanned ONCE into per-batch
+    integer partials at the FINEST level (≤|types|×7 rows per batch), one
+    tiny groupby, and the three coarser cube levels derive from the
+    aggregated table on the driver — bounded by the type×dow domain,
+    never by row count.  iso-dow computes as ``(days+3) % 7 + 1`` (the
+    epoch was a Thursday), matching DuckDB ``isodow``."""
+    ds = _pq(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").dictionary_encode().combine_chunks()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        days = _ts_us(t.column("ts")) // _DAY_US
+        dow = (days + 3) % 7 + 1
+        cents = np.rint(
+            t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        key = codes * 8 + dow
+        u, inv = np.unique(key, return_inverse=True)
+        dic = et.dictionary.to_pylist()
+        return pa.table({
+            "event_type": pa.array([dic[int(k) // 8] for k in u], pa.string()),
+            "isodow": pa.array(u % 8, pa.int64()),
+            "n": pa.array(np.bincount(inv), pa.int64()),
+            "cents": pa.array(np.bincount(inv, weights=cents).astype(np.int64)),
+        })
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "isodow"])
+        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+        .to_pandas()  # ≤ |types| × 7 rows
+    )
+    by_type = (fine.groupby("event_type", as_index=False)[["n", "cents"]].sum()
+               .assign(isodow=-1))
+    by_dow = (fine.groupby("isodow", as_index=False)[["n", "cents"]].sum()
+              .assign(event_type="*"))
+    grand = pd.DataFrame({"event_type": ["*"], "isodow": [-1],
+                          "n": [int(fine["n"].sum())],
+                          "cents": [int(fine["cents"].sum())]})
+    cols = ["event_type", "isodow", "n", "cents"]
+    out = pd.concat([fine[cols], by_type[cols], by_dow[cols], grand[cols]],
+                    ignore_index=True)
+    out["total_value"] = out.pop("cents").astype(np.int64) / 100.0
+    out = out.rename(columns={"n": "n_events"})
+    out["isodow"] = out["isodow"].astype(np.int64)
+    return out.sort_values(["event_type", "isodow"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# ntile: global rank + quartile without a global sort
+# --------------------------------------------------------------------------
+
+_NTILE_BUCKETS = 1 << 14
+_NTILE_SHIFT = 16  # bucket = spend_cents >> 16; order-preserving coarse key
+
+
+def ntile_spend(sf_dir: str, tiles: int = 4) -> pd.DataFrame:
+    """Global rank + ntile(4) of every customer by total order spend —
+    the eval-slice / curriculum-bucketing primitive.
+
+    A global rank normally means a global sort; here it is the
+    ``shuffle_ranks`` distributed-prefix-sum shape instead: (1) spend per
+    customer via per-batch int-cent partial sums + one groupby; (2) rows
+    bucket by the HIGH BITS of spend (order-preserving, so bucket b's
+    ranks all precede bucket b+1's); (3) per-bucket counts → a 2^14-entry
+    driver cumsum → broadcast offsets; (4) one coarse shuffle on bucket,
+    lexsort + arange inside each partition.  Tile boundaries replicate
+    DuckDB ``ntile`` exactly (first ``n mod t`` tiles one row larger)."""
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def spend_partial(t: pa.Table) -> pa.Table:
+        k = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        u, inv = np.unique(k, return_inverse=True)
+        return pa.table({
+            "o_custkey": pa.array(u, pa.int64()),
+            "spend_cents": pa.array(np.bincount(inv, weights=cents).astype(np.int64)),
+        })
+
+    spend = (
+        ds.map_batches(spend_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("spend_cents", alias_name="spend_cents"))
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        s = t.column("spend_cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.minimum(s >> _NTILE_SHIFT, _NTILE_BUCKETS - 1)
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    bucketed = spend.map_batches(add_bucket, batch_format="pyarrow")
+    counts = bucketed.groupby("bucket").count().to_pandas()  # ≤ 2^14 rows
+    sizes = np.zeros(_NTILE_BUCKETS, np.int64)
+    sizes[counts["bucket"].to_numpy()] = counts["count()"].to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+    n_total = int(sizes.sum())
+    q, m = divmod(n_total, tiles)
+
+    def rank_partition(g: pa.Table) -> pa.Table:
+        s = g.column("spend_cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        k = g.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = g.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((k, s))  # bucket is a prefix of spend's bits
+        r = offsets[b[order[0]]] + np.arange(s.size, dtype=np.int64)  # 0-based
+        head = m * (q + 1)
+        tile = np.where(r < head, r // max(q + 1, 1) + 1,
+                        m + (r - head) // max(q, 1) + 1)
+        return pa.table({
+            "o_custkey": pa.array(k[order], pa.int64()),
+            "spend_cents": pa.array(s[order], pa.int64()),
+            "spend_rank": pa.array(r + 1, pa.int64()),
+            "quartile": pa.array(tile.astype(np.int64), pa.int64()),
+        })
+
+    return (
+        bucketed.groupby("bucket")
+        .map_groups(rank_partition, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("spend_rank").reset_index(drop=True)
+    )
+
+
+# --------------------------------------------------------------------------
+# Pareto frontier
+# --------------------------------------------------------------------------
+
+def _frontier(price: np.ndarray, size: np.ndarray, key: np.ndarray):
+    """Non-dominated rows for (minimize price, maximize size); exact tie
+    semantics: a row survives iff no other row is ≤ on price AND ≥ on size
+    with at least one strict.  Vectorized: sort (price asc, size desc),
+    then a run-max prefix scan over price groups."""
+    order = np.lexsort((key, -size, price))
+    p, s = price[order], size[order]
+    new_run = np.ones(p.size, dtype=bool)
+    new_run[1:] = p[1:] != p[:-1]
+    run_id = np.cumsum(new_run) - 1
+    run_max = s[np.nonzero(new_run)[0]]  # head of each run = max size (desc sort)
+    prev_best = np.concatenate(([np.int64(-1)], np.maximum.accumulate(run_max)))[run_id]
+    keep = (s == run_max[run_id]) & (s > prev_best)
+    return order[keep]
+
+
+def pareto_front_parts(sf_dir: str) -> pd.DataFrame:
+    """Pareto-optimal parts: minimize retail price (int cents), maximize
+    size; rows tied on BOTH axes all survive (neither dominates).
+
+    Frontier-of-frontiers is ASSOCIATIVE — a globally non-dominated point
+    is non-dominated in any subset containing it — so each batch emits
+    only its partial frontier (≤ |distinct sizes| + ties rows) and one
+    final pass over the tiny candidate union is exact.  The corpus never
+    shuffles; comparisons only (no float arithmetic), so the NOT EXISTS
+    SQL replay is bit-exact."""
+    ds = _pq(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            t.column("p_retailprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        size = t.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _frontier(cents, size, key)
+        return pa.table({
+            "p_partkey": pa.array(key[keep], pa.int64()),
+            "price_cents": pa.array(cents[keep], pa.int64()),
+            "p_size": pa.array(size[keep], pa.int64()),
+        })
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    keep = _frontier(cand["price_cents"].to_numpy(np.int64),
+                     cand["p_size"].to_numpy(np.int64),
+                     cand["p_partkey"].to_numpy(np.int64))
+    return (cand.iloc[np.sort(keep)].reset_index(drop=True))
+
+
+# --------------------------------------------------------------------------
+# Per-partition output checksums (resume / lineage verification)
+# --------------------------------------------------------------------------
+
+_CK_PARTS = 64
+_CK_MOD = (1 << 61) - 1  # Mersenne prime; additive checksum survives int64
+_CK_LO_BITS = 30
+
+
+def partition_checksums(sf_dir: str) -> pd.DataFrame:
+    """Order-insensitive per-partition (row count, additive content
+    checksum) over the documents table — the verification primitive a
+    resumable 100 TB writer needs: each output partition can be re-read
+    and its checksum compared independently, and checksums MERGE (addition
+    mod a Mersenne prime) so re-shards verify against re-aggregated sums.
+
+    Partition = md5-low64(doc_id) % 64; checksum = Σ md5-low64("id:text")
+    mod 2⁶¹-1.  Per-batch partials fold mod p, then ship as two int64
+    limbs (hi = ck >> 30, lo) so Ray's int64 groupby-sum cannot overflow
+    across any number of blocks (the corr_qty_price limb pattern); the
+    driver recombines ≤64 rows in Python arbitrary-precision ints."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t.column("text").to_pylist()
+        part = np.empty(ids.size, np.int64)
+        hval = np.empty(ids.size, np.uint64)
+        for i, (d, x) in enumerate(zip(ids, texts)):
+            part[i] = int.from_bytes(
+                hashlib.md5(str(int(d)).encode()).digest()[8:], "little") % _CK_PARTS
+            hval[i] = int.from_bytes(
+                hashlib.md5(f"{int(d)}:{x}".encode()).digest()[8:], "little") % _CK_MOD
+        u, inv = np.unique(part, return_inverse=True)
+        n = np.bincount(inv)
+        ck = [0] * u.size
+        for i, g in enumerate(inv):
+            ck[g] = (ck[g] + int(hval[i])) % _CK_MOD
+        ck_arr = np.array(ck, np.int64)
+        return pa.table({
+            "part": pa.array(u, pa.int64()),
+            "n": pa.array(n.astype(np.int64)),
+            "ck_hi": pa.array(ck_arr >> _CK_LO_BITS, pa.int64()),
+            "ck_lo": pa.array(ck_arr & ((1 << _CK_LO_BITS) - 1), pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("ck_hi", alias_name="hi"), Sum("ck_lo", alias_name="lo"))
+        .to_pandas()  # ≤ 64 rows
+    )
+    cks = [
+        ((int(h) << _CK_LO_BITS) + int(lo)) % _CK_MOD
+        for h, lo in zip(agg["hi"], agg["lo"])
+    ]
+    return (
+        pd.DataFrame({
+            "part": agg["part"].astype(np.int64),
+            "n_rows": agg["n"].astype(np.int64),
+            "checksum": np.array(cks, np.int64),
+        })
+        .sort_values("part").reset_index(drop=True)
+    )

@@ -927,3 +927,133 @@ def decontaminate_fuzzy(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
                             "eval_id": pd.Series([], dtype="int64"),
                             "jaccard": pd.Series([], dtype="float64")})
     return out.sort_values(["doc_id", "eval_id"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Blocked edit-distance similarity join (vectorized Levenshtein)
+# --------------------------------------------------------------------------
+
+def _lev_batch(a_list: list[str], b_list: list[str]) -> np.ndarray:
+    """Levenshtein distance for MANY string pairs at once: one shared DP
+    sweep where every cell update is an O(n_pairs) numpy op, so total work
+    is O(Lmax² numpy kernels), never a per-pair Python DP.  Cell (i, j)
+    only reads chars < i / < j, so padding never contaminates a pair's
+    answer at its own (len_a, len_b) cell — captured as row i completes."""
+    n = len(a_list)
+    if n == 0:
+        return np.empty(0, np.int64)
+    la = np.array([len(s) for s in a_list], np.int64)
+    lb = np.array([len(s) for s in b_list], np.int64)
+    La, Lb = int(la.max()), int(lb.max())
+    A = np.zeros((n, max(La, 1)), np.int32)
+    B = np.zeros((n, max(Lb, 1)), np.int32)
+    for r, s in enumerate(a_list):
+        A[r, : len(s)] = [ord(c) for c in s]
+    for r, s in enumerate(b_list):
+        B[r, : len(s)] = [ord(c) for c in s]
+    prev = np.tile(np.arange(Lb + 1, dtype=np.int32), (n, 1))
+    res = np.where(la == 0, lb, 0).astype(np.int64)
+    for i in range(1, La + 1):
+        sub = (A[:, i - 1 : i] != B[:, :Lb]).astype(np.int32)
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        for j in range(1, Lb + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + sub[:, j - 1],
+            )
+        hit = la == i
+        if hit.any():
+            res[hit] = cur[hit, lb[hit]]
+        prev = cur
+    return res
+
+
+def fuzzy_name_pairs(sf_dir: str, max_dist: int = 2,
+                     partitions: int = _PAIR_PARTITIONS) -> pd.DataFrame:
+    """Edit-distance similarity join over part names: pairs with the same
+    last name token (the blocking key), DIFFERENT names, and Levenshtein
+    distance ≤ ``max_dist`` — the M31 edit-distance primitive
+    (functions/texttools.py; reference uses it for title near-match) lifted
+    to a distributed join.  SQL-oracled via DuckDB ``levenshtein``.
+
+    Scale shape: one coarse shuffle on hash(block) % P; inside each
+    partition the DP runs over DISTINCT (name_a, name_b) pairs only —
+    bounded by the name vocabulary², not by row count — via run-expansion
+    (repeat/arange) over unique names, one shared vectorized DP sweep
+    (``_lev_batch``), then a domain-bounded expansion back to key pairs.
+    Hot-block O(vocab²) caveat is inherent to the predicate (blocking is
+    part of the op's contract, as in ``ngram_jaccard_pairs``)."""
+    from .. import storage
+
+    ds = storage.read_parquet_clean(f"{sf_dir}/part.parquet",
+                                    columns=["p_partkey", "p_name"])
+
+    def block_rows(t: pa.Table) -> pa.Table:
+        names = t.column("p_name").to_pylist()
+        blk = [s.rsplit(" ", 1)[-1] for s in names]
+        part = [zlib.crc32(b.encode()) % partitions for b in blk]
+        return pa.table({
+            "part": pa.array(part, pa.int32()),
+            "blk": pa.array(blk, pa.string()),
+            "p_partkey": t.column("p_partkey"),
+            "p_name": pa.array(names, pa.string()),
+        })
+
+    def part_pairs(g: pa.Table) -> pa.Table:
+        keys = g.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        names = np.asarray(g.column("p_name").to_pylist(), dtype=object)
+        blks = np.asarray(g.column("blk").to_pylist(), dtype=object)
+        order = np.lexsort((keys, names, blks))
+        keys, names, blks = keys[order], names[order], blks[order]
+        # distinct (blk, name) runs, with each run's key slice
+        new_name = np.ones(keys.size, dtype=bool)
+        new_name[1:] = (names[1:] != names[:-1]) | (blks[1:] != blks[:-1])
+        starts = np.nonzero(new_name)[0]
+        ends = np.append(starts[1:], keys.size)
+        u_names, u_blks = names[starts], blks[starts]
+        new_blk = np.ones(u_names.size, dtype=bool)
+        new_blk[1:] = u_blks[1:] != u_blks[:-1]
+        I, J = _expand_run_pairs(new_blk)  # distinct-name pairs within block
+        if I.size:
+            pre = np.abs(
+                np.array([len(s) for s in u_names], np.int64)[I]
+                - np.array([len(s) for s in u_names], np.int64)[J]
+            ) <= max_dist
+            I, J = I[pre], J[pre]
+        out_a, out_b, out_na, out_nb, out_d = [], [], [], [], []
+        if I.size:
+            dist = _lev_batch(list(u_names[I]), list(u_names[J]))
+            ok = (dist >= 1) & (dist <= max_dist)
+            for i, j, d in zip(I[ok], J[ok], dist[ok]):  # ≤ vocab² iterations
+                ka = keys[starts[i]: ends[i]]
+                kb = keys[starts[j]: ends[j]]
+                a = np.repeat(ka, kb.size)
+                b = np.tile(kb, ka.size)
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                na = np.where(a < b, u_names[i], u_names[j])
+                nb = np.where(a < b, u_names[j], u_names[i])
+                out_a.append(lo); out_b.append(hi)
+                out_na.append(na); out_nb.append(nb)
+                out_d.append(np.full(lo.size, d, np.int64))
+        cat = (lambda xs, dt: np.concatenate(xs) if xs else np.empty(0, dt))
+        return pa.table({
+            "a_key": pa.array(cat(out_a, np.int64), pa.int64()),
+            "b_key": pa.array(cat(out_b, np.int64), pa.int64()),
+            "a_name": pa.array(cat(out_na, object).astype(str) if out_na else [], pa.string()),
+            "b_name": pa.array(cat(out_nb, object).astype(str) if out_nb else [], pa.string()),
+            "dist": pa.array(cat(out_d, np.int64), pa.int64()),
+        })
+
+    df = (
+        ds.map_batches(block_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if df.empty:
+        return pd.DataFrame({
+            "a_key": pd.Series([], dtype="int64"), "b_key": pd.Series([], dtype="int64"),
+            "a_name": pd.Series([], dtype="str"), "b_name": pd.Series([], dtype="str"),
+            "dist": pd.Series([], dtype="int64")})
+    return df.sort_values(["a_key", "b_key"]).reset_index(drop=True)

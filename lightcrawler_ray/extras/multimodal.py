@@ -592,3 +592,37 @@ def image_tile_plan(images_path: str) -> rd.Dataset:
     ds = storage.read_parquet_clean(images_path, columns=["image_id", "bytes"])
     return ds.map_batches(ImageTilePlan, concurrency=2, batch_size=64,
                           batch_format="pyarrow")
+
+
+def image_zorder_keys(images_path: str) -> rd.Dataset:
+    """Morton (z-order) locality keys over the image table's (w, h) dims —
+    the space-filling-curve partitioning primitive: sorting or bucketing
+    by ``zkey`` co-locates images of similar size so batch decode /
+    resize stages see uniform shapes (padding waste and batch-size
+    variance drop), and ``zpart`` (the top 8 bits) is a ready-made
+    2-D-local partition id for the output layout.
+
+    Pure per-batch Arrow→numpy bit arithmetic (16 bits of w interleaved
+    with 16 bits of h), no shuffle, no state — the keys travel with the
+    rows and any downstream repartition(zpart) gets the locality for
+    free.  SQL-oracled by an unrolled bit-interleave expression."""
+    from .. import storage
+
+    ds = storage.read_parquet_clean(images_path, columns=["image_id", "w", "h"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = t.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+        z = np.zeros(w.size, np.uint64)
+        for b in range(16):
+            z |= ((w >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b)
+            z |= ((h >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b + 1)
+        return pa.table({
+            "image_id": t.column("image_id"),
+            "w": pa.array(w.astype(np.int64), pa.int64()),
+            "h": pa.array(h.astype(np.int64), pa.int64()),
+            "zkey": pa.array(z.astype(np.int64), pa.int64()),
+            "zpart": pa.array((z >> np.uint64(24)).astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(keys, batch_format="pyarrow")
