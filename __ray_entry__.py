@@ -675,6 +675,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partition_checksums": analytics.partition_checksums,  # SQL-oracled (mod-prime sums)
         # similarity join (SQL-oracled via DuckDB levenshtein)
         "fuzzy_name_pairs": dedupe.fuzzy_name_pairs,
+        # flagship multi-join pipeline + time-series bars (SQL-oracled)
+        "q3_shipping_priority": rel.q3_shipping_priority,    # SQL-oracled (two-stage join replay)
+        "ohlc_daily": rel.ohlc_daily,                        # SQL-oracled (first/last ORDER BY)
+        "weighted_sample": __import__(
+            "lightcrawler_ray.extras.sampling", fromlist=["weighted_sample"]
+        ).weighted_sample,                                   # SQL-oracled (md5 keep rule)
         "image_tile_plan": _q_image_tile_plan,               # SQL-oracled (stored-dims replay)
         "bloom_decontaminate": __import__(
             "lightcrawler_ray.extras.sketches", fromlist=["bloom_decontaminate"]
@@ -2248,6 +2254,40 @@ def oracle_sql() -> dict[str, str]:
         "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist "
         "FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey "
         "WHERE a.p_name <> b.p_name AND levenshtein(a.p_name, b.p_name) <= 2"
+    )
+    sqls["q3_shipping_priority"] = (
+        # same integer revenue units (10^-4 dollars) and epoch-us cut as the
+        # engine; tie-break (rev desc, orderdate, orderkey) in pure integers
+        "WITH li AS (SELECT l_orderkey, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) "
+        "* (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u "
+        "FROM lineitem WHERE epoch_us(l_shipdate) > 897868800000000), "
+        "o AS (SELECT o_orderkey, "
+        "CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us, "
+        "o_orderpriority FROM orders JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND epoch_us(o_orderdate) < 897868800000000) "
+        "SELECT o.o_orderkey AS l_orderkey, sum(li.rev_u) / 10000.0 AS revenue, "
+        "o.o_orderdate_us, o.o_orderpriority "
+        "FROM li JOIN o ON li.l_orderkey = o.o_orderkey "
+        "GROUP BY o.o_orderkey, o.o_orderdate_us, o.o_orderpriority "
+        "ORDER BY sum(li.rev_u) DESC, o.o_orderdate_us, o.o_orderkey LIMIT 10"
+    )
+    sqls["ohlc_daily"] = (
+        "WITH x AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day, "
+        "CAST(epoch_us(ts) AS BIGINT) AS t, event_id, "
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+        "SELECT day, first(cents ORDER BY t, event_id) / 100.0 AS open, "
+        "max(cents) / 100.0 AS high, min(cents) / 100.0 AS low, "
+        "last(cents ORDER BY t, event_id) / 100.0 AS close, "
+        "count(*) AS n_events FROM x GROUP BY day"
+    )
+    sqls["weighted_sample"] = (
+        "SELECT o_orderkey, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS weight_cents, "
+        "1000000000.0 / CAST(round(o_totalprice * 100) AS BIGINT) AS ip_weight "
+        "FROM orders WHERE md5_number_lower(CAST(o_orderkey AS VARCHAR)) "
+        "% 1000000000 < CAST(round(o_totalprice * 100) AS BIGINT)"
     )
     _z_terms = " + ".join(
         f"((w // {1 << b}) % 2) * {1 << (2 * b)} "

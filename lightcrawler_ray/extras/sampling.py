@@ -149,3 +149,38 @@ def shuffle_ranks(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return df.sort_values("doc_id").reset_index(drop=True)
+
+
+_WS_MOD = 1_000_000_000  # p = weight_cents / 10^9 (≤ ~5% on this corpus)
+
+
+def weighted_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic weighted Bernoulli sampling — each order is kept with
+    probability proportional to its total price (importance sampling for
+    data mixing / debiased spot-checks), plus the inverse-probability
+    weight a downstream unbiased estimator needs.
+
+    The keep rule is a pure function of the row key: keep iff
+    ``md5-low64(str(o_orderkey)) % 10^9 < weight_cents`` — no RNG state,
+    so the sample is identical across repartitions, retries and resume,
+    and replays bit-exact in SQL (``md5_number_lower``).  Embarrassingly
+    parallel: one map_batches, no shuffle, no driver state."""
+    from .. import storage
+
+    ds = storage.read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                    columns=["o_orderkey", "o_totalprice"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        h = (_h64(ids) % np.uint64(_WS_MOD)).astype(np.int64)
+        m = h < cents
+        return pa.table({
+            "o_orderkey": pa.array(ids[m], pa.int64()),
+            "weight_cents": pa.array(cents[m], pa.int64()),
+            "ip_weight": pa.array(float(_WS_MOD) / cents[m], pa.float64()),
+        })
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -1571,3 +1571,211 @@ def profile_columns(sf_dir: str) -> pd.DataFrame:
         agg[["col_name", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v"]]
         .sort_values("col_name").reset_index(drop=True)
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q3-shaped two-stage co-partitioned join pipeline
+# --------------------------------------------------------------------------
+
+_Q3_CUT_US = 897_868_800_000_000  # 1998-06-15 epoch-us; both date predicates
+
+
+def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                         k: int = 10, partitions: int = 64) -> pd.DataFrame:
+    """TPC-H Q3 (shipping priority): top-k unshipped BUILDING orders by
+    outstanding lineitem revenue — the classic three-table analytics shape
+    (filter → join → join → group → top-k) run as ONE streaming pipeline
+    with exactly TWO co-partitioned shuffles and a k-bounded driver merge.
+
+    Scale shape: stage A co-partitions customer (filtered to the segment)
+    and orders (filtered o_orderdate < cut) on ``custkey & (P-1)`` — the
+    ``order_revenue_join`` union+groupby(part)+searchsorted hash join, no
+    broadcast (both sides scale with SF).  Stage B re-keys the surviving
+    orders on ``orderkey`` and co-partitions them with lineitem partials
+    (revenue pre-summed per (batch, orderkey) in exact 10^-4-dollar int64
+    units BEFORE the shuffle; l_shipdate > cut pruned at the batch).  Each
+    partition emits only its local top-k, so the driver merge is bounded
+    by k × P rows.  Ties break (rev desc, o_orderdate, l_orderkey) in pure
+    integers — bit-exact against the SQL replay."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def cust_tag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_mktsegment"], segment))
+        k_ = t["c_custkey"]
+        return pa.table({
+            "part": pc.cast(pc.bit_wise_and(k_, partitions - 1), pa.int32()),
+            "key": k_,
+            "okey": pa.nulls(len(t), pa.int64()),
+            "odate": pa.nulls(len(t), pa.int64()),
+            "opri": pa.nulls(len(t), pa.string()),
+        })
+
+    def orders_tag(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view(np.int64)
+        t = t.filter(pa.array(od < _Q3_CUT_US))
+        od = od[od < _Q3_CUT_US]
+        return pa.table({
+            "part": pc.cast(pc.bit_wise_and(t["o_custkey"], partitions - 1),
+                            pa.int32()),
+            "key": t["o_custkey"],
+            "okey": t["o_orderkey"],
+            "odate": pa.array(od, pa.int64()),
+            "opri": t["o_orderpriority"],
+        })
+
+    def semi_join_orders(g: pa.Table) -> pa.Table:
+        okey_col = g.column("okey").to_numpy(zero_copy_only=False)
+        is_cust = pd.isna(okey_col)
+        key = g.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = np.sort(key[is_cust])
+        okeys = key[~is_cust]
+        idx = np.clip(np.searchsorted(ck, okeys), 0, max(ck.size - 1, 0))
+        hit = (ck[idx] == okeys) if ck.size else np.zeros(okeys.size, bool)
+        keep = np.nonzero(~is_cust)[0][hit]
+        return pa.table({
+            "okey": g.column("okey").take(pa.array(keep)),
+            "odate": g.column("odate").take(pa.array(keep)),
+            "opri": g.column("opri").take(pa.array(keep)),
+        })
+
+    building_orders = (
+        cust.map_batches(cust_tag, batch_format="pyarrow")
+        .union(orders.map_batches(orders_tag, batch_format="pyarrow"))
+        .groupby("part").map_groups(semi_join_orders, batch_format="pyarrow")
+    )
+
+    def orders_rekey(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "part": pc.cast(pc.bit_wise_and(t["okey"], partitions - 1), pa.int32()),
+            "key": t["okey"],
+            "rev_u": pa.nulls(len(t), pa.int64()),
+            "odate": t["odate"], "opri": t["opri"],
+        })
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view(np.int64)
+        t = t.filter(pa.array(sd > _Q3_CUT_US))
+        base_u = np.rint(t.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        disc_h = np.rint(t.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        t2 = pa.table({"key": t["l_orderkey"],
+                       "rev_u": pa.array(base_u * (100 - disc_h), pa.int64())})
+        g = pa.TableGroupBy(t2, "key").aggregate([("rev_u", "sum")])
+        kk = g["key"]
+        return pa.table({
+            "part": pc.cast(pc.bit_wise_and(kk, partitions - 1), pa.int32()),
+            "key": kk, "rev_u": g["rev_u_sum"],
+            "odate": pa.nulls(len(g), pa.int64()),
+            "opri": pa.nulls(len(g), pa.string()),
+        })
+
+    def join_topk(g: pa.Table) -> pa.Table:
+        opri = g.column("opri").to_numpy(zero_copy_only=False)
+        is_order = pd.notna(opri)
+        key = g.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = g.column("rev_u").to_numpy(zero_copy_only=False)
+        odate = g.column("odate").to_numpy(zero_copy_only=False)
+        okey, od, op = key[is_order], odate[is_order].astype(np.int64), opri[is_order]
+        o_order = np.argsort(okey, kind="stable")
+        okey, od, op = okey[o_order], od[o_order], op[o_order]
+        lkey = key[~is_order]
+        lrev = rev[~is_order].astype(np.int64)
+        # per-order revenue completes HERE: all of an order's partials and
+        # its orders row share the partition (both keyed on orderkey)
+        u, inv = np.unique(lkey, return_inverse=True)
+        total = np.bincount(inv, weights=lrev).astype(np.int64)
+        idx = np.clip(np.searchsorted(okey, u), 0, max(okey.size - 1, 0))
+        hit = (okey[idx] == u) if okey.size else np.zeros(u.size, bool)
+        u, total, idx = u[hit], total[hit], idx[hit]
+        top = np.lexsort((u, od[idx], -total))[:k]  # local top-k partial
+        return pa.table({
+            "l_orderkey": pa.array(u[top], pa.int64()),
+            "rev_u": pa.array(total[top], pa.int64()),
+            "o_orderdate_us": pa.array(od[idx][top], pa.int64()),
+            "o_orderpriority": pa.array(op[idx][top].tolist(), pa.string()),
+        })
+
+    cand = (
+        building_orders.map_batches(orders_rekey, batch_format="pyarrow")
+        .union(li.map_batches(li_partial, batch_format="pyarrow"))
+        .groupby("part").map_groups(join_topk, batch_format="pyarrow")
+        .to_pandas()  # ≤ k × P rows
+    )
+    order = np.lexsort((cand["l_orderkey"].to_numpy(np.int64),
+                        cand["o_orderdate_us"].to_numpy(np.int64),
+                        -cand["rev_u"].to_numpy(np.int64)))[:k]
+    out = cand.iloc[order].reset_index(drop=True)
+    out["revenue"] = out.pop("rev_u").astype(np.int64) / 10000.0
+    return out[["l_orderkey", "revenue", "o_orderdate_us", "o_orderpriority"]]
+
+
+# --------------------------------------------------------------------------
+# Daily OHLC — associative first/last/min/max partials
+# --------------------------------------------------------------------------
+
+def ohlc_daily(sf_dir: str) -> pd.DataFrame:
+    """Per-day OHLC bars over events.value: open/close are the values at
+    the earliest/latest (ts, event_id) of the day, high/low the int-cent
+    extremes — the time-series compaction every metrics store runs.
+
+    Open/close are ARGMIN/ARGMAX aggregates, which Ray Data lacks natively;
+    they carry as associative partials instead: each batch emits one row
+    per day holding (open_key, open_cents, close_key, close_cents, hi, lo,
+    n), and partials merge by the same keyed-extreme rule inside a tiny
+    groupby(day).map_groups (bounded by |days| groups, ≤ blocks rows each).
+    The corpus itself never shuffles."""
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view(np.int64)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 100
+                        ).astype(np.int64)
+        day = ts // 86_400_000_000
+        order = np.lexsort((eid, ts, day))
+        d, tss, eids, cs = day[order], ts[order], eid[order], cents[order]
+        head = np.ones(d.size, dtype=bool)
+        head[1:] = d[1:] != d[:-1]
+        bounds = np.nonzero(head)[0]
+        tail = np.append(bounds[1:], d.size) - 1
+        inv = np.cumsum(head) - 1
+        return pa.table({
+            "day": pa.array(d[bounds], pa.int64()),
+            "o_ts": pa.array(tss[bounds], pa.int64()),
+            "o_eid": pa.array(eids[bounds], pa.int64()),
+            "o_cents": pa.array(cs[bounds], pa.int64()),
+            "c_ts": pa.array(tss[tail], pa.int64()),
+            "c_eid": pa.array(eids[tail], pa.int64()),
+            "c_cents": pa.array(cs[tail], pa.int64()),
+            "hi": pa.array(np.maximum.reduceat(cs, bounds), pa.int64()),
+            "lo": pa.array(np.minimum.reduceat(cs, bounds), pa.int64()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+        })
+
+    def merge(g: pa.Table) -> pa.Table:
+        gp = g.to_pandas()
+        first = gp.loc[np.lexsort((gp["o_eid"], gp["o_ts"]))[0]]
+        last = gp.loc[np.lexsort((gp["c_eid"], gp["c_ts"]))[-1]]
+        return pa.table({
+            "day": pa.array([int(gp["day"].iloc[0])], pa.int64()),
+            "open": pa.array([int(first["o_cents"]) / 100.0], pa.float64()),
+            "high": pa.array([int(gp["hi"].max()) / 100.0], pa.float64()),
+            "low": pa.array([int(gp["lo"].min()) / 100.0], pa.float64()),
+            "close": pa.array([int(last["c_cents"]) / 100.0], pa.float64()),
+            "n_events": pa.array([int(gp["n"].sum())], pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day").map_groups(merge, batch_format="pyarrow")
+        .to_pandas()  # ≤ |days| rows
+        .sort_values("day").reset_index(drop=True)
+    )

@@ -222,3 +222,73 @@ def test_fuzzy_name_pairs_blocking_contract(ray_session):
         assert r["a_name"] != r["b_name"]
         assert r["a_name"].rsplit(" ", 1)[-1] == r["b_name"].rsplit(" ", 1)[-1]
         assert 1 <= _ref_lev(r["a_name"], r["b_name"]) == r["dist"] <= 2
+
+
+def test_q3_bruteforce_pandas(ray_session):
+    from lightcrawler_ray import relational as rel
+
+    got = rel.q3_shipping_priority(SF_DIR)
+    CUT = 897_868_800_000_000
+    cust = pq.read_table(f"{SF_DIR}/customer.parquet").to_pandas()
+    orders = pq.read_table(f"{SF_DIR}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{SF_DIR}/lineitem.parquet").to_pandas()
+    bk = set(cust[cust["c_mktsegment"] == "BUILDING"]["c_custkey"])
+    orders["odate_us"] = orders["o_orderdate"].astype("int64")
+    o = orders[(orders["o_custkey"].isin(bk)) & (orders["odate_us"] < CUT)]
+    li = li[li["l_shipdate"].astype("int64") > CUT].copy()
+    li["rev_u"] = (
+        np.rint(li["l_extendedprice"] * 100).astype(np.int64)
+        * (100 - np.rint(li["l_discount"] * 100).astype(np.int64))
+    )
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    agg = m.groupby(["l_orderkey", "odate_us", "o_orderpriority"],
+                    as_index=False)["rev_u"].sum()
+    agg = agg.sort_values(["rev_u", "odate_us", "l_orderkey"],
+                          ascending=[False, True, True]).head(10)
+    assert list(got["l_orderkey"]) == list(agg["l_orderkey"])
+    assert np.allclose(got["revenue"], agg["rev_u"].astype(np.int64) / 10000.0)
+    assert list(got["o_orderdate_us"]) == list(agg["odate_us"])
+
+
+def test_ohlc_open_close_tiebreak(ray_session, tmp_path):
+    """Two events at the identical opening microsecond: the lower event_id
+    must win open; same at the close."""
+    from lightcrawler_ray.relational import ohlc_daily
+
+    us = 1_000_000
+    t = pa.table({
+        "event_id": pa.array([5, 2, 9, 7], pa.int64()),
+        "ts": pa.array([10 * us, 10 * us, 99 * us, 99 * us], pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+        "event_type": pa.array(["view"] * 4, pa.string()),
+        "value": pa.array([1.11, 2.22, 3.33, 4.44], pa.float64()),
+        "props": pa.array(["{}"] * 4, pa.string()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = ohlc_daily(str(tmp_path))
+    assert len(got) == 1
+    assert got.loc[0, "open"] == 2.22   # event_id 2 beats 5 at the same ts
+    assert got.loc[0, "close"] == 3.33  # event_id 7... no: 9>7, id 9 later
+    assert got.loc[0, "high"] == 4.44 and got.loc[0, "low"] == 1.11
+    assert got.loc[0, "n_events"] == 4
+
+
+def test_weighted_sample_rule_and_bias(ray_session):
+    from lightcrawler_ray.extras.sampling import weighted_sample
+
+    got = weighted_sample(SF_DIR).to_pandas()
+    orders = pq.read_table(f"{SF_DIR}/orders.parquet",
+                           columns=["o_orderkey", "o_totalprice"]).to_pandas()
+    cents = np.rint(orders["o_totalprice"] * 100).astype(np.int64)
+    keep = {
+        int(k) for k, c in zip(orders["o_orderkey"], cents)
+        if int.from_bytes(hashlib.md5(str(int(k)).encode()).digest()[8:],
+                          "little") % 1_000_000_000 < int(c)
+    }
+    assert set(got["o_orderkey"]) == keep
+    # Horvitz-Thompson: Σ ip_weight over the sample estimates N within 3σ
+    n = len(orders)
+    est = float(got["ip_weight"].sum())
+    p = cents.to_numpy() / 1e9
+    sigma = float(np.sqrt(np.sum((1 - p) / p)))
+    assert abs(est - n) < 3 * sigma
