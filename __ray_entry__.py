@@ -681,6 +681,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": __import__(
             "lightcrawler_ray.extras.sampling", fromlist=["weighted_sample"]
         ).weighted_sample,                                   # SQL-oracled (md5 keep rule)
+        "kmv_per_group": __import__(
+            "lightcrawler_ray.extras.sketches", fromlist=["kmv_per_group"]
+        ).kmv_per_group,                                     # SQL-oracled (grouped register state)
+        "heavy_hitters": __import__(
+            "lightcrawler_ray.extras.sketches", fromlist=["heavy_hitters"]
+        ).heavy_hitters,                                     # SQL-oracled (integer gate)
+        "percent_rank_orders": analytics.percent_rank_orders,  # SQL-oracled (window replay)
         "image_tile_plan": _q_image_tile_plan,               # SQL-oracled (stored-dims replay)
         "bloom_decontaminate": __import__(
             "lightcrawler_ray.extras.sketches", fromlist=["bloom_decontaminate"]
@@ -2288,6 +2295,35 @@ def oracle_sql() -> dict[str, str]:
         "1000000000.0 / CAST(round(o_totalprice * 100) AS BIGINT) AS ip_weight "
         "FROM orders WHERE md5_number_lower(CAST(o_orderkey AS VARCHAR)) "
         "% 1000000000 < CAST(round(o_totalprice * 100) AS BIGINT)"
+    )
+    sqls["kmv_per_group"] = (
+        # grouped 63-bit KMV register state: k smallest distinct hashes
+        # per event_type, same md5-low64 >> 1 rule as kmv_sketch
+        "WITH d AS (SELECT DISTINCT event_type, "
+        "CAST(md5_number_lower(CAST(user_id AS VARCHAR)) // 2 AS BIGINT) AS h "
+        "FROM events), "
+        "r AS (SELECT event_type, h, row_number() OVER "
+        "(PARTITION BY event_type ORDER BY h) AS rn FROM d) "
+        "SELECT event_type, CAST(rn - 1 AS BIGINT) AS rank, h FROM r "
+        "WHERE rn <= 32"
+    )
+    sqls["heavy_hitters"] = (
+        "WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1), "
+        "t AS (SELECT count(*) AS n FROM events) "
+        "SELECT user_id, cnt, CAST(cnt AS DOUBLE) / t.n AS share "
+        "FROM c, t WHERE 200 * cnt > t.n"
+    )
+    sqls["percent_rank_orders"] = (
+        # ORDER BY includes the unique orderkey, so rank() == row_number()
+        # and percent_rank is the same (rnk-1)/(n_g-1) int ratio the engine
+        # computes from its prefix-sum offsets
+        "WITH x AS (SELECT o_orderkey, o_orderpriority, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) "
+        "SELECT o_orderkey, o_orderpriority, cents, "
+        "row_number() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY cents, o_orderkey) AS rnk, "
+        "percent_rank() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY cents, o_orderkey) AS pct FROM x"
     )
     _z_terms = " + ".join(
         f"((w // {1 << b}) % 2) * {1 << (2 * b)} "

@@ -490,3 +490,75 @@ def partition_checksums(sf_dir: str) -> pd.DataFrame:
         })
         .sort_values("part").reset_index(drop=True)
     )
+
+
+# --------------------------------------------------------------------------
+# percent_rank within group — the ntile prefix-sum pattern, segmented
+# --------------------------------------------------------------------------
+
+import zlib as _zlib
+
+
+def percent_rank_orders(sf_dir: str) -> rd.Dataset:
+    """Per-group window rank: each order's row_number and percent_rank
+    within its o_orderpriority, ordered by (int-cent price, orderkey) —
+    the grading-curve primitive, without a global (or even per-group)
+    sort.
+
+    The ``ntile_spend`` distributed prefix sum, segmented by group: rows
+    bucket on (priority, high bits of cents) — order-preserving within
+    each priority — per-cell counts flow to a domain-bounded driver
+    cumsum (|priorities| × 2^14 cells max), and ONE shuffle on the cell
+    id gives each partition its exact global offset; lexsort + arange
+    inside.  percent_rank = (rank-1)/(n_g-1) is the same int÷int double
+    DuckDB computes (ORDER BY includes the unique key, so ties cannot
+    split ranks)."""
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        pri = t.column("o_orderpriority").to_pylist()
+        bucket = np.minimum(cents >> _NTILE_SHIFT, _NTILE_BUCKETS - 1)
+        cell = np.array(
+            [(_zlib.crc32(p.encode()) << 14) | int(b) for p, b in zip(pri, bucket)],
+            np.int64)
+        return pa.table({
+            "cell": pa.array(cell, pa.int64()),
+            "o_orderkey": t["o_orderkey"],
+            "o_orderpriority": pa.array(pri, pa.string()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    counts = tagged.groupby("cell").count().to_pandas()  # ≤ |pri|×2^14 rows
+    cells = counts["cell"].to_numpy(np.int64)
+    ns = counts["count()"].to_numpy(np.int64)
+    order = np.argsort(cells, kind="stable")  # bucket asc within each priority
+    cells, ns = cells[order], ns[order]
+    grp = cells >> 14
+    new_g = np.ones(cells.size, dtype=bool)
+    new_g[1:] = grp[1:] != grp[:-1]
+    run_start = np.maximum.accumulate(np.where(new_g, np.arange(cells.size), 0))
+    cum = np.cumsum(ns) - ns
+    offsets = dict(zip(cells.tolist(), (cum - cum[run_start]).tolist()))
+    n_g = {int(g): int(n) for g, n in zip(
+        grp[new_g], np.add.reduceat(ns, np.nonzero(new_g)[0]))}
+
+    def rank_cell(t: pa.Table) -> pa.Table:
+        cell = int(t.column("cell")[0].as_py())
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((k, c))
+        rnk = offsets[cell] + np.arange(k.size, dtype=np.int64) + 1
+        ng = n_g[cell >> 14]
+        pct = (rnk - 1) / max(ng - 1, 1)
+        return pa.table({
+            "o_orderkey": pa.array(k[o], pa.int64()),
+            "o_orderpriority": t.column("o_orderpriority").take(pa.array(o)),
+            "cents": pa.array(c[o], pa.int64()),
+            "rnk": pa.array(rnk, pa.int64()),
+            "pct": pa.array(pct.astype(np.float64), pa.float64()),
+        })
+
+    return tagged.groupby("cell").map_groups(rank_cell, batch_format="pyarrow")

@@ -260,3 +260,101 @@ def bloom_decontaminate(sf_dir: str, n: int = 5) -> rd.Dataset:
         })
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def kmv_per_group(sf_dir: str, k: int = 32) -> pd.DataFrame:
+    """One KMV distinct sketch PER GROUP (event_type): the grouped
+    cardinality-sketch shape a segmented corpus report needs (distinct
+    users per event family without a distinct-shuffle).  Same 63-bit
+    md5-low64 state as ``kmv_sketch``; per-batch partials keep ≤k rows per
+    group present in the batch, the merge groupby is bounded by
+    |groups| × blocks × k rows, and the final k-cut runs per group inside
+    a map_groups bounded by the group domain.  Register-state SQL oracle
+    (row_number over the distinct hash set)."""
+    from .. import storage
+
+    ds = storage.read_parquet_clean(f"{sf_dir}/events.parquet",
+                                    columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.unique(np.stack([et.astype(str), uid.astype(str)], axis=1), axis=0)
+        grp, us = key[:, 0], key[:, 1].astype(np.int64)
+        h = np.fromiter((_low64(str(int(u))) >> 1 for u in us),
+                        dtype=np.int64, count=us.size)
+        order = np.lexsort((h, grp))
+        grp, h = grp[order], h[order]
+        new_g = np.ones(grp.size, dtype=bool)
+        new_g[1:] = grp[1:] != grp[:-1]
+        pos = np.arange(grp.size) - np.maximum.accumulate(
+            np.where(new_g, np.arange(grp.size), 0))
+        keep = pos < k
+        return pa.table({
+            "event_type": pa.array(grp[keep].astype(str), pa.string()),
+            "h": pa.array(h[keep], pa.int64()),
+        })
+
+    def final_cut(g: pa.Table) -> pa.Table:
+        et = g.column("event_type").to_pylist()[0]
+        h = np.unique(g.column("h").to_numpy(zero_copy_only=False))[:k]
+        return pa.table({
+            "event_type": pa.array([et] * h.size, pa.string()),
+            "rank": pa.array(np.arange(h.size, dtype=np.int64)),
+            "h": pa.array(h, pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type").map_groups(final_cut, batch_format="pyarrow")
+        .to_pandas()  # ≤ |groups| × k rows
+        .sort_values(["event_type", "rank"]).reset_index(drop=True)
+    )
+
+
+_HH_DENOM = 200  # heavy hitter: count > total / 200 (0.5%)
+
+
+def heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """EXACT heavy hitters over events.user_id: keys with more than
+    total/200 of all events — the skew-detection primitive that decides
+    which keys need salting before a shuffle.
+
+    Scale shape: the grand total is parquet metadata (``ds.count()``, no
+    scan); per-key partial counts combine per batch, one groupby, and the
+    gate applies INSIDE a map_batches over the aggregated stream — by
+    construction at most 200 keys can exceed total/200, so only that
+    bounded set ever reaches the driver.  The gate compares in integers
+    (200·cnt > total); ``share`` is the same int÷int double on both
+    sides."""
+    from .. import storage
+
+    ds = storage.read_parquet_clean(f"{sf_dir}/events.parquet",
+                                    columns=["user_id"])
+    total = ds.count()  # parquet row-count metadata, no scan
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(uid, return_counts=True)
+        return pa.table({"key": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    def gate(t: pa.Table) -> pa.Table:
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _HH_DENOM * cnt > total
+        key = t.column("key").to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        cnt = cnt[m]
+        return pa.table({
+            "user_id": pa.array(key, pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+            "share": pa.array(cnt.astype(np.float64) / float(total), pa.float64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key").aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(gate, batch_format="pyarrow")
+        .to_pandas()  # ≤ 200 rows by construction
+        .sort_values("user_id").reset_index(drop=True))

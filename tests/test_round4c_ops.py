@@ -292,3 +292,55 @@ def test_weighted_sample_rule_and_bias(ray_session):
     p = cents.to_numpy() / 1e9
     sigma = float(np.sqrt(np.sum((1 - p) / p)))
     assert abs(est - n) < 3 * sigma
+
+
+def test_kmv_per_group_state(ray_session):
+    from lightcrawler_ray.extras.sketches import kmv_per_group
+
+    got = kmv_per_group(SF_DIR, k=32)
+    ev = pq.read_table(f"{SF_DIR}/events.parquet",
+                       columns=["event_type", "user_id"]).to_pandas()
+    for et, grp in ev.groupby("event_type"):
+        hs = sorted({
+            int.from_bytes(hashlib.md5(str(int(u)).encode()).digest()[8:],
+                           "little") >> 1
+            for u in grp["user_id"].unique()
+        })[:32]
+        sub = got[got["event_type"] == et]
+        assert list(sub["h"]) == hs
+        assert list(sub["rank"]) == list(range(len(hs)))
+
+
+def test_heavy_hitters_gate_is_exact(ray_session, tmp_path):
+    """One dominant key over a 0.5% threshold, one key just under it."""
+    from lightcrawler_ray.extras.sketches import heavy_hitters
+
+    n_bg, n_hot, n_edge = 995, 600, 4  # total 1599; thr: 200*cnt > 1599
+    uid = ([i % 500 + 1000 for i in range(n_bg)] + [7] * n_hot + [8] * n_edge)
+    t = pa.table({"user_id": pa.array(uid, pa.int64())})
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = heavy_hitters(str(tmp_path))
+    assert 7 in set(got["user_id"])           # 600*200 > 1599
+    assert 8 not in set(got["user_id"])       # 4*200 = 800 < 1599
+    assert not (got["user_id"] >= 1000).any() # 2-3 repeats each, way under
+    row = got[got["user_id"] == 7].iloc[0]
+    assert row["cnt"] == n_hot and abs(row["share"] - n_hot / 1599) < 1e-12
+
+
+def test_percent_rank_matches_window_semantics(ray_session):
+    from lightcrawler_ray.extras.analytics import percent_rank_orders
+
+    got = percent_rank_orders(SF_DIR).to_pandas()
+    orders = pq.read_table(
+        f"{SF_DIR}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"]).to_pandas()
+    orders["cents"] = np.rint(orders["o_totalprice"] * 100).astype(np.int64)
+    for pri, grp in orders.groupby("o_orderpriority"):
+        grp = grp.sort_values(["cents", "o_orderkey"]).reset_index(drop=True)
+        sub = (got[got["o_orderpriority"] == pri]
+               .sort_values("rnk").reset_index(drop=True))
+        assert list(sub["o_orderkey"]) == list(grp["o_orderkey"])
+        assert list(sub["rnk"]) == list(range(1, len(grp) + 1))
+        ng = len(grp)
+        assert np.allclose(sub["pct"],
+                           (sub["rnk"] - 1) / max(ng - 1, 1))
