@@ -305,7 +305,7 @@ _NTILE_BUCKETS = 1 << 14
 _NTILE_SHIFT = 16  # bucket = spend_cents >> 16; order-preserving coarse key
 
 
-def ntile_spend(sf_dir: str, tiles: int = 4) -> pd.DataFrame:
+def ntile_spend(sf_dir: str, tiles: int = 4) -> rd.Dataset:
     """Global rank + ntile(4) of every customer by total order spend —
     the eval-slice / curriculum-bucketing primitive.
 
@@ -365,12 +365,10 @@ def ntile_spend(sf_dir: str, tiles: int = 4) -> pd.DataFrame:
             "quartile": pa.array(tile.astype(np.int64), pa.int64()),
         })
 
-    return (
-        bucketed.groupby("bucket")
-        .map_groups(rank_partition, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("spend_rank").reset_index(drop=True)
-    )
+    # stays a Dataset: the ranked table is customer-sized — at corpus scale
+    # it must stream to its sink, never collect on the driver
+    return bucketed.groupby("bucket").map_groups(
+        rank_partition, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
