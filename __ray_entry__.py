@@ -582,7 +582,7 @@ def _q_image_resize(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from lightcrawler_ray import relational as rel
-    from lightcrawler_ray.extras import analytics, ann, dedupe, textstats
+    from lightcrawler_ray.extras import analytics, ann, dedupe, graphs, textstats
 
     return {
         # relational / SURVEY §2 (SQL-oracled)
@@ -688,6 +688,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "lightcrawler_ray.extras.sketches", fromlist=["heavy_hitters"]
         ).heavy_hitters,                                     # SQL-oracled (integer gate)
         "percent_rank_orders": analytics.percent_rank_orders,  # SQL-oracled (window replay)
+        # co-visitation graph analytics (SQL-oracled, integer-exact)
+        "item_cooccurrence_topk": graphs.item_cooccurrence_topk,  # SQL-oracled (pair self-join replay)
+        "triangle_counts": graphs.triangle_counts,           # SQL-oracled (3-way join replay)
+        "mode_per_group": graphs.mode_item_per_user,         # SQL-oracled (row_number argmax)
         "image_tile_plan": _q_image_tile_plan,               # SQL-oracled (stored-dims replay)
         "bloom_decontaminate": __import__(
             "lightcrawler_ray.extras.sketches", fromlist=["bloom_decontaminate"]
@@ -2324,6 +2328,40 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY cents, o_orderkey) AS rnk, "
         "percent_rank() OVER (PARTITION BY o_orderpriority "
         "ORDER BY cents, o_orderkey) AS pct FROM x"
+    )
+    # co-visitation graph family: the engine's coarse-partition pair
+    # expansion / degree-oriented wedge check replayed as plain self-joins
+    # (same RE2 item extraction both sides; all-int64 → bit-exact)
+    _covis = (
+        'WITH it AS (SELECT DISTINCT user_id, '
+        'CAST(regexp_extract(props, \'"k": (\\d+)\', 1) AS BIGINT) AS item '
+        "FROM events), "
+        "p AS (SELECT x.item AS a, y.item AS b, count(*) AS cnt "
+        "FROM it x JOIN it y ON x.user_id = y.user_id AND x.item < y.item "
+        "GROUP BY 1, 2)"
+    )
+    sqls["item_cooccurrence_topk"] = (
+        _covis + ", sym AS (SELECT a AS item, b AS other, cnt FROM p "
+        "UNION ALL SELECT b, a, cnt FROM p), "
+        "r AS (SELECT item, other, cnt, row_number() OVER "
+        "(PARTITION BY item ORDER BY cnt DESC, other) AS rnk FROM sym) "
+        "SELECT item, other, cnt, rnk FROM r WHERE rnk <= 5"
+    )
+    sqls["triangle_counts"] = (
+        _covis + ", e AS (SELECT a, b FROM p WHERE cnt >= 3), "
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 "
+        "JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), "
+        "n AS (SELECT x AS item FROM tri UNION ALL SELECT y FROM tri "
+        "UNION ALL SELECT z FROM tri) "
+        "SELECT item, count(*) AS triangles FROM n GROUP BY 1"
+    )
+    sqls["mode_per_group"] = (
+        'WITH c AS (SELECT user_id, '
+        'CAST(regexp_extract(props, \'"k": (\\d+)\', 1) AS BIGINT) AS item, '
+        "count(*) AS cnt FROM events GROUP BY 1, 2), "
+        "r AS (SELECT user_id, item, cnt, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY cnt DESC, item) AS rnk FROM c) "
+        "SELECT user_id, item, cnt FROM r WHERE rnk = 1"
     )
     _z_terms = " + ".join(
         f"((w // {1 << b}) % 2) * {1 << (2 * b)} "

@@ -1,0 +1,101 @@
+"""Brute-force independent checks for the co-visitation graph operators
+(co-occurrence edges / top-k, degree-oriented triangle counting, per-user
+mode) — recomputed with plain Python sets/dicts so a shared engine/oracle
+bug can't hide."""
+
+from __future__ import annotations
+
+import itertools
+import json
+from collections import Counter, defaultdict
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _user_items() -> dict[int, set[int]]:
+    t = pq.read_table(f"{SF_DIR}/events.parquet", columns=["user_id", "props"])
+    by_user: dict[int, set[int]] = defaultdict(set)
+    for u, p in zip(t["user_id"].to_pylist(), t["props"].to_pylist()):
+        by_user[u].add(int(json.loads(p)["k"]))
+    return by_user
+
+
+def _brute_edges() -> Counter:
+    pairs: Counter = Counter()
+    for items in _user_items().values():
+        for a, b in itertools.combinations(sorted(items), 2):
+            pairs[(a, b)] += 1
+    return pairs
+
+
+def test_cooccur_edges_match_bruteforce(ray_session):
+    from lightcrawler_ray.extras.graphs import cooccur_edges
+
+    got = cooccur_edges(SF_DIR).to_pandas()
+    want = _brute_edges()
+    assert len(got) == len(want)
+    for a, b, c in zip(got["a"], got["b"], got["cnt"]):
+        assert want[(int(a), int(b))] == int(c)
+
+
+def test_cooccurrence_topk_ranks_and_ties(ray_session):
+    from lightcrawler_ray.extras.graphs import item_cooccurrence_topk
+
+    got = item_cooccurrence_topk(SF_DIR, k=5).to_pandas()
+    edges = _brute_edges()
+    sym: dict[int, list[tuple[int, int]]] = defaultdict(list)
+    for (a, b), c in edges.items():
+        sym[a].append((-c, b))
+        sym[b].append((-c, a))
+    for item, grp in got.groupby("item"):
+        grp = grp.sort_values("rnk")
+        assert list(grp["rnk"]) == list(range(1, len(grp) + 1))
+        want_head = sorted(sym[int(item)])[: len(grp)]
+        assert [(-c, o) for c, o in zip(grp["cnt"], grp["other"])] == want_head
+
+
+def test_triangle_counts_match_bruteforce(ray_session):
+    from lightcrawler_ray.extras.graphs import triangle_counts
+
+    min_count = 3
+    adj: dict[int, set[int]] = defaultdict(set)
+    for (a, b), c in _brute_edges().items():
+        if c >= min_count:
+            adj[a].add(b)
+            adj[b].add(a)
+    want: Counter = Counter()
+    nodes = sorted(adj)
+    for a in nodes:
+        for b in adj[a]:
+            if b <= a:
+                continue
+            for c in adj[a] & adj[b]:
+                if c > b:
+                    want[a] += 1
+                    want[b] += 1
+                    want[c] += 1
+    got = triangle_counts(SF_DIR, min_count=min_count).to_pandas()
+    got_map = dict(zip(got["item"].astype(int), got["triangles"].astype(int)))
+    assert got_map == dict(want)
+
+
+def test_mode_per_group_tie_breaks_low_item(ray_session):
+    from lightcrawler_ray.extras.graphs import mode_item_per_user
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet", columns=["user_id", "props"])
+    cnt: Counter = Counter()
+    for u, p in zip(t["user_id"].to_pylist(), t["props"].to_pylist()):
+        cnt[(u, int(json.loads(p)["k"]))] += 1
+    best: dict[int, tuple[int, int]] = {}
+    for (u, i), c in cnt.items():
+        cand = (-c, i)
+        if u not in best or cand < best[u]:
+            best[u] = cand
+    got = mode_item_per_user(SF_DIR).to_pandas()
+    assert len(got) == len(best)
+    for u, i, c in zip(got["user_id"], got["item"], got["cnt"]):
+        assert best[int(u)] == (-int(c), int(i))
