@@ -468,6 +468,14 @@ def _q_video_frames(sf_dir: str):
     )
 
 
+def _q_video_scene_cuts(sf_dir: str):
+    from lightcrawler_ray.extras import multimodal
+    from lightcrawler_ray.sources import synth
+
+    paths = synth.ensure_av_fixtures()
+    return multimodal.video_scene_cuts(paths["video"])
+
+
 def _q_image_stats(sf_dir: str):
     import pyarrow as pa
 
@@ -741,6 +749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_zorder": _q_image_zorder,                     # SQL-oracled (unrolled bit interleave)
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
+        "video_scene_cuts": _q_video_scene_cuts,             # SQL-oracled (gradient-formula replay)
         # S10 lookup face (SQL-oracled)
         "index_lookup": _q_index_lookup,
     }
@@ -1186,6 +1195,27 @@ def _crawl_family_sqls() -> dict[str, str]:
             "CAST(floor(i * 1000.0 / fps) AS BIGINT) AS ts_ms, w, h "
             f"FROM read_parquet('{av['video_truth']}'), "
             "unnest(range(0, n_frames, 4)) AS t(i)"
+        ),
+        # the engine decodes REAL container bytes; the oracle re-derives the
+        # pixel values from the synth gradient formula (avcodec.synth_video:
+        # R=(x·16+i·11+vid)%256, G=(y·16+i·5)%256, B=(x+y+i·23)%256 over the
+        # fixed 16×16 fixture grid) — two independent arithmetic paths to
+        # the same exact int64 SAD
+        "video_scene_cuts": (
+            "WITH p AS (SELECT video_id, "
+            "CAST(substr(video_id, 4) AS BIGINT) + 42000 AS vid, n_frames "
+            f"FROM read_parquet('{av['video_truth']}')), "
+            "tr AS (SELECT video_id, vid, t.i AS i FROM p, "
+            "unnest(range(1, n_frames)) AS t(i)), "
+            "d AS (SELECT video_id, i, "
+            "abs((gx.x*16 + i*11 + vid)%256 - (gx.x*16 + (i-1)*11 + vid)%256) "
+            "+ abs((gy.y*16 + i*5)%256 - (gy.y*16 + (i-1)*5)%256) "
+            "+ abs((gx.x + gy.y + i*23)%256 - (gx.x + gy.y + (i-1)*23)%256) AS sad3 "
+            "FROM tr, generate_series(0, 15) AS gx(x), "
+            "generate_series(0, 15) AS gy(y)), "
+            "s AS (SELECT video_id, i, sum(sad3) AS sad FROM d GROUP BY 1, 2) "
+            "SELECT video_id, CAST(i AS INTEGER) AS frame_idx, "
+            "CAST(sad AS BIGINT) AS sad, sad >= 15000 AS is_cut FROM s"
         ),
     }
 

@@ -626,3 +626,49 @@ def image_zorder_keys(images_path: str) -> rd.Dataset:
         })
 
     return ds.map_batches(keys, batch_format="pyarrow")
+
+
+class VideoSceneCuts:
+    """Actor-pool stage: decode → per-transition SAD (sum of |Δ| over every
+    pixel and channel, exact int64) → cut flag at an integer threshold —
+    the shot-boundary detector of a video curation pipeline (the reference's
+    attachment pipeline never segments video; this is the training-data
+    extension).  Codec binds once per actor; the frame-difference kernel is
+    one vectorized numpy subtract per clip, never per-pixel Python."""
+
+    def __init__(self, threshold: int = 15000):
+        self.decode = avcodec.decode_video  # real-codec swap point
+        self.threshold = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vids, idxs, sads = [], [], []
+        for vid, blob in zip(t.column("video_id").to_pylist(),
+                             t.column("bytes").to_pylist()):
+            frames, _ = self.decode(blob)
+            d = np.abs(
+                frames[1:].astype(np.int32) - frames[:-1].astype(np.int32)
+            ).reshape(len(frames) - 1, -1).sum(axis=1).astype(np.int64)
+            vids.extend([vid] * d.size)
+            idxs.extend(range(1, len(frames)))
+            sads.extend(d.tolist())
+        sad = np.asarray(sads, np.int64)
+        return pa.table({
+            "video_id": pa.array(vids, pa.string()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "sad": pa.array(sad, pa.int64()),
+            "is_cut": pa.array(sad >= self.threshold, pa.bool_()),
+        })
+
+
+def video_scene_cuts(video_path: str, threshold: int = 15000) -> rd.Dataset:
+    from .. import storage
+
+    ds = storage.read_parquet_clean(video_path, columns=["video_id", "bytes"])
+    return ds.map_batches(
+        VideoSceneCuts,
+        fn_constructor_kwargs={"threshold": threshold},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=2,
+        num_cpus=1,
+    )

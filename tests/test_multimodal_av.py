@@ -134,3 +134,22 @@ class TestRayPlumbing:
         for r in rows:
             got[r["video_id"]] = got.get(r["video_id"], 0) + 1
         assert got == expected
+
+    def test_video_scene_cuts_match_bruteforce(self, ray_session, tmp_path):
+        import numpy as np
+
+        paths = synth.ensure_av_fixtures(root=str(tmp_path))
+        src = pq.read_table(paths["video"], columns=["video_id", "bytes"])
+        want: dict[tuple[str, int], tuple[int, bool]] = {}
+        for vid, b in zip(src.column("video_id").to_pylist(),
+                          src.column("bytes").to_pylist()):
+            frames, _ = avcodec.decode_video(b)
+            for i in range(1, len(frames)):
+                sad = int(np.abs(frames[i].astype(np.int64)
+                                 - frames[i - 1].astype(np.int64)).sum())
+                want[(vid, i)] = (sad, sad >= 15000)
+        rows = multimodal.video_scene_cuts(paths["video"]).take_all()
+        got = {(r["video_id"], r["frame_idx"]): (r["sad"], r["is_cut"])
+               for r in rows}
+        assert got == want
+        assert any(c for _, c in got.values()) and not all(c for _, c in got.values())
