@@ -646,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups_lsh": dedupe.embedding_near_dups_lsh,  # SQL-oracled (plane replay)
         "dup_span_stats": dedupe.dup_span_stats,             # SQL-oracled (window grams)
         "dedup_components": dedupe.dedup_components,         # SQL-oracled (recursive CTE)
+        "set_similarity_join": dedupe.set_similarity_join,   # SQL-oracled (brute-force Jaccard validates the prefix filter)
         "dedup_apply": dedupe.dedup_apply,                   # SQL-oracled (CTE + anti-join)
         "decontaminate_fuzzy": dedupe.decontaminate_fuzzy,   # SQL-oracled (restricted LSH replay)
         # similarity search
@@ -2369,6 +2370,24 @@ def oracle_sql() -> dict[str, str]:
         "p AS (SELECT x.item AS a, y.item AS b, count(*) AS cnt "
         "FROM it x JOIN it y ON x.user_id = y.user_id AND x.item < y.item "
         "GROUP BY 1, 2)"
+    )
+    # the engine's prefix-filtered PPJoin-lite output is PROVABLY equal to
+    # the unfiltered join (prefix-filter completeness), so the oracle is the
+    # plain O(n²) Jaccard join over the same md5-low64 distinct token sets —
+    # it validates the filter instead of replicating it (the simhash-oracle
+    # relationship)
+    sqls["set_similarity_join"] = (
+        "WITH tok AS (SELECT DISTINCT doc_id, md5_number_lower(t) AS th "
+        "FROM documents, "
+        "unnest(regexp_extract_all(lower(text), '[\\w一-鿿]+')) u(t)), "
+        "sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY 1), "
+        "i AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS inter "
+        "FROM tok x JOIN tok y ON x.th = y.th AND x.doc_id < y.doc_id "
+        "GROUP BY 1, 2) "
+        "SELECT da AS doc_a, db AS doc_b, CAST(inter AS BIGINT) AS inter_sz, "
+        "CAST(sa.s + sb.s - inter AS BIGINT) AS union_sz "
+        "FROM i JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db "
+        "WHERE 100 * inter >= 50 * (sa.s + sb.s - inter)"
     )
     sqls["item_cooccurrence_topk"] = (
         _covis + ", sym AS (SELECT a AS item, b AS other, cnt FROM p "

@@ -1057,3 +1057,307 @@ def fuzzy_name_pairs(sf_dir: str, max_dist: int = 2,
             "a_name": pd.Series([], dtype="str"), "b_name": pd.Series([], dtype="str"),
             "dist": pd.Series([], dtype="int64")})
     return df.sort_values(["a_key", "b_key"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (PPJoin-lite)
+
+
+def set_similarity_join(sf_dir: str, tau100: int = 50,
+                        partitions: int = _PAIR_PARTITIONS) -> rd.Dataset:
+    """Exact Jaccard set-similarity self-join over per-document distinct
+    token sets via the prefix filter (Chaudhuri/Ganti/Kaushik SSJoin 2006;
+    Bayardo/Ma/Srikant WWW'07; Xiao et al. WWW'08 PPJoin) — the
+    data-independent scale path the blocked ``ngram_jaccard_pairs`` lacks:
+    no O(block²) anywhere; candidate volume is bounded by prefix-token
+    rarity, not by any data-dependent blocking key.
+
+    Output: (doc_a, doc_b, inter_sz, union_sz) for every pair with
+    ``100·|A∩B| ≥ tau100·|A∪B|`` — all-int64, bit-exact vs the SQL replay.
+
+    Prefix filter: order every doc's tokens by GLOBAL rarity (df asc, hash
+    asc); with prefix length ``p = s − ceil(τ·s) + 1`` (integer ceil:
+    ``(tau100·s + 99)//100``), any two sets with Jaccard ≥ τ must share a
+    PREFIX token — so only prefix rows enter candidate generation, and the
+    rare-token buckets they form stay small by construction.
+
+    Scale shape — six bounded shuffles, every kernel vectorized:
+      1. tokenize (distinct md5-low64 hashes per doc, batch-local);
+      2. df: partial counts per batch → ONE groupby(th);
+      3. df attach: co-partitioned union+searchsorted merge on th % P
+         (the q3 join shape — the df table scales with |vocab|, never
+         broadcast);
+      4. prefix pick: shuffle on doc % P, per-partition lexsort
+         (doc, df, th) + run-position rank;
+      5. candidates: shuffle prefix rows on th % P, run-expansion pair
+         arithmetic (repeat/arange — NO per-bucket Python), global
+         distinct by packed pair key;
+      6. verify: candidates co-partition TWICE with the token table (on
+         doc_a % P then doc_b % P) to expand each side's token list —
+         volume = Σ(|A|+|B|) over candidates — then ONE pair % P shuffle
+         counts (pair, th) duplicates by adjacency (each side is deduped,
+         so a (pair, th) seen twice IS an intersection hit).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    docs = _docs(sf_dir)
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        ids, ths, sizes = [], [], []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            hs = np.unique(hashing.token_hashes(text))
+            ids.append(np.full(hs.size, did, np.int64))
+            ths.append(hs.view(np.int64))
+            sizes.append(np.full(hs.size, hs.size, np.int64))
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(ids) if ids else [], pa.int64()),
+            "th": pa.array(np.concatenate(ths) if ths else [], pa.int64()),
+            "s": pa.array(np.concatenate(sizes) if sizes else [], pa.int64()),
+        })
+
+    # toks feeds FOUR consumers (df, the df-attach union, and both verify
+    # expansions); without pinning, Ray Data re-runs the tokenize lineage
+    # per consumer — and the re-runs compound down the DAG.  The pinned set
+    # is (doc_id, th, s) int64 rows ONLY (~24 B/token, no text) — a small,
+    # spillable fraction of corpus bytes, the standard cache-the-tokenized-
+    # corpus checkpoint, not a whole-input materialization.
+    toks = docs.map_batches(tok_rows, batch_format="pyarrow").materialize()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({"th": t["th"], "df": pa.array(np.ones(len(t), np.int64))})
+        g = pa.TableGroupBy(t2, "th").aggregate([("df", "sum")])
+        return pa.table({"th": g["th"], "df": pc.cast(g["df_sum"], pa.int64())})
+
+    df = (toks.map_batches(df_partial, batch_format="pyarrow")
+          .groupby("th").aggregate(Sum("df", alias_name="df")))
+
+    def _th_part(th: np.ndarray) -> np.ndarray:
+        key = th.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return ((key >> np.uint64(33)) & np.uint64(partitions - 1)).astype(np.int32)
+
+    def df_tag(t: pa.Table) -> pa.Table:
+        th = t.column("th").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "part": pa.array(_th_part(th)),
+            "th": t["th"], "df": t["df"],
+            "doc_id": pa.nulls(len(t), pa.int64()),
+            "s": pa.nulls(len(t), pa.int64()),
+        })
+
+    def tok_tag(t: pa.Table) -> pa.Table:
+        th = t.column("th").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "part": pa.array(_th_part(th)),
+            "th": t["th"], "df": pa.nulls(len(t), pa.int64()),
+            "doc_id": t["doc_id"], "s": t["s"],
+        })
+
+    def attach_df(g: pa.Table) -> pa.Table:
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        is_df = pd.isna(doc)
+        th = g.column("th").to_numpy(zero_copy_only=False).astype(np.int64)
+        dfv = g.column("df").to_numpy(zero_copy_only=False)
+        dth, dv = th[is_df], dfv[is_df].astype(np.int64)
+        o = np.argsort(dth.view(np.uint64), kind="stable")
+        dth, dv = dth[o], dv[o]
+        eth = th[~is_df]
+        idx = np.searchsorted(dth.view(np.uint64), eth.view(np.uint64))
+        idx = np.clip(idx, 0, max(dth.size - 1, 0))
+        got = dv[idx] if dth.size else np.zeros(eth.size, np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc[~is_df].astype(np.int64), pa.int64()),
+            "th": pa.array(eth, pa.int64()),
+            "s": pa.array(g.column("s").to_numpy(zero_copy_only=False)[~is_df]
+                          .astype(np.int64), pa.int64()),
+            "df": pa.array(got, pa.int64()),
+        })
+
+    toks_df = (
+        df.map_batches(df_tag, batch_format="pyarrow")
+        .union(toks.map_batches(tok_tag, batch_format="pyarrow"))
+        .groupby("part").map_groups(attach_df, batch_format="pyarrow")
+    )
+
+    def doc_tag(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["doc_id"], partitions - 1), pa.int32())
+        return t.append_column("part", part)
+
+    def prefix_pick(g: pa.Table) -> pa.Table:
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        th = g.column("th").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = g.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        dfv = g.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((th.view(np.uint64), dfv, doc))
+        doc, th, s = doc[order], th[order], s[order]
+        n = doc.size
+        new = np.ones(n, dtype=bool)
+        new[1:] = doc[1:] != doc[:-1]
+        seg_start = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+        rn = np.arange(n) - seg_start + 1
+        p = s - (tau100 * s + 99) // 100 + 1
+        keep = rn <= p
+        return pa.table({
+            "doc_id": pa.array(doc[keep], pa.int64()),
+            "th": pa.array(th[keep], pa.int64()),
+            "s": pa.array(s[keep], pa.int64()),
+        })
+
+    prefixes = (toks_df.map_batches(doc_tag, batch_format="pyarrow")
+                .groupby("part").map_groups(prefix_pick, batch_format="pyarrow"))
+
+    _PACK = np.int64(1) << 32
+
+    def pfx_tag(t: pa.Table) -> pa.Table:
+        th = t.column("th").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("part", pa.array(_th_part(th)))
+
+    def cand_pairs(g: pa.Table) -> pa.Table:
+        th = g.column("th").to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = g.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((doc, th.view(np.uint64)))
+        th, doc, s = th[order], doc[order], s[order]
+        n = th.size
+        empty = pa.table({"pair": pa.array([], pa.int64()),
+                          "sa": pa.array([], pa.int64()),
+                          "sb": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        new = np.ones(n, dtype=bool)
+        new[1:] = th[1:] != th[:-1]
+        seg_start = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+        counts = np.diff(np.append(np.nonzero(new)[0], n))
+        seg_len = np.repeat(counts, counts)
+        pos = np.arange(n) - seg_start
+        rep = seg_len - 1 - pos
+        total = int(rep.sum())
+        if total == 0:
+            return empty
+        starts = np.cumsum(rep) - rep
+        off = np.arange(total, dtype=np.int64) - np.repeat(starts, rep) + 1
+        a_idx = np.repeat(np.arange(n), rep)
+        b_idx = a_idx + off
+        da, db, sa, sb = doc[a_idx], doc[b_idx], s[a_idx], s[b_idx]
+        flip = db < da
+        da2 = np.where(flip, db, da)
+        db2 = np.where(flip, da, db)
+        sa2 = np.where(flip, sb, sa)
+        sb2 = np.where(flip, sa, sb)
+        pair = da2 * _PACK + db2
+        u, first = np.unique(pair, return_index=True)
+        return pa.table({
+            "pair": pa.array(u, pa.int64()),
+            "sa": pa.array(sa2[first], pa.int64()),
+            "sb": pa.array(sb2[first], pa.int64()),
+        })
+
+    cands = (
+        prefixes.map_batches(pfx_tag, batch_format="pyarrow")
+        .groupby("part").map_groups(cand_pairs, batch_format="pyarrow")
+        .groupby("pair").aggregate(Min("sa", alias_name="sa"),
+                                   Min("sb", alias_name="sb"))
+        .materialize()  # three consumers (two expansions + meta); pair rows only
+    )
+
+    def _expand_side(side: str):
+        def cand_tag(t: pa.Table) -> pa.Table:
+            pair = t.column("pair").to_numpy(zero_copy_only=False).astype(np.int64)
+            key = pair // _PACK if side == "a" else pair % _PACK
+            return pa.table({
+                "part": pa.array((key & (partitions - 1)).astype(np.int32)),
+                "key": pa.array(key, pa.int64()),
+                "pair": t["pair"],
+                "th": pa.nulls(len(t), pa.int64()),
+            })
+        return cand_tag
+
+    def tok_key_tag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "part": pc.cast(pc.bit_wise_and(t["doc_id"], partitions - 1), pa.int32()),
+            "key": t["doc_id"],
+            "pair": pa.nulls(len(t), pa.int64()),
+            "th": t["th"],
+        })
+
+    def expand(g: pa.Table) -> pa.Table:
+        pairc = g.column("pair").to_numpy(zero_copy_only=False)
+        is_cand = pd.notna(pairc)
+        key = g.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        th = g.column("th").to_numpy(zero_copy_only=False)
+        tk, tt = key[~is_cand], th[~is_cand].astype(np.int64)
+        o = np.argsort(tk, kind="stable")
+        tk, tt = tk[o], tt[o]
+        ck, cp = key[is_cand], pairc[is_cand].astype(np.int64)
+        lo = np.searchsorted(tk, ck, "left")
+        hi = np.searchsorted(tk, ck, "right")
+        rep = hi - lo
+        total = int(rep.sum())
+        starts = np.cumsum(rep) - rep
+        off = np.arange(total, dtype=np.int64) - np.repeat(starts, rep)
+        gather = np.repeat(lo, rep) + off
+        return pa.table({
+            "pair": pa.array(np.repeat(cp, rep), pa.int64()),
+            "th": pa.array(tt[gather], pa.int64()),
+        })
+
+    side_a = (cands.map_batches(_expand_side("a"), batch_format="pyarrow")
+              .union(toks.map_batches(tok_key_tag, batch_format="pyarrow"))
+              .groupby("part").map_groups(expand, batch_format="pyarrow"))
+    side_b = (cands.map_batches(_expand_side("b"), batch_format="pyarrow")
+              .union(toks.map_batches(tok_key_tag, batch_format="pyarrow"))
+              .groupby("part").map_groups(expand, batch_format="pyarrow"))
+
+    def match_tag(t: pa.Table) -> pa.Table:
+        pair = t.column("pair").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "part": pa.array((pair & (partitions - 1)).astype(np.int32)),
+            "pair": t["pair"], "th": t["th"],
+            "sa": pa.nulls(len(t), pa.int64()),
+            "sb": pa.nulls(len(t), pa.int64()),
+        })
+
+    def meta_tag(t: pa.Table) -> pa.Table:
+        pair = t.column("pair").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "part": pa.array((pair & (partitions - 1)).astype(np.int32)),
+            "pair": t["pair"], "th": pa.nulls(len(t), pa.int64()),
+            "sa": t["sa"], "sb": t["sb"],
+        })
+
+    def verify(g: pa.Table) -> pa.Table:
+        sa_col = g.column("sa").to_numpy(zero_copy_only=False)
+        is_meta = pd.notna(sa_col)
+        pair = g.column("pair").to_numpy(zero_copy_only=False).astype(np.int64)
+        th = g.column("th").to_numpy(zero_copy_only=False)
+        mp = pair[is_meta]
+        msa = sa_col[is_meta].astype(np.int64)
+        msb = g.column("sb").to_numpy(zero_copy_only=False)[is_meta].astype(np.int64)
+        o = np.argsort(mp, kind="stable")
+        mp, msa, msb = mp[o], msa[o], msb[o]
+        tp, tt = pair[~is_meta], th[~is_meta].astype(np.int64)
+        order = np.lexsort((tt.view(np.uint64), tp))
+        tp, tt = tp[order], tt[order]
+        dup = np.zeros(tp.size, dtype=bool)
+        if tp.size:
+            dup[1:] = (tp[1:] == tp[:-1]) & (tt[1:] == tt[:-1])
+        hit_pairs = tp[dup]
+        up, inter = np.unique(hit_pairs, return_counts=True)
+        idx = np.searchsorted(mp, up)
+        sa, sb = msa[idx], msb[idx]
+        inter = inter.astype(np.int64)
+        uni = sa + sb - inter
+        keep = 100 * inter >= tau100 * uni
+        return pa.table({
+            "doc_a": pa.array(up[keep] // _PACK, pa.int64()),
+            "doc_b": pa.array(up[keep] % _PACK, pa.int64()),
+            "inter_sz": pa.array(inter[keep], pa.int64()),
+            "union_sz": pa.array(uni[keep], pa.int64()),
+        })
+
+    return (
+        side_a.union(side_b).map_batches(match_tag, batch_format="pyarrow")
+        .union(cands.map_batches(meta_tag, batch_format="pyarrow"))
+        .groupby("part").map_groups(verify, batch_format="pyarrow")
+    )
