@@ -701,6 +701,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "item_cooccurrence_topk": graphs.item_cooccurrence_topk,  # SQL-oracled (pair self-join replay)
         "triangle_counts": graphs.triangle_counts,           # SQL-oracled (3-way join replay)
         "mode_per_group": graphs.mode_item_per_user,         # SQL-oracled (row_number argmax)
+        "basket_pairs_topk": graphs.basket_pairs_topk,       # SQL-oracled (pair self-join replay)
+        "late_event_audit": analytics.late_event_audit,      # SQL-oracled (window max replay)
         "image_tile_plan": _q_image_tile_plan,               # SQL-oracled (stored-dims replay)
         "bloom_decontaminate": __import__(
             "lightcrawler_ray.extras.sketches", fromlist=["bloom_decontaminate"]
@@ -2403,6 +2405,30 @@ def oracle_sql() -> dict[str, str]:
         "n AS (SELECT x AS item FROM tri UNION ALL SELECT y FROM tri "
         "UNION ALL SELECT z FROM tri) "
         "SELECT item, count(*) AS triangles FROM n GROUP BY 1"
+    )
+    sqls["basket_pairs_topk"] = (
+        "WITH it AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS item "
+        "FROM lineitem), "
+        "p AS (SELECT x.item AS a, y.item AS b, count(*) AS cnt "
+        "FROM it x JOIN it y ON x.k = y.k AND x.item < y.item GROUP BY 1, 2), "
+        "sym AS (SELECT a AS item, b AS other, cnt FROM p "
+        "UNION ALL SELECT b, a, cnt FROM p), "
+        "r AS (SELECT item, other, cnt, row_number() OVER "
+        "(PARTITION BY item ORDER BY cnt DESC, other) AS rnk FROM sym) "
+        "SELECT item, other, cnt, rnk FROM r WHERE rnk <= 5"
+    )
+    sqls["late_event_audit"] = (
+        # arrival = ts + md5low64(event_id) % 2d (the engine's _tok_hash IS
+        # DuckDB's md5_number_lower); watermark = running max event-time in
+        # arrival order; late = trailing the watermark by > 1 day
+        "WITH x AS (SELECT event_id, epoch_us(ts) AS tsu, epoch_us(ts) + "
+        "CAST(md5_number_lower(CAST(event_id AS VARCHAR)) % 172800000000 "
+        "AS BIGINT) AS arr FROM events), "
+        "w AS (SELECT event_id, tsu, max(tsu) OVER (ORDER BY arr, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm0 FROM x) "
+        "SELECT event_id, CAST(COALESCE(wm0, tsu) AS BIGINT) AS wm_us, "
+        "CAST(greatest(COALESCE(wm0, tsu) - tsu, 0) AS BIGINT) AS lateness_us, "
+        "greatest(COALESCE(wm0, tsu) - tsu, 0) > 86400000000 AS is_late FROM w"
     )
     sqls["mode_per_group"] = (
         'WITH c AS (SELECT user_id, '

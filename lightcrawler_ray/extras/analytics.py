@@ -560,3 +560,80 @@ def percent_rank_orders(sf_dir: str) -> rd.Dataset:
         })
 
     return tagged.groupby("cell").map_groups(rank_cell, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Event-time watermark audit (late-data accounting under bounded delay)
+# --------------------------------------------------------------------------
+
+_DELAY_MOD_US = 2 * _DAY_US   # simulated network delay ∈ [0, 2 days)
+_LATENESS_US = _DAY_US        # allowed lateness before an event counts late
+
+
+def late_event_audit(sf_dir: str) -> rd.Dataset:
+    """Watermark/late-event accounting — the streaming-ingest primitive:
+    events ARRIVE out of event-time order (simulated bounded network delay:
+    ``arrival = ts + md5low64(event_id) % 2d``, deterministic both sides),
+    the watermark is the running max event-time over arrival order, and an
+    event is late when it trails the watermark by more than the allowed
+    lateness (1 day).
+
+    Scale shape — a GLOBAL ordered scan without a global sort: arrival
+    weeks are the ordered range partitions (data-independent calendar
+    buckets, the natural event-stream layout); phase 1 reduces each week
+    to its max event-time (one groupby, ≤|weeks| rows — TIME-bounded, the
+    ntile-prefix-sum precedent); the driver folds those into per-week
+    exclusive seeds; phase 2 is one vectorized cummax per week seeded by
+    its predecessor weeks.  Every row is touched exactly twice, nothing
+    data-sized reaches the driver."""
+    from ray.data.aggregate import Max
+
+    from ..functions.hashing import _tok_hash
+
+    ds = _pq(sf_dir, "events", ["event_id", "ts"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        tsu = _ts_us(t.column("ts"))
+        delay = np.fromiter(
+            (_tok_hash(str(int(e))) % _DELAY_MOD_US for e in eid),
+            dtype=np.int64, count=eid.size)
+        arr = tsu + delay
+        return pa.table({
+            "event_id": pa.array(eid), "tsu": pa.array(tsu),
+            "arr": pa.array(arr),
+            "bucket": pa.array(arr // _WEEK_US),
+        })
+
+    rows = ds.map_batches(keyed, batch_format="pyarrow")
+    bmax = rows.groupby("bucket").aggregate(Max("tsu", alias_name="m")).to_pandas()
+    bmax = bmax.sort_values("bucket")
+    seeds: dict[int, int] = {}
+    run = None
+    for b, m in zip(bmax["bucket"], bmax["m"]):
+        seeds[int(b)] = -(1 << 62) if run is None else run
+        run = int(m) if run is None else max(run, int(m))
+
+    def audit(g: pa.Table) -> pa.Table:
+        eid = g.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        tsu = g.column("tsu").to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = g.column("arr").to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = int(g.column("bucket")[0].as_py())
+        order = np.lexsort((eid, arr))
+        eid, tsu = eid[order], tsu[order]
+        run_ = np.maximum.accumulate(tsu)
+        wm_excl = np.empty_like(run_)
+        wm_excl[0] = seeds[bucket]
+        wm_excl[1:] = run_[:-1]
+        wm_excl = np.maximum(wm_excl, seeds[bucket])
+        sentinel = wm_excl <= -(1 << 61)
+        wm = np.where(sentinel, tsu, wm_excl)
+        lateness = np.maximum(wm - tsu, 0)
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "wm_us": pa.array(wm, pa.int64()),
+            "lateness_us": pa.array(lateness, pa.int64()),
+            "is_late": pa.array(lateness > _LATENESS_US, pa.bool_()),
+        })
+
+    return rows.groupby("bucket").map_groups(audit, batch_format="pyarrow")

@@ -76,18 +76,19 @@ def _run_expand(rep: np.ndarray) -> np.ndarray:
     return np.arange(total, dtype=np.int64) - np.repeat(starts, rep) + 1
 
 
-def cooccur_edges(sf_dir: str, partitions: int = _PARTITIONS) -> rd.Dataset:
-    """Undirected weighted edge list (a, b, c) with a < b: c = number of
-    distinct users who touched both items."""
-    ds = _items(sf_dir)
+def _pair_edges(kv: rd.Dataset, key_col: str, item_col: str,
+                partitions: int = _PARTITIONS) -> rd.Dataset:
+    """Undirected weighted edge list (a, b, cnt) with a < b over any
+    (key, item) dataset: cnt = number of distinct keys containing both
+    items (users co-visiting pages, orders co-containing parts, ...)."""
 
     def tag(t: pa.Table) -> pa.Table:
-        part = pc.cast(pc.bit_wise_and(t["user_id"], partitions - 1), pa.int32())
+        part = pc.cast(pc.bit_wise_and(t[key_col], partitions - 1), pa.int32())
         return t.append_column("part", part)
 
     def pairs(g: pa.Table) -> pa.Table:
-        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        i = g.column("item").to_numpy(zero_copy_only=False).astype(np.int64)
+        u = g.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        i = g.column(item_col).to_numpy(zero_copy_only=False).astype(np.int64)
         s = np.unique(u * _PACK + i)  # distinct (user, item), user-major
         items = s % _PACK
         users = s // _PACK
@@ -116,18 +117,23 @@ def cooccur_edges(sf_dir: str, partitions: int = _PARTITIONS) -> rd.Dataset:
         })
 
     return (
-        ds.map_batches(tag, batch_format="pyarrow")
+        kv.map_batches(tag, batch_format="pyarrow")
         .groupby("part").map_groups(pairs, batch_format="pyarrow")
         .groupby(["a", "b"]).aggregate(Sum("c", alias_name="cnt"))
     )
 
 
-def item_cooccurrence_topk(sf_dir: str, k: int = 5,
-                           partitions: int = _PARTITIONS) -> rd.Dataset:
-    """Per-item top-k co-visited items — the "related pages" /
-    recommendation primitive.  Ties break (count desc, other asc); rank is
-    run-position arithmetic after one coarse item % P shuffle."""
-    edges = cooccur_edges(sf_dir, partitions)
+def cooccur_edges(sf_dir: str, partitions: int = _PARTITIONS) -> rd.Dataset:
+    """Co-visitation edges over the events stream: cnt = distinct users
+    touching both items."""
+    return _pair_edges(_items(sf_dir), "user_id", "item", partitions)
+
+
+def _edges_topk(edges: rd.Dataset, k: int,
+                partitions: int = _PARTITIONS) -> rd.Dataset:
+    """Per-item top-k strongest co-occurrence partners.  Ties break
+    (count desc, other asc); rank is run-position arithmetic after one
+    coarse item % P shuffle."""
 
     def sym(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -164,6 +170,28 @@ def item_cooccurrence_topk(sf_dir: str, k: int = 5,
         edges.map_batches(sym, batch_format="pyarrow")
         .groupby("part").map_groups(head, batch_format="pyarrow")
     )
+
+
+def item_cooccurrence_topk(sf_dir: str, k: int = 5,
+                           partitions: int = _PARTITIONS) -> rd.Dataset:
+    """Per-item top-k co-visited items over the events stream — the
+    "related pages" / recommendation primitive."""
+    return _edges_topk(cooccur_edges(sf_dir, partitions), k, partitions)
+
+
+def basket_pairs_topk(sf_dir: str, k: int = 5,
+                      partitions: int = _PARTITIONS) -> rd.Dataset:
+    """Market-basket co-order pairs: per part, the top-k parts most often
+    ordered together with it (distinct co-containing orders) — the same
+    pair-expansion engine as the co-visitation graph, over the much wider
+    (order, part) bipartite structure of lineitem.  Per-order line counts
+    bound the expansion (Σ C(m_o, 2)), never |parts|²."""
+    from .. import storage
+
+    kv = storage.read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    return _edges_topk(
+        _pair_edges(kv, "l_orderkey", "l_partkey", partitions), k, partitions)
 
 
 def _merge_deg(g: pa.Table) -> pa.Table:

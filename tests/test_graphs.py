@@ -99,3 +99,60 @@ def test_mode_per_group_tie_breaks_low_item(ray_session):
     assert len(got) == len(best)
     for u, i, c in zip(got["user_id"], got["item"], got["cnt"]):
         assert best[int(u)] == (-int(c), int(i))
+
+
+def test_basket_pairs_topk_matches_bruteforce(ray_session):
+    from lightcrawler_ray.extras.graphs import basket_pairs_topk
+
+    t = pq.read_table(f"{SF_DIR}/lineitem.parquet",
+                      columns=["l_orderkey", "l_partkey"])
+    by_order: dict[int, set[int]] = defaultdict(set)
+    for o, p in zip(t["l_orderkey"].to_pylist(), t["l_partkey"].to_pylist()):
+        by_order[o].add(p)
+    pairs: Counter = Counter()
+    for items in by_order.values():
+        for a, b in itertools.combinations(sorted(items), 2):
+            pairs[(a, b)] += 1
+    sym: dict[int, list[tuple[int, int]]] = defaultdict(list)
+    for (a, b), c in pairs.items():
+        sym[a].append((-c, b))
+        sym[b].append((-c, a))
+    got = basket_pairs_topk(SF_DIR, k=5).to_pandas()
+    for item, grp in got.groupby("item"):
+        grp = grp.sort_values("rnk")
+        want_head = sorted(sym[int(item)])[: len(grp)]
+        assert [(-c, o) for c, o in zip(grp["cnt"], grp["other"])] == want_head
+    assert set(got["item"]) == set(sym)
+
+
+def test_late_event_audit_matches_bruteforce(ray_session):
+    import hashlib
+
+    import numpy as np
+
+    from lightcrawler_ray.extras.analytics import late_event_audit
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet", columns=["event_id", "ts"])
+    eid = t["event_id"].to_numpy()
+    tsu = t["ts"].to_numpy().astype("datetime64[us]").view("int64")
+    delay = np.array([
+        int.from_bytes(hashlib.md5(str(int(e)).encode()).digest()[8:], "little")
+        % 172_800_000_000
+        for e in eid
+    ], dtype=np.int64)
+    arr = tsu + delay
+    order = np.lexsort((eid, arr))
+    eid_s, tsu_s = eid[order], tsu[order]
+    wm = np.empty_like(tsu_s)
+    run = None
+    for i, v in enumerate(tsu_s):
+        wm[i] = v if run is None else run
+        run = v if run is None else max(run, v)
+    lateness = np.maximum(wm - tsu_s, 0)
+    got = late_event_audit(SF_DIR).to_pandas().set_index("event_id")
+    assert len(got) == len(eid)
+    got = got.loc[eid_s]
+    assert (got["wm_us"].to_numpy() == wm).all()
+    assert (got["lateness_us"].to_numpy() == lateness).all()
+    assert (got["is_late"].to_numpy() == (lateness > 86_400_000_000)).all()
+    assert got["is_late"].any() and not got["is_late"].all()
