@@ -703,6 +703,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_per_group": graphs.mode_item_per_user,         # SQL-oracled (row_number argmax)
         "basket_pairs_topk": graphs.basket_pairs_topk,       # SQL-oracled (pair self-join replay)
         "late_event_audit": analytics.late_event_audit,      # SQL-oracled (window max replay)
+        "trending_items": analytics.trending_items,          # SQL-oracled (half-split count delta)
+        "snapshot_delta": dedupe.snapshot_delta,             # SQL-oracled (FULL OUTER JOIN replay)
         "image_tile_plan": _q_image_tile_plan,               # SQL-oracled (stored-dims replay)
         "bloom_decontaminate": __import__(
             "lightcrawler_ray.extras.sketches", fromlist=["bloom_decontaminate"]
@@ -2429,6 +2431,36 @@ def oracle_sql() -> dict[str, str]:
         "SELECT event_id, CAST(COALESCE(wm0, tsu) AS BIGINT) AS wm_us, "
         "CAST(greatest(COALESCE(wm0, tsu) - tsu, 0) AS BIGINT) AS lateness_us, "
         "greatest(COALESCE(wm0, tsu) - tsu, 0) > 86400000000 AS is_late FROM w"
+    )
+    sqls["trending_items"] = (
+        'WITH x AS (SELECT CAST(regexp_extract(props, \'"k": (\\d+)\', 1) '
+        "AS BIGINT) AS item, "
+        "CASE WHEN epoch_us(ts) >= 1705363200000000 THEN 1 ELSE 0 END AS late "
+        "FROM events), "
+        "c AS (SELECT item, sum(1 - late) AS cnt_early, sum(late) AS cnt_late "
+        "FROM x GROUP BY 1), "
+        "r AS (SELECT item, CAST(cnt_early AS BIGINT) AS cnt_early, "
+        "CAST(cnt_late AS BIGINT) AS cnt_late, "
+        "CAST(cnt_late - cnt_early AS BIGINT) AS delta, "
+        "row_number() OVER (ORDER BY cnt_late - cnt_early DESC, item) AS rnk "
+        "FROM c) "
+        "SELECT item, cnt_early, cnt_late, delta, rnk FROM r WHERE rnk <= 10"
+    )
+    sqls["snapshot_delta"] = (
+        # the two snapshots are deterministic slices (old: id%10<8; new:
+        # id%10>=1, ids divisible by 7 carry the ' rev2' edit) — the engine
+        # runs a real co-partitioned two-dataset merge; the oracle is the
+        # literal FULL OUTER JOIN
+        "WITH o AS (SELECT doc_id, md5(text) AS h FROM documents "
+        "WHERE doc_id % 10 < 8), "
+        "n AS (SELECT doc_id, md5(text || CASE WHEN doc_id % 7 = 0 "
+        "THEN ' rev2' ELSE '' END) AS h FROM documents WHERE doc_id % 10 >= 1), "
+        "j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "
+        "CASE WHEN o.doc_id IS NULL THEN 'added' "
+        "WHEN n.doc_id IS NULL THEN 'removed' "
+        "WHEN o.h <> n.h THEN 'changed' ELSE 'unchanged' END AS status "
+        "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) "
+        "SELECT doc_id, status FROM j WHERE status <> 'unchanged'"
     )
     sqls["mode_per_group"] = (
         'WITH c AS (SELECT user_id, '

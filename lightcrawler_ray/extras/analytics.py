@@ -637,3 +637,63 @@ def late_event_audit(sf_dir: str) -> rd.Dataset:
         })
 
     return rows.groupby("bucket").map_groups(audit, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Trending items (count delta between time halves, k-bounded driver merge)
+# --------------------------------------------------------------------------
+
+_TREND_SPLIT_US = 1_705_363_200_000_000  # 2024-01-16 00:00:00 UTC
+
+
+def trending_items(sf_dir: str, k: int = 10,
+                   partitions: int = _PARTITIONS) -> pd.DataFrame:
+    """Top-k trending items: biggest event-count RISE from the early half
+    of the time range to the late half (fixed calendar split) — the
+    what-changed monitoring primitive.  Counting is partial-per-batch then
+    ONE (item) groupby with both halves as parallel sums; each partition
+    emits only its local top-k so the driver merge is bounded by k × P
+    (the q3 pattern), never |items|."""
+    ds = _pq(sf_dir, "events", ["ts", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t.column("props"), r'"k": (?P<k>\d+)')
+        item = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        late = _ts_us(t.column("ts")) >= _TREND_SPLIT_US
+        t2 = pa.table({
+            "item": item,
+            "cnt_early": pa.array((~late).astype(np.int64)),
+            "cnt_late": pa.array(late.astype(np.int64)),
+        })
+        g = pa.TableGroupBy(t2, "item").aggregate(
+            [("cnt_early", "sum"), ("cnt_late", "sum")])
+        return g.rename_columns(["item", "cnt_early", "cnt_late"])
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("item").aggregate(Sum("cnt_early", alias_name="cnt_early"),
+                                         Sum("cnt_late", alias_name="cnt_late")))
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["item"], partitions - 1), pa.int32())
+        return t.append_column("part", part)
+
+    def local_topk(g: pa.Table) -> pa.Table:
+        item = g.column("item").to_numpy(zero_copy_only=False).astype(np.int64)
+        ce = g.column("cnt_early").to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = g.column("cnt_late").to_numpy(zero_copy_only=False).astype(np.int64)
+        delta = cl - ce
+        order = np.lexsort((item, -delta))[:k]
+        return pa.table({
+            "item": pa.array(item[order], pa.int64()),
+            "cnt_early": pa.array(ce[order], pa.int64()),
+            "cnt_late": pa.array(cl[order], pa.int64()),
+            "delta": pa.array(delta[order], pa.int64()),
+        })
+
+    cand = (counts.map_batches(tag, batch_format="pyarrow")
+            .groupby("part").map_groups(local_topk, batch_format="pyarrow")
+            .to_pandas())  # ≤ k × P rows
+    cand = cand.sort_values(["delta", "item"],
+                            ascending=[False, True]).head(k).reset_index(drop=True)
+    cand["rnk"] = np.arange(1, len(cand) + 1, dtype=np.int64)
+    return cand

@@ -1361,3 +1361,77 @@ def set_similarity_join(sf_dir: str, tau100: int = 50,
         .union(cands.map_batches(meta_tag, batch_format="pyarrow"))
         .groupby("part").map_groups(verify, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reconciliation (incremental-crawl delta)
+
+
+def snapshot_delta(sf_dir: str, partitions: int = _PAIR_PARTITIONS) -> rd.Dataset:
+    """Incremental-crawl reconciliation: diff two corpus snapshots by
+    content hash — added / removed / changed doc ids (the re-crawl
+    scheduling input; reference analog: the detail pre-check + content-seen
+    probes of DaoXlegalLawContentRecord:98-101 applied across crawl runs).
+
+    The snapshots are deterministic slices of the documents table (old:
+    ``doc_id % 10 < 8``; new: ``doc_id % 10 >= 1``, with docs divisible by
+    7 carrying a simulated edit), so the oracle replays the same FULL OUTER
+    JOIN literally.  Scale shape: only (doc_id, md5) rows shuffle — ONE
+    co-partitioned union on ``doc_id % P``, then a vectorized sorted-run
+    classification inside each partition; text bytes never leave the
+    hashing stage."""
+    import hashlib as _hl
+
+    import pyarrow.compute as pc
+
+    from .. import storage
+
+    docs = storage.read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _hash_rows(t: pa.Table, new_side: bool) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (did % 10 >= 1) if new_side else (did % 10 < 8)
+        t = t.filter(pa.array(keep))
+        did = did[keep]
+        hs = []
+        for d, text in zip(did, t.column("text").to_pylist()):
+            s = text + " rev2" if (new_side and d % 7 == 0) else text
+            hs.append(_hl.md5(s.encode("utf-8", "surrogatepass")).hexdigest())
+        return pa.table({
+            "part": pa.array((did & (partitions - 1)).astype(np.int32)),
+            "doc_id": pa.array(did, pa.int64()),
+            "h": pa.array(hs, pa.string()),
+            "is_new": pa.array(np.full(did.size, new_side), pa.bool_()),
+        })
+
+    old = docs.map_batches(lambda t: _hash_rows(t, False), batch_format="pyarrow")
+    new = docs.map_batches(lambda t: _hash_rows(t, True), batch_format="pyarrow")
+
+    def classify(g: pa.Table) -> pa.Table:
+        did = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        is_new = g.column("is_new").to_numpy(zero_copy_only=False)
+        h = np.asarray(g.column("h").to_pylist(), dtype=object)
+        order = np.lexsort((is_new, did))
+        did, is_new, h = did[order], is_new[order], h[order]
+        n = did.size
+        # adjacent rows with equal doc_id are an (old, new) pair
+        pairk = (did[1:] == did[:-1]) if n > 1 else np.zeros(0, dtype=bool)
+        both = np.zeros(n, dtype=bool)
+        both[1:] |= pairk
+        both[:-1] |= pairk
+        added = ~both & is_new
+        removed = ~both & ~is_new
+        changed_head = np.zeros(n, dtype=bool)
+        changed_head[:-1] = pairk & (h[1:] != h[:-1])
+        ids = np.concatenate([did[added], did[removed], did[changed_head]])
+        status = (["added"] * int(added.sum())
+                  + ["removed"] * int(removed.sum())
+                  + ["changed"] * int(changed_head.sum()))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "status": pa.array(status, pa.string()),
+        })
+
+    return (old.union(new)
+            .groupby("part").map_groups(classify, batch_format="pyarrow"))

@@ -156,3 +156,44 @@ def test_late_event_audit_matches_bruteforce(ray_session):
     assert (got["lateness_us"].to_numpy() == lateness).all()
     assert (got["is_late"].to_numpy() == (lateness > 86_400_000_000)).all()
     assert got["is_late"].any() and not got["is_late"].all()
+
+
+def test_trending_items_matches_bruteforce(ray_session):
+    from lightcrawler_ray.extras.analytics import trending_items
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet", columns=["ts", "props"])
+    tsu = t["ts"].to_numpy().astype("datetime64[us]").view("int64")
+    early: Counter = Counter()
+    late: Counter = Counter()
+    for u, p in zip(tsu, t["props"].to_pylist()):
+        item = int(json.loads(p)["k"])
+        (late if u >= 1_705_363_200_000_000 else early)[item] += 1
+    items = sorted(set(early) | set(late))
+    ranked = sorted(items, key=lambda i: (-(late[i] - early[i]), i))[:10]
+    got = trending_items(SF_DIR, k=10)
+    assert list(got["item"]) == ranked
+    assert list(got["rnk"]) == list(range(1, 11))
+    for i, ce, cl, d in zip(got["item"], got["cnt_early"],
+                            got["cnt_late"], got["delta"]):
+        assert (early[int(i)], late[int(i)]) == (int(ce), int(cl))
+        assert int(d) == late[int(i)] - early[int(i)]
+
+
+def test_snapshot_delta_matches_bruteforce(ray_session):
+    from lightcrawler_ray.extras.dedupe import snapshot_delta
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    want = {}
+    for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        in_old, in_new = d % 10 < 8, d % 10 >= 1
+        edited = in_new and d % 7 == 0
+        if in_old and in_new:
+            if edited:
+                want[d] = "changed"
+        elif in_new:
+            want[d] = "added"
+        elif in_old:
+            want[d] = "removed"
+    got = snapshot_delta(SF_DIR).to_pandas()
+    assert dict(zip(got["doc_id"].astype(int), got["status"])) == want
+    assert {"added", "removed", "changed"} == set(want.values())
