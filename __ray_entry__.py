@@ -568,6 +568,13 @@ def _q_image_histogram(sf_dir: str):
     return multimodal.image_histogram(paths["images"])
 
 
+def _q_image_dhash_topk(sf_dir: str):
+    from lightcrawler_ray.extras import dedupe
+
+    _, paths = _fixture_paths()
+    return dedupe.image_dhash_topk(paths["images"])
+
+
 def _q_image_dhash_near_dups(sf_dir: str):
     from lightcrawler_ray.extras import dedupe
 
@@ -751,6 +758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_lang_id": _q_caption_lang_id,               # SQL-oracled (same CASE replay)
         "image_meta_scan": _q_image_meta_scan,               # SQL-oracled (stored-meta replay)
         "image_dhash_near_dups": _q_image_dhash_near_dups,   # SQL-oracled (stored-dhash replay)
+        "image_dhash_topk": _q_image_dhash_topk,             # SQL-oracled (ranked retrieval replay)
         "image_zorder": _q_image_zorder,                     # SQL-oracled (unrolled bit interleave)
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
@@ -1184,6 +1192,19 @@ def _crawl_family_sqls() -> dict[str, str]:
             "CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming "
             "FROM s a JOIN s b ON a.image_id < b.image_id "
             "WHERE bit_count(xor(a.dhash, b.dhash)) <= 7"
+        ),
+        "image_dhash_topk": (
+            "WITH s AS (SELECT image_id, dhash "
+            f"FROM read_parquet('{paths['images_truth']}') WHERE decoded), "
+            "p AS (SELECT a.image_id AS ia, b.image_id AS ib, "
+            "CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming "
+            "FROM s a JOIN s b ON a.image_id < b.image_id "
+            "WHERE bit_count(xor(a.dhash, b.dhash)) <= 7), "
+            "sym AS (SELECT ia AS image_id, ib AS other, hamming FROM p "
+            "UNION ALL SELECT ib, ia, hamming FROM p), "
+            "r AS (SELECT image_id, other, hamming, row_number() OVER "
+            "(PARTITION BY image_id ORDER BY hamming, other) AS rnk FROM sym) "
+            "SELECT image_id, other, hamming, rnk FROM r WHERE rnk <= 3"
         ),
         "audio_features": (
             "SELECT clip_id, sr, duration_s, rms, zcr, "

@@ -1435,3 +1435,23 @@ def snapshot_delta(sf_dir: str, partitions: int = _PAIR_PARTITIONS) -> rd.Datase
 
     return (old.union(new)
             .groupby("part").map_groups(classify, batch_format="pyarrow"))
+
+
+def image_dhash_topk(images_path: str, k: int = 3, max_hamming: int = 7,
+                     n_bands: int = 8) -> pd.DataFrame:
+    """Ranked near-image retrieval: for every image, its top-k closest
+    neighbors by dhash hamming (≤ max_hamming; ties hamming asc → id asc)
+    — the query-by-image face over the same banded candidate join as
+    ``image_dhash_near_dups``.  The distributed part (decode, banding,
+    pair verify) is identical; the final per-image rank runs driver-side
+    over the CANDIDATE-BOUNDED pair list (pairs ≤ hamming 7 are a
+    vanishing fraction of n², the accepted near-dup materialization)."""
+    pairs = image_dhash_near_dups(images_path, max_hamming, n_bands)
+    sym = pd.concat([
+        pairs.rename(columns={"img_a": "image_id", "img_b": "other"}),
+        pairs.rename(columns={"img_b": "image_id", "img_a": "other"}),
+    ], ignore_index=True)[["image_id", "other", "hamming"]]
+    sym = sym.sort_values(["image_id", "hamming", "other"]).reset_index(drop=True)
+    rnk = sym.groupby("image_id").cumcount().to_numpy() + 1
+    sym["rnk"] = rnk.astype(np.int64)
+    return sym[sym["rnk"] <= k].reset_index(drop=True)

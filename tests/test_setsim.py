@@ -37,3 +37,36 @@ def test_set_similarity_join_matches_bruteforce(ray_session):
     }
     assert got_map == want
     assert len(want) > 0
+
+
+def test_image_dhash_topk_ranked(ray_session):
+    """Ranked retrieval must equal a brute-force hamming scan over the
+    recomputed dhash signatures (independent of the banded join path)."""
+    from collections import defaultdict
+
+    import __ray_entry__ as E
+    from lightcrawler_ray.extras import multimodal
+    from lightcrawler_ray.extras.dedupe import image_dhash_topk
+
+    _, paths = E._fixture_paths()
+    sigs = multimodal.image_stats(paths["images"]).to_pandas()
+    sigs = sigs[sigs["decoded"]][["image_id", "dhash"]]
+    ids = sigs["image_id"].to_list()
+    dh = sigs["dhash"].to_numpy().astype("int64").view("uint64")
+    neigh = defaultdict(list)
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if i == j:
+                continue
+            ham = int(bin(int(dh[i]) ^ int(dh[j])).count("1"))
+            if ham <= 7:
+                neigh[ids[i]].append((ham, ids[j]))
+    want = {}
+    for img, lst in neigh.items():
+        want[img] = sorted(lst)[:3]
+    got = image_dhash_topk(paths["images"], k=3)
+    got_map = defaultdict(list)
+    for img, other, ham, rnk in zip(got["image_id"], got["other"],
+                                    got["hamming"], got["rnk"]):
+        got_map[img].append((int(ham), other))
+    assert {k: sorted(v) for k, v in got_map.items()} == want
