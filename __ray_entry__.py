@@ -597,7 +597,7 @@ def _q_image_resize(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from lightcrawler_ray import relational as rel
-    from lightcrawler_ray.extras import analytics, ann, dedupe, graphs, textstats
+    from lightcrawler_ray.extras import analytics, ann, dedupe, graphs, joins, textstats
 
     return {
         # relational / SURVEY §2 (SQL-oracled)
@@ -694,6 +694,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship multi-join pipeline + time-series bars (SQL-oracled)
         "q3_shipping_priority": rel.q3_shipping_priority,    # SQL-oracled (two-stage join replay)
         "ohlc_daily": rel.ohlc_daily,                        # SQL-oracled (first/last ORDER BY)
+        # explicit exchange plans: skew salting, 3-shuffle multiway join,
+        # EXISTS semi-join, SCD2 intervals (all SQL-oracled)
+        "skew_salted_join": joins.skew_salted_join,
+        "q5_local_supplier": joins.q5_local_supplier,
+        "semi_join_parts": joins.semi_join_parts,
+        "scd2_intervals": joins.scd2_intervals,
         "weighted_sample": __import__(
             "lightcrawler_ray.extras.sampling", fromlist=["weighted_sample"]
         ).weighted_sample,                                   # SQL-oracled (md5 keep rule)
@@ -2501,6 +2507,44 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(h AS BIGINT) AS h FROM read_parquet('{paths['images']}')) "
         f"SELECT image_id, w, h, CAST({_z_terms} AS BIGINT) AS zkey, "
         f"CAST(({_z_terms}) // 16777216 AS BIGINT) AS zpart FROM d"
+    )
+    # explicit exchange plans (extras/joins.py): salting/partitioning are
+    # result-invariant, so each oracle is the PLAIN join — the strongest
+    # possible certificate that the exchange plan didn't change semantics
+    sqls["skew_salted_join"] = (
+        "SELECT p_brand, count(*) AS n_lines, "
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) "
+        "* (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 "
+        "AS revenue FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "GROUP BY p_brand"
+    )
+    sqls["q5_local_supplier"] = (
+        "SELECT n_name, "
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) "
+        "* (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 "
+        "AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE c_nationkey = s_nationkey AND r_name = 'ASIA' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY n_name"
+    )
+    sqls["semi_join_parts"] = (
+        "SELECT p_partkey, p_brand, p_size FROM part p WHERE EXISTS ("
+        "SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey "
+        "AND l.l_discount >= 0.05 "
+        "AND l.l_shipdate >= TIMESTAMP '2000-01-01')"
+    )
+    sqls["scd2_intervals"] = (
+        "SELECT o_custkey, o_orderkey, o_orderstatus, "
+        "o_orderdate AS valid_from, "
+        "COALESCE(lead(o_orderdate) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey), TIMESTAMP '9999-12-31') "
+        "AS valid_to FROM orders"
     )
     return sqls
 
