@@ -554,6 +554,20 @@ def _q_image_zorder(sf_dir: str):
     return multimodal.image_zorder_keys(paths["images"])
 
 
+def _q_image_keep_best(sf_dir: str):
+    from lightcrawler_ray.extras import multimodal
+
+    _, paths = _fixture_paths()
+    return multimodal.image_keep_best(paths["images"])
+
+
+def _q_image_shard_plan(sf_dir: str):
+    from lightcrawler_ray.extras import multimodal
+
+    _, paths = _fixture_paths()
+    return multimodal.image_shard_plan(paths["images"])
+
+
 def _q_caption_lang_id(sf_dir: str):
     from lightcrawler_ray.extras import multimodal
 
@@ -766,6 +780,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dhash_near_dups": _q_image_dhash_near_dups,   # SQL-oracled (stored-dhash replay)
         "image_dhash_topk": _q_image_dhash_topk,             # SQL-oracled (ranked retrieval replay)
         "image_zorder": _q_image_zorder,                     # SQL-oracled (unrolled bit interleave)
+        "image_keep_best": _q_image_keep_best,               # SQL-oracled (row_number keep-best replay)
+        "image_shard_plan": _q_image_shard_plan,             # SQL-oracled (running-sum shard cut)
+        "mad_per_group": __import__(
+            "lightcrawler_ray.relational", fromlist=["mad_per_group"]
+        ).mad_per_group,                                     # SQL-oracled (rank-arith robust stats)
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
         "video_scene_cuts": _q_video_scene_cuts,             # SQL-oracled (gradient-formula replay)
@@ -2538,6 +2557,52 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey "
         "AND l.l_discount >= 0.05 "
         "AND l.l_shipdate >= TIMESTAMP '2000-01-01')"
+    )
+    sqls["image_keep_best"] = (
+        # keep-best member per exact-phash dup group: most pixels, then
+        # smallest image_id — row_number replay over the stored dims
+        "WITH d AS (SELECT phash, image_id, w, h, "
+        "CAST(w AS BIGINT) * h AS px "
+        f"FROM read_parquet('{paths['images']}')), "
+        "r AS (SELECT phash, image_id, w, h, "
+        "row_number() OVER (PARTITION BY phash ORDER BY px DESC, image_id) "
+        "AS rn, count(*) OVER (PARTITION BY phash) AS n FROM d) "
+        "SELECT phash, image_id, CAST(w AS BIGINT) AS w, "
+        "CAST(h AS BIGINT) AS h, n AS n_dups FROM r WHERE rn = 1"
+    )
+    sqls["image_shard_plan"] = (
+        # z-order byte layout: running payload sum over (zkey, image_id)
+        # order, shard = exclusive prefix // budget; zkey reuses the
+        # unrolled bit-interleave expression (same as image_zorder)
+        "WITH d AS (SELECT image_id, CAST(w AS BIGINT) AS w, "
+        "CAST(h AS BIGINT) AS h, octet_length(bytes) AS nbytes "
+        f"FROM read_parquet('{paths['images']}')), "
+        f"z AS (SELECT image_id, nbytes, CAST({_z_terms} AS BIGINT) AS zkey "
+        "FROM d), "
+        "p AS (SELECT image_id, zkey, nbytes, "
+        "sum(nbytes) OVER (ORDER BY zkey, image_id "
+        "ROWS UNBOUNDED PRECEDING) - nbytes AS byte_offset FROM z) "
+        "SELECT image_id, zkey, nbytes, byte_offset, "
+        "byte_offset // 262144 AS shard FROM p"
+    )
+    sqls["mad_per_group"] = (
+        # discrete median at 1-based rank ceil(n/2) (the engine's
+        # searchsorted convention), MAD by ranking |cents - med| the same
+        # way — all integer until the final /100
+        "WITH c AS (SELECT l_returnflag AS g, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem), "
+        "r AS (SELECT g, cents, row_number() OVER (PARTITION BY g "
+        "ORDER BY cents) AS rn, count(*) OVER (PARTITION BY g) AS n FROM c), "
+        "m AS (SELECT g, min(cents) AS med FROM r "
+        "WHERE rn >= CAST(ceil(0.5 * n) AS BIGINT) GROUP BY g), "
+        "d AS (SELECT c.g, abs(c.cents - m.med) AS dev FROM c "
+        "JOIN m ON c.g = m.g), "
+        "r2 AS (SELECT g, dev, row_number() OVER (PARTITION BY g "
+        "ORDER BY dev) AS rn, count(*) OVER (PARTITION BY g) AS n FROM d), "
+        "m2 AS (SELECT g, min(dev) AS mad FROM r2 "
+        "WHERE rn >= CAST(ceil(0.5 * n) AS BIGINT) GROUP BY g) "
+        "SELECT m.g AS l_returnflag, CAST(m.med AS DOUBLE) / 100 AS median, "
+        "CAST(m2.mad AS DOUBLE) / 100 AS mad FROM m JOIN m2 ON m.g = m2.g"
     )
     sqls["scd2_intervals"] = (
         "SELECT o_custkey, o_orderkey, o_orderstatus, "

@@ -672,3 +672,128 @@ def video_scene_cuts(video_path: str, threshold: int = 15000) -> rd.Dataset:
         concurrency=2,
         num_cpus=1,
     )
+
+
+def image_keep_best(images_path: str, partitions: int = 32) -> rd.Dataset:
+    """Keep-best dedup over exact-phash duplicate groups: for each phash,
+    keep the member with the most pixels (ties → smallest image_id) and
+    report the group size — the canonical-representative step a curation
+    pipeline runs after near-dup clustering (the reference keeps the
+    first-seen content row, DaoXlegalLawContentRecord:98-101; keep-BEST is
+    the training-data variant).
+
+    Scale shape: the read prunes to 4 metadata columns (payload bytes
+    never move), ONE coarse shuffle on phash % P co-locates each group,
+    and the per-partition winner pick is a lexsort + run-boundary mask —
+    no per-group Python.  SQL-oracled via a row_number window replay."""
+    from .. import storage
+
+    ds = storage.read_parquet_clean(
+        images_path, columns=["image_id", "w", "h", "phash"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        ph = t.column("phash").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "part", pa.array((ph & (partitions - 1)).astype(np.int32)))
+
+    def best(g: pa.Table) -> pa.Table:
+        ph = g.column("phash").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = g.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = g.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = np.asarray(g.column("image_id").to_pylist(), dtype=str)
+        px = w * h
+        order = np.lexsort((ids, -px, ph))
+        ph, w, h, ids = ph[order], w[order], h[order], ids[order]
+        first = np.ones(len(ph), bool)
+        first[1:] = ph[1:] != ph[:-1]
+        # group size = distance to the next run start
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(ph)))
+        return pa.table({
+            "phash": pa.array(ph[first]),
+            "image_id": pa.array(ids[first].tolist(), pa.string()),
+            "w": pa.array(w[first]), "h": pa.array(h[first]),
+            "n_dups": pa.array(sizes.astype(np.int64)),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part").map_groups(best, batch_format="pyarrow")
+    )
+
+
+def image_shard_plan(images_path: str, shard_bytes: int = 262144,
+                     partitions: int = 32, zshift: int = 12) -> pd.DataFrame:
+    """WebDataset-style shard layout: lay the image payloads end-to-end in
+    z-order (similar-sized images co-located, see ``image_zorder_keys``)
+    and cut shards at a byte budget — every image gets its global byte
+    offset and shard id.
+
+    Scale shape: the ``pack_sequences`` distributed prefix sum over a
+    different ordering domain — pass 1 reduces to one row per coarse
+    z-range (gid = zkey >> zshift; only group totals reach the driver),
+    pass 2 is ONE coarse shuffle + segmented cumsum.  Payload bytes are
+    sized via the Arrow buffer offsets (``binary_length`` — zero-copy, no
+    decode) and never shuffle: the plan travels, the blobs stay put.
+    SQL-oracled as a window running sum over (zkey, image_id) order."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .. import storage
+
+    ds = storage.read_parquet_clean(images_path, columns=["image_id", "w", "h", "bytes"])
+
+    def sizes(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = t.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+        z = np.zeros(w.size, np.uint64)
+        for b in range(16):
+            z |= ((w >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b)
+            z |= ((h >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b + 1)
+        zi = z.astype(np.int64)
+        nb = pc.cast(pc.binary_length(t.column("bytes").combine_chunks()), pa.int64())
+        gid = zi >> zshift
+        return pa.table({
+            "gid": pa.array(gid), "part": pa.array((gid % partitions).astype(np.int32)),
+            "zkey": pa.array(zi), "image_id": t.column("image_id"), "nbytes": nb,
+        })
+
+    counts = ds.map_batches(sizes, batch_format="pyarrow")
+    gt = counts.groupby("gid").aggregate(Sum("nbytes", alias_name="tot")).to_pandas()
+    gt = gt.sort_values("gid").reset_index(drop=True)
+    base = np.concatenate(([0], np.cumsum(gt["tot"].to_numpy(np.int64))[:-1]))
+    base_ref = ray.put({int(g): int(b) for g, b in zip(gt["gid"].to_numpy(np.int64), base)})
+
+    def assign(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table({
+                "image_id": pa.array([], pa.string()),
+                "zkey": pa.array([], pa.int64()),
+                "nbytes": pa.array([], pa.int64()),
+                "byte_offset": pa.array([], pa.int64()),
+                "shard": pa.array([], pa.int64()),
+            })
+        bases = ray.get(base_ref)
+        gid = g.column("gid").to_numpy(zero_copy_only=False).astype(np.int64)
+        z = g.column("zkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = np.asarray(g.column("image_id").to_pylist(), dtype=str)
+        nb = g.column("nbytes").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, z, gid))
+        gid, z, ids, nb = gid[order], z[order], ids[order], nb[order]
+        csum = np.cumsum(nb) - nb
+        new_run = np.ones(len(gid), bool)
+        new_run[1:] = gid[1:] != gid[:-1]
+        run_start = np.maximum.accumulate(np.where(new_run, csum, 0))
+        off = np.array([bases[int(x)] for x in gid[new_run]], dtype=np.int64)
+        run_id = np.cumsum(new_run) - 1
+        byte_offset = off[run_id] + (csum - run_start)
+        return pa.table({
+            "image_id": pa.array(ids.tolist(), pa.string()),
+            "zkey": pa.array(z), "nbytes": pa.array(nb),
+            "byte_offset": pa.array(byte_offset),
+            "shard": pa.array(byte_offset // shard_bytes),
+        })
+
+    df = counts.groupby("part").map_groups(assign, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["zkey", "image_id"]).reset_index(drop=True)

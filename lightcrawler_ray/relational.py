@@ -1779,3 +1779,61 @@ def ohlc_daily(sf_dir: str) -> pd.DataFrame:
         .to_pandas()  # ≤ |days| rows
         .sort_values("day").reset_index(drop=True)
     )
+
+
+def mad_per_group(sf_dir: str) -> pd.DataFrame:
+    """Robust dispersion per group: median and median-absolute-deviation of
+    l_extendedprice (exact cents) per l_returnflag.
+
+    Scale shape: ONE distributed pass builds the per-(group, cents)
+    histogram (the ``quantiles_by_group`` bounded-domain trick — the merged
+    table is bounded by |groups| × price domain, never by row count); the
+    driver then derives BOTH order statistics from that same histogram:
+    the median at 1-based rank ceil(n/2), and the MAD by folding the
+    histogram around the median (|cents − med| re-aggregated, counts
+    summed where deviations collide) and ranking again.  No second data
+    pass, no sort, integer-exact."""
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        flag = t.column("l_returnflag").dictionary_encode().combine_chunks()
+        codes = flag.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        key = codes * (1 << 32) + cents
+        u, c = np.unique(key, return_counts=True)
+        dic = flag.dictionary.to_pylist()
+        return pa.table({
+            "l_returnflag": pa.array([dic[int(k >> 32)] for k in u], pa.string()),
+            "cents": pa.array(u & ((1 << 32) - 1), pa.int64()),
+            "n": pa.array(c, pa.int64()),
+        })
+
+    merged = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["l_returnflag", "cents"]).aggregate(Sum("n")).to_pandas()
+        .sort_values(["l_returnflag", "cents"]).reset_index(drop=True)
+    )
+    out_g, out_med, out_mad = [], [], []
+    for g, part in merged.groupby("l_returnflag", sort=True):
+        vals = part["cents"].to_numpy(np.int64)
+        cnts = part["sum(n)"].to_numpy(np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        target = int(np.ceil(0.5 * n))
+        med = int(vals[np.searchsorted(cum, target, side="left")])
+        dev = np.abs(vals - med)
+        order = np.argsort(dev, kind="stable")
+        dev_s, cnt_s = dev[order], cnts[order]
+        # collapse colliding deviations (x below and above the median fold)
+        uniq = np.ones(len(dev_s), bool)
+        uniq[1:] = dev_s[1:] != dev_s[:-1]
+        run_id = np.cumsum(uniq) - 1
+        dcnt = np.bincount(run_id, weights=cnt_s).astype(np.int64)
+        dcum = np.cumsum(dcnt)
+        mad = int(dev_s[uniq][np.searchsorted(dcum, target, side="left")])
+        out_g.append(g)
+        out_med.append(med / 100.0)
+        out_mad.append(mad / 100.0)
+    return pd.DataFrame({"l_returnflag": out_g, "median": out_med, "mad": out_mad})

@@ -129,3 +129,83 @@ def test_scd2_intervals_vs_pandas(ray_session):
                      .groupby("o_custkey").size())
     assert (open_per_cust == 1).all()
     assert open_per_cust.index.nunique() == got["o_custkey"].nunique()
+
+
+def _fixture_images() -> pd.DataFrame:
+    from lightcrawler_ray.sources import synth
+
+    p = synth.GraphParams(n_pages=300, n_hosts=6, n_images=120, out_degree=6)
+    paths = synth.ensure_fixtures(p)
+    return pq.read_table(paths["images"]).to_pandas(), paths
+
+
+def test_image_keep_best_vs_pandas(ray_session):
+    from lightcrawler_ray.extras.multimodal import image_keep_best
+
+    imgs, paths = _fixture_images()
+    got = image_keep_best(paths["images"]).to_pandas().sort_values("phash").reset_index(drop=True)
+
+    df = imgs.copy()
+    df["px"] = df["w"].astype(np.int64) * df["h"].astype(np.int64)
+    df = df.sort_values(["phash", "px", "image_id"],
+                        ascending=[True, False, True])
+    exp = df.groupby("phash", sort=True).agg(
+        image_id=("image_id", "first"), w=("w", "first"), h=("h", "first"),
+        n_dups=("image_id", "size")).reset_index()
+
+    assert len(got) == len(exp)
+    assert (got["image_id"].to_numpy() == exp["image_id"].to_numpy()).all()
+    assert (got["n_dups"].to_numpy() == exp["n_dups"].to_numpy()).all()
+    assert int(got["n_dups"].sum()) == len(imgs)  # every image accounted for
+
+
+def test_image_shard_plan_vs_pandas(ray_session):
+    from lightcrawler_ray.extras.multimodal import image_shard_plan
+
+    imgs, paths = _fixture_images()
+    got = image_shard_plan(paths["images"])
+
+    w = imgs["w"].to_numpy(np.uint64)
+    h = imgs["h"].to_numpy(np.uint64)
+    z = np.zeros(len(imgs), np.uint64)
+    for b in range(16):
+        z |= ((w >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b)
+        z |= ((h >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b + 1)
+    df = pd.DataFrame({
+        "image_id": imgs["image_id"], "zkey": z.astype(np.int64),
+        "nbytes": imgs["bytes"].map(len).astype(np.int64),
+    }).sort_values(["zkey", "image_id"]).reset_index(drop=True)
+    df["byte_offset"] = df["nbytes"].cumsum() - df["nbytes"]
+    df["shard"] = df["byte_offset"] // 262144
+
+    assert len(got) == len(df)
+    for c in ("image_id", "zkey", "nbytes", "byte_offset", "shard"):
+        assert (got[c].to_numpy() == df[c].to_numpy()).all(), c
+    # shard ids are non-decreasing in layout order and start at 0
+    assert got["shard"].iloc[0] == 0
+    assert (np.diff(got["shard"].to_numpy()) >= 0).all()
+
+
+def test_mad_per_group_vs_pandas(ray_session):
+    from lightcrawler_ray.relational import mad_per_group
+
+    got = mad_per_group(SF_DIR).sort_values("l_returnflag").reset_index(drop=True)
+
+    li = _read("lineitem", ["l_returnflag", "l_extendedprice"])
+    li["cents"] = np.rint(li["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+
+    def rank_stat(v: np.ndarray) -> int:
+        v = np.sort(v)
+        return int(v[int(np.ceil(0.5 * len(v))) - 1])
+
+    rows = []
+    for g, part in li.groupby("l_returnflag", sort=True):
+        med = rank_stat(part["cents"].to_numpy())
+        mad = rank_stat(np.abs(part["cents"].to_numpy() - med))
+        rows.append((g, med / 100.0, mad / 100.0))
+    exp = pd.DataFrame(rows, columns=["l_returnflag", "median", "mad"])
+
+    assert len(got) == len(exp)
+    assert (got["l_returnflag"] == exp["l_returnflag"]).all()
+    assert np.allclose(got["median"], exp["median"], atol=1e-9)
+    assert np.allclose(got["mad"], exp["mad"], atol=1e-9)
