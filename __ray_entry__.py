@@ -785,6 +785,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_per_group": __import__(
             "lightcrawler_ray.relational", fromlist=["mad_per_group"]
         ).mad_per_group,                                     # SQL-oracled (rank-arith robust stats)
+        "robust_outliers": __import__(
+            "lightcrawler_ray.relational", fromlist=["robust_outliers"]
+        ).robust_outliers,                                   # SQL-oracled (integer MAD gate)
+        "kmv_intersect": __import__(
+            "lightcrawler_ray.extras.sketches", fromlist=["kmv_intersect"]
+        ).kmv_intersect,                                     # SQL-oracled (theta-sketch algebra)
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
         "video_scene_cuts": _q_video_scene_cuts,             # SQL-oracled (gradient-formula replay)
@@ -2610,6 +2616,55 @@ def oracle_sql() -> dict[str, str]:
         "COALESCE(lead(o_orderdate) OVER (PARTITION BY o_custkey "
         "ORDER BY o_orderdate, o_orderkey), TIMESTAMP '9999-12-31') "
         "AS valid_to FROM orders"
+    )
+    # the mad_per_group rank-arithmetic CTE chain, shared with the robust
+    # outlier gate (integer-exact: 2·|dev| > 3·mad)
+    _mad_ctes = (
+        "c AS (SELECT l_returnflag AS g, l_orderkey, l_linenumber, "
+        "l_extendedprice, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem), "
+        "r AS (SELECT g, cents, row_number() OVER (PARTITION BY g "
+        "ORDER BY cents) AS rn, count(*) OVER (PARTITION BY g) AS n FROM c), "
+        "m AS (SELECT g, min(cents) AS med FROM r "
+        "WHERE rn >= CAST(ceil(0.5 * n) AS BIGINT) GROUP BY g), "
+        "d AS (SELECT c.g, abs(c.cents - m.med) AS dev FROM c "
+        "JOIN m ON c.g = m.g), "
+        "r2 AS (SELECT g, dev, row_number() OVER (PARTITION BY g "
+        "ORDER BY dev) AS rn, count(*) OVER (PARTITION BY g) AS n FROM d), "
+        "m2 AS (SELECT g, min(dev) AS mad FROM r2 "
+        "WHERE rn >= CAST(ceil(0.5 * n) AS BIGINT) GROUP BY g)"
+    )
+    sqls["robust_outliers"] = (
+        f"WITH {_mad_ctes} "
+        "SELECT c.l_orderkey, c.l_linenumber, c.g AS l_returnflag, "
+        "c.l_extendedprice FROM c JOIN m ON c.g = m.g "
+        "JOIN m2 ON c.g = m2.g WHERE 2 * abs(c.cents - m.med) > 3 * m2.mad"
+    )
+    sqls["kmv_intersect"] = (
+        # per-group KMV registers (same md5-low64 >> 1 rule as
+        # kmv_per_group) -> theta-sketch pair algebra, all integer until
+        # the final estimate (n_common * 2^63 / theta, one mult one div —
+        # the engine computes the identical float expression)
+        "WITH dset AS (SELECT DISTINCT event_type, "
+        "CAST(md5_number_lower(CAST(user_id AS VARCHAR)) // 2 AS BIGINT) AS h "
+        "FROM events), "
+        "r AS (SELECT event_type, h, row_number() OVER "
+        "(PARTITION BY event_type ORDER BY h) AS rn FROM dset), "
+        "reg AS (SELECT event_type, h FROM r WHERE rn <= 32), "
+        "th AS (SELECT event_type, CASE WHEN count(*) >= 32 THEN max(h) "
+        "ELSE 9223372036854775807 END AS theta FROM reg GROUP BY event_type), "
+        "p AS (SELECT a.event_type AS ta, b.event_type AS tb, "
+        "least(a.theta, b.theta) AS theta FROM th a "
+        "JOIN th b ON a.event_type < b.event_type), "
+        "c AS (SELECT p.ta, p.tb, count(*) AS n_common FROM p "
+        "JOIN reg ra ON ra.event_type = p.ta "
+        "JOIN reg rb ON rb.event_type = p.tb AND rb.h = ra.h "
+        "WHERE ra.h < p.theta GROUP BY p.ta, p.tb) "
+        "SELECT p.ta, p.tb, p.theta, "
+        "COALESCE(c.n_common, 0) AS n_common, "
+        "CAST(COALESCE(c.n_common, 0) AS DOUBLE) * 9223372036854775808.0 "
+        "/ p.theta AS est_common "
+        "FROM p LEFT JOIN c ON p.ta = c.ta AND p.tb = c.tb"
     )
     return sqls
 

@@ -358,3 +358,37 @@ def heavy_hitters(sf_dir: str) -> pd.DataFrame:
         .map_batches(gate, batch_format="pyarrow")
         .to_pandas()  # ≤ 200 rows by construction
         .sort_values("user_id").reset_index(drop=True))
+
+
+def kmv_intersect(sf_dir: str, k: int = 32) -> pd.DataFrame:
+    """θ-sketch set algebra over the per-group KMV registers: for every
+    pair of event_types, estimate |users(A) ∩ users(B)| WITHOUT any
+    distinct-shuffle — the cross-corpus overlap check a federated dedup
+    pipeline runs before deciding to merge two shards (Dasgupta et al.,
+    "Theta sketch framework", 2016).
+
+    θ = min(θ_A, θ_B) (each group's k-th smallest 63-bit hash, or
+    INT64_MAX when the group holds < k distinct keys — then it's exact);
+    common registers below θ are unbiased samples of the intersection at
+    rate θ/2^63.  The distributed work is exactly ``kmv_per_group``
+    (≤ |groups|×k rows ever reach the driver); the pair algebra is
+    driver-side over that bounded state.  SQL-oracled bit-exactly —
+    register replay + the same integer/float arithmetic."""
+    _EVERYTHING = (1 << 63) - 1  # θ when a group is exact (< k keys)
+
+    regs = kmv_per_group(sf_dir, k)
+    out = []
+    groups = sorted(regs["event_type"].unique())
+    by_g = {g: regs.loc[regs["event_type"] == g, "h"].to_numpy(np.int64)
+            for g in groups}
+    for i, ta in enumerate(groups):
+        for tb in groups[i + 1:]:
+            ha, hb = by_g[ta], by_g[tb]
+            theta = min(int(ha[-1]) if len(ha) >= k else _EVERYTHING,
+                        int(hb[-1]) if len(hb) >= k else _EVERYTHING)
+            common = np.intersect1d(ha, hb)
+            n_common = int((common < theta).sum())
+            est = n_common * float(1 << 63) / theta
+            out.append((ta, tb, theta, n_common, est))
+    return pd.DataFrame(out, columns=["ta", "tb", "theta", "n_common",
+                                      "est_common"])

@@ -209,3 +209,74 @@ def test_mad_per_group_vs_pandas(ray_session):
     assert (got["l_returnflag"] == exp["l_returnflag"]).all()
     assert np.allclose(got["median"], exp["median"], atol=1e-9)
     assert np.allclose(got["mad"], exp["mad"], atol=1e-9)
+
+
+def test_robust_outliers_vs_pandas(ray_session):
+    from lightcrawler_ray.relational import robust_outliers
+
+    got = (robust_outliers(SF_DIR).to_pandas()
+           .sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True))
+
+    li = _read("lineitem", ["l_orderkey", "l_linenumber", "l_returnflag",
+                            "l_extendedprice"])
+    li["cents"] = np.rint(li["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+
+    def rank_stat(v):
+        v = np.sort(v)
+        return int(v[int(np.ceil(0.5 * len(v))) - 1])
+
+    keep = np.zeros(len(li), bool)
+    for g, part in li.groupby("l_returnflag"):
+        med = rank_stat(part["cents"].to_numpy())
+        mad = rank_stat(np.abs(part["cents"].to_numpy() - med))
+        keep[part.index] = 2 * np.abs(part["cents"].to_numpy() - med) > 3 * mad
+    exp = (li[keep].drop(columns="cents")
+           .sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True))
+
+    assert len(got) == len(exp)
+    for c in ("l_orderkey", "l_linenumber", "l_returnflag"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_kmv_intersect_vs_python(ray_session):
+    from lightcrawler_ray.extras.sketches import kmv_intersect
+
+    got = kmv_intersect(SF_DIR).sort_values(["ta", "tb"]).reset_index(drop=True)
+
+    ev = _read("events", ["event_type", "user_id"])
+    K = 32
+    regs = {}
+    import hashlib
+    for g, part in ev.groupby("event_type"):
+        hs = sorted({
+            int.from_bytes(hashlib.md5(str(int(u)).encode()).digest()[8:],
+                           "little") >> 1
+            for u in part["user_id"].unique()
+        })
+        regs[g] = np.array(hs[:K], np.int64)
+    groups = sorted(regs)
+    rows = []
+    EVERYTHING = (1 << 63) - 1
+    for i, ta in enumerate(groups):
+        for tb in groups[i + 1:]:
+            ha, hb = regs[ta], regs[tb]
+            theta = min(int(ha[-1]) if len(ha) >= K else EVERYTHING,
+                        int(hb[-1]) if len(hb) >= K else EVERYTHING)
+            common = np.intersect1d(ha, hb)
+            n_common = int((common < theta).sum())
+            rows.append((ta, tb, theta, n_common,
+                         n_common * float(1 << 63) / theta))
+    exp = pd.DataFrame(rows, columns=["ta", "tb", "theta", "n_common",
+                                      "est_common"]).sort_values(["ta", "tb"]).reset_index(drop=True)
+
+    assert len(got) == len(exp)
+    for c in ("ta", "tb", "theta", "n_common"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    assert np.allclose(got["est_common"], exp["est_common"], rtol=0, atol=0)
+
+    # the estimate must be in the right ballpark of the true overlap
+    true = {}
+    by_g = {g: set(p["user_id"].unique()) for g, p in ev.groupby("event_type")}
+    for _, r in got.iterrows():
+        t = len(by_g[r["ta"]] & by_g[r["tb"]])
+        assert abs(r["est_common"] - t) <= max(10, 0.8 * t), (r["ta"], r["tb"], t, r["est_common"])
