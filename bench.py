@@ -209,6 +209,12 @@ def _driver_mem_mb() -> tuple[float, float]:
     return hwm, anon
 
 
+def _joins():
+    from lightcrawler_ray.extras import joins
+
+    return joins
+
+
 def bench_queries(sf_dir: str) -> dict[str, float]:
     """Representative operator pipelines over the driver testdata."""
     from lightcrawler_ray import relational as rel
@@ -239,6 +245,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("ann_topk", ann.topk_bruteforce),
         ("token_counts", textstats.token_counts),
         ("sessionize", rel.sessionize),
+        ("skew_salted_join", _joins().skew_salted_join),
+        ("q5_local_supplier", _joins().q5_local_supplier),
     ]:
         t0 = time.perf_counter()
         consume(fn(sf_dir))
