@@ -638,6 +638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": rel.topk_per_group,
         "latest_per_key": rel.latest_per_key,
         "corr_qty_price": rel.corr_qty_price,        # SQL-oracled (HUGEINT algebraic agg)
+        "regression_by_group": rel.regression_by_group,  # SQL-oracled (HUGEINT OLS)
         "price_histogram": rel.price_histogram,      # SQL-oracled (int-cents bins)
         "json_field_stats": rel.json_field_stats,    # SQL-oracled (RE2 extract both sides)
         "order_revenue_join": rel.order_revenue_join,  # SQL-oracled (co-partitioned join)
@@ -678,6 +679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": textstats.quality_scores,
         "fingerprints": textstats.fingerprints,
         "repetition_stats": textstats.repetition_stats,      # SQL-oracled (Gopher rules)
+        "char_entropy": textstats.char_entropy,              # SQL-oracled (codepoint split)
         "train_split": textstats.train_split,                # SQL-oracled (md5-low64 buckets)
         "decontaminate": textstats.decontaminate,            # SQL-oracled (gram join)
         "domain_sample": textstats.domain_sample,            # SQL-oracled (md5-low64 rule)
@@ -1513,6 +1515,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, round((len_score + punct_score + stop_score) / 3.0, 6)"
             " AS quality FROM s2"
         ),
+        "char_entropy": (
+            # identical codepoint alphabet (string_split_regex '' = one row
+            # per codepoint, length() counts codepoints like utf-32) and the
+            # same -(k/n)*log2(k/n) double terms; summation order differs by
+            # ~1e-15, under the comparator's 1e-9
+            "WITH ch AS (SELECT doc_id, u.c AS c FROM documents, "
+            "  unnest(string_split_regex(text, '')) u(c)), "
+            "cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c), "
+            "nn AS (SELECT doc_id, length(text) AS n FROM documents), "
+            "e AS (SELECT cc.doc_id, CAST(count(*) AS BIGINT) AS n_distinct, "
+            "  sum(-(CAST(k AS DOUBLE) / CAST(nn.n AS DOUBLE)) "
+            "      * log2(CAST(k AS DOUBLE) / CAST(nn.n AS DOUBLE))) AS entropy "
+            "  FROM cc JOIN nn USING (doc_id) GROUP BY cc.doc_id) "
+            "SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_cps, "
+            "  COALESCE(e.n_distinct, 0) AS n_distinct, "
+            "  COALESCE(e.entropy, 0.0) AS entropy "
+            "FROM documents d LEFT JOIN e USING (doc_id)"
+        ),
         "repetition_stats": (
             # the same token 2-/3-grams (Python tuple counting == joining the
             # space-free tokens with ' ') and the same int/int double ratios;
@@ -1906,6 +1926,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n * sxy - sx * sy AS DOUBLE) "
             "  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) "
             "  / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS corr_qp FROM s"
+        ),
+        "regression_by_group": (
+            # same HUGEINT sufficient statistics as corr_qty_price; the
+            # finalize expressions mirror the engine's double-op order
+            # (exact-int differences, then one double division each)
+            "WITH s AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n, "
+            "  sum(CAST(round(l_quantity) AS HUGEINT)) AS sx, "
+            "  sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sy, "
+            "  sum(CAST(round(l_quantity) AS HUGEINT) "
+            "    * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sxy, "
+            "  sum(CAST(round(l_quantity) AS HUGEINT) "
+            "    * CAST(round(l_quantity) AS HUGEINT)) AS sxx, "
+            "  sum(CAST(round(l_extendedprice * 100) AS HUGEINT) "
+            "    * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS syy "
+            "  FROM lineitem GROUP BY l_returnflag) "
+            "SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows, "
+            "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) "
+            "  AS slope, "
+            "(CAST(sy AS DOUBLE) "
+            "  - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) "
+            "    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept, "
+            "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) "
+            "  * (CAST(n * sxy - sx * sy AS DOUBLE) "
+            "     / CAST(n * syy - sy * sy AS DOUBLE)) AS r2 FROM s"
         ),
         "price_histogram": (
             "SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 100000 AS bin, "

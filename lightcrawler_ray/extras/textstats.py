@@ -619,3 +619,50 @@ def pmi_collocations(sf_dir: str, min_count: int = 5, k: int = 50) -> pd.DataFra
         .limit(k)
         .to_pandas()
     )
+
+
+def char_entropy(sf_dir: str) -> rd.Dataset:
+    """Per-document character-level Shannon entropy — the classic
+    low-entropy gate for gibberish, filler and binary-junk docs (natural
+    text sits ~3.5-4.5 bits/char; repeated-filler spam collapses toward 0;
+    the same heuristic family as ``quality_scores``/``repetition_stats``).
+
+    Purely within-doc → embarrassingly parallel map_batches, ZERO shuffles.
+    Vectorized per BATCH, not per doc: each doc's codepoints come from one
+    ``encode("utf-32-le")`` → ``np.frombuffer`` view (no per-char Python),
+    per-(doc, char) counts are ONE ``np.unique`` over packed
+    ``doc_idx << 32 | codepoint`` int64 keys for the whole batch, and the
+    entropy reduction is a segmented ``np.add.reduceat``.
+
+    SQL-oracled: DuckDB splits the identical codepoints
+    (``string_split_regex(text, '')``), the counts are exact ints, and both
+    sides sum the same ``-(k/n)·log2(k/n)`` doubles (summation-order noise
+    is ~1e-15, far under the comparator's 1e-9).
+    """
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cps = [np.frombuffer((x or "").encode("utf-32-le"), dtype=np.uint32)
+               for x in t.column("text").to_pylist()]
+        lens = np.array([c.size for c in cps], dtype=np.int64)
+        n_distinct = np.zeros(len(ids), dtype=np.int64)
+        entropy = np.zeros(len(ids), dtype=np.float64)
+        if lens.sum():
+            idx = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+            keys = (idx << 32) | np.concatenate(cps).astype(np.int64)
+            uk, cnt = np.unique(keys, return_counts=True)
+            udoc = (uk >> 32).astype(np.int64)
+            p = cnt.astype(np.float64) / lens[udoc].astype(np.float64)
+            terms = -p * np.log2(p)
+            starts = np.flatnonzero(np.r_[True, udoc[1:] != udoc[:-1]])
+            present = udoc[starts]
+            n_distinct[present] = np.diff(np.r_[starts, udoc.size])
+            entropy[present] = np.add.reduceat(terms, starts)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_cps": pa.array(lens),
+            "n_distinct": pa.array(n_distinct),
+            "entropy": pa.array(entropy),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")

@@ -968,6 +968,61 @@ def corr_qty_price(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def regression_by_group(sf_dir: str) -> pd.DataFrame:
+    """Grouped simple OLS (l_extendedprice-cents on l_quantity per
+    l_returnflag): slope, intercept and R² as an EXACT distributed
+    algebraic aggregate — the per-cohort drift/trend fit a curation
+    pipeline runs over quality metrics at corpus scale.
+
+    Same scale pattern as ``corr_qty_price``: the six sufficient statistics
+    sum per batch inside map_batches (shuffle moves O(groups × blocks)
+    rows); Σy² rides as two int64 limbs so nothing overflows short of
+    >10 PB; the finalize recombines exact Python ints and evaluates
+    slope/intercept/R² with the same double-op order as the DuckDB HUGEINT
+    oracle — bit-identical, block-order independent."""
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.rint(t.column("l_quantity").to_numpy(zero_copy_only=False)).astype(np.int64)
+        y = np.rint(t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        yy = y * y
+        t2 = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": pa.array(np.ones(len(x), np.int64)),
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxy": pa.array(x * y), "sxx": pa.array(x * x),
+            "syy_hi": pa.array(yy >> 30), "syy_lo": pa.array(yy & ((1 << 30) - 1)),
+        })
+        g = pa.TableGroupBy(t2, "l_returnflag").aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx", "syy_hi", "syy_lo")]
+        )
+        return g.rename_columns(["l_returnflag", "n", "sx", "sy", "sxy", "sxx", "syy_hi", "syy_lo"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_returnflag")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy_hi", "syy_lo")])
+        .to_pandas()  # O(groups) rows
+    )
+    out = []
+    for r in agg.itertuples(index=False):
+        n, sx, sy, sxy, sxx = (int(r.n), int(r.sx), int(r.sy), int(r.sxy), int(r.sxx))
+        syy = (int(r.syy_hi) << 30) + int(r.syy_lo)
+        cov_n, var_x, var_y = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+        # same op order as the oracle: exact-int differences → one double
+        # division each
+        slope = float(cov_n) / float(var_x)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        # r2 as a product of two double ratios — cov² would overflow the
+        # oracle's HUGEINT at full scale, this shape never squares an int
+        r2 = slope * (float(cov_n) / float(var_y))
+        out.append((r.l_returnflag, n, slope, intercept, r2))
+    return (
+        pd.DataFrame(out, columns=["l_returnflag", "n_rows", "slope", "intercept", "r2"])
+        .sort_values("l_returnflag").reset_index(drop=True)
+    )
+
+
 def price_histogram(sf_dir: str, width_cents: int = 100_000) -> rd.Dataset:
     """Equal-width histogram of l_extendedprice ($1000 bins): per-batch
     int-cents bucketing + in-block combine, then a tiny groupby — the
