@@ -644,6 +644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue_join": rel.order_revenue_join,  # SQL-oracled (co-partitioned join)
         "moving_avg": rel.moving_avg,                # SQL-oracled (ROWS 4 PRECEDING)
         "running_total": rel.running_total,          # SQL-oracled (SUM OVER ROWS)
+        "running_max_drawdown": rel.running_max_drawdown,  # SQL-oracled (MAX OVER ROWS)
         "event_gaps": rel.event_gaps,                # SQL-oracled (LAG)
         "pivot_event_counts": rel.pivot_event_counts,  # SQL-oracled (FILTER pivot)
         "left_enrich_events": rel.left_enrich_events,  # SQL-oracled (LEFT JOIN)
@@ -2018,6 +2019,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100 AS running_value FROM events"
+        ),
+        "running_max_drawdown": (
+            # cents-exact: the engine's offset-shifted segmented cummax
+            # equals the int-cents running MAX; both sides do the /100 last
+            "SELECT event_id, user_id, "
+            "CAST(max(CAST(round(value * 100) AS BIGINT)) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100 AS running_max, "
+            "CAST(max(CAST(round(value * 100) AS BIGINT)) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) "
+            "- CAST(round(value * 100) AS BIGINT) AS DOUBLE) / 100 "
+            "AS drawdown FROM events"
         ),
         "event_gaps": (
             "SELECT event_id, user_id, COALESCE(CAST(epoch_us(ts) AS BIGINT) "

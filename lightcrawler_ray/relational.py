@@ -1122,6 +1122,48 @@ def running_total(sf_dir: str, partitions: int = 32) -> rd.Dataset:
     )
 
 
+def running_max_drawdown(sf_dir: str, partitions: int = 32) -> rd.Dataset:
+    """Per-user running MAX and drawdown (peak value so far minus current,
+    ordered by ts then event_id) — the prefix-extremum window primitive
+    running_total's cumsum can't express.  Same ONE-shuffle coarse-partition
+    shape; the segmented cummax is a single ``np.maximum.accumulate`` over
+    segment-offset-shifted values (each user's run rides at
+    ``seg_id * 2^42``, far above the int-cents span, so the accumulate
+    resets itself at every user boundary — no per-user Python, no scan
+    loop).  Cents-exact int64 until the final /100 both sides share."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    _SEG = np.int64(1) << 42  # > any |cents| span; ~2e6 users/partition max
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], partitions - 1), pa.int32())
+        return t.append_column("part", part)
+
+    def cummax_partition(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(g.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        us, v = u[order], cents[order]
+        new_user = np.ones(us.size, dtype=bool)
+        new_user[1:] = us[1:] != us[:-1]
+        seg_id = np.cumsum(new_user) - 1
+        run_max = np.maximum.accumulate(v + seg_id * _SEG) - seg_id * _SEG
+        return pa.table({
+            "event_id": pa.array(eid[order], pa.int64()),
+            "user_id": pa.array(us, pa.int64()),
+            "running_max": pa.array(run_max.astype(np.float64) / 100.0, pa.float64()),
+            "drawdown": pa.array((run_max - v).astype(np.float64) / 100.0, pa.float64()),
+        })
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(cummax_partition, batch_format="pyarrow")
+    )
+
+
 def event_gaps(sf_dir: str, partitions: int = 32) -> rd.Dataset:
     """Per-user LAG: microseconds since the user's previous event (-1 for
     the first), ordered by (ts, event_id) — the lag/lead window primitive,
