@@ -568,6 +568,13 @@ def _q_image_shard_plan(sf_dir: str):
     return multimodal.image_shard_plan(paths["images"])
 
 
+def _q_image_curate_manifest(sf_dir: str):
+    from lightcrawler_ray.extras import multimodal
+
+    _, paths = _fixture_paths()
+    return multimodal.image_curate_manifest(paths["images"])
+
+
 def _q_caption_lang_id(sf_dir: str):
     from lightcrawler_ray.extras import multimodal
 
@@ -652,6 +659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlier_flags": rel.outlier_flags,          # SQL-oracled (HUGEINT z-gate)
         "order_line_concat": rel.order_line_concat,  # SQL-oracled (string_agg ORDER BY)
         "profile_columns": rel.profile_columns,      # SQL-oracled (per-column UNION)
+        "key_skew_gini": rel.key_skew_gini,          # SQL-oracled (rank-sum window)
         # training-data text ops (SQL-oracled)
         "token_counts": textstats.token_counts,
         "stopword_ratio": textstats.stopword_ratio,
@@ -688,6 +696,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": textstats.bpe_token_counts,      # SQL-oracled (RE2 replay)
         "curate_corpus": textstats.curate_corpus,            # SQL-oracled (CTE funnel)
         "pmi_collocations": textstats.pmi_collocations,      # SQL-oracled (same float op order)
+        "sentence_stats": textstats.sentence_stats,          # SQL-oracled (RE2 split replay)
+        "zipf_fit": textstats.zipf_fit,                      # SQL-oracled (ranked-log OLS sums)
         # distributed sketches (SQL-oracled register state)
         "hll_registers": __import__(
             "lightcrawler_ray.extras.sketches", fromlist=["hll_registers"]
@@ -785,6 +795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_zorder": _q_image_zorder,                     # SQL-oracled (unrolled bit interleave)
         "image_keep_best": _q_image_keep_best,               # SQL-oracled (row_number keep-best replay)
         "image_shard_plan": _q_image_shard_plan,             # SQL-oracled (running-sum shard cut)
+        "image_curate_manifest": _q_image_curate_manifest,   # SQL-oracled (chained CTE funnel)
         "mad_per_group": __import__(
             "lightcrawler_ray.relational", fromlist=["mad_per_group"]
         ).mad_per_group,                                     # SQL-oracled (rank-arith robust stats)
@@ -2648,6 +2659,96 @@ def oracle_sql() -> dict[str, str]:
         "ROWS UNBOUNDED PRECEDING) - nbytes AS byte_offset FROM z) "
         "SELECT image_id, zkey, nbytes, byte_offset, "
         "byte_offset // 262144 AS shard FROM p"
+    )
+    sqls["image_curate_manifest"] = (
+        # the composed funnel: filter-gate rules (stored dims + caption
+        # tokens) → keep-first per content md5 → keep-best per phash →
+        # z-order running-byte shard cut — each stage the same replay its
+        # standalone oracle uses, chained
+        "WITH d AS (SELECT image_id, CAST(w AS BIGINT) AS w, "
+        "CAST(h AS BIGINT) AS h, phash, octet_length(bytes) AS nbytes, "
+        "md5(lower(hex(bytes))) AS cmd5, "
+        "len(list_filter(string_split_regex(caption, '\\s+'), x -> x <> ''))"
+        " AS ncap "
+        f"FROM read_parquet('{paths['images']}')), "
+        "g AS (SELECT * FROM d WHERE least(w, h) >= 64 AND w <= 3 * h "
+        "AND h <= 3 * w AND ncap BETWEEN 3 AND 32), "
+        "e AS (SELECT *, row_number() OVER (PARTITION BY cmd5 "
+        "ORDER BY image_id) AS rn FROM g), "
+        "ne AS (SELECT *, row_number() OVER (PARTITION BY phash "
+        "ORDER BY w * h DESC, image_id) AS rn2, "
+        "count(*) OVER (PARTITION BY phash) AS n_dups "
+        "FROM e WHERE rn = 1), "
+        f"z AS (SELECT image_id, nbytes, n_dups, CAST({_z_terms} AS BIGINT) "
+        "AS zkey FROM ne WHERE rn2 = 1), "
+        "p AS (SELECT image_id, zkey, nbytes, n_dups, "
+        "sum(nbytes) OVER (ORDER BY zkey, image_id "
+        "ROWS UNBOUNDED PRECEDING) - nbytes AS byte_offset FROM z) "
+        "SELECT image_id, zkey, nbytes, n_dups, byte_offset, "
+        "byte_offset // 262144 AS shard FROM p"
+    )
+    sqls["key_skew_gini"] = (
+        # exact rank-sum Gini of the rows-per-key distribution; tie rank
+        # assignment inside equal sizes is sum-invariant, so ORDER BY sz
+        # alone is deterministic
+        "WITH c1 AS (SELECT l_orderkey AS k, count(*) AS sz FROM lineitem "
+        "GROUP BY 1), "
+        "a1 AS (SELECT count(*) AS n, sum(sz) AS tot FROM c1), "
+        "r1 AS (SELECT sz, row_number() OVER (ORDER BY sz) AS i FROM c1), "
+        "s1 AS (SELECT sum((2 * r1.i - a1.n - 1) * r1.sz) AS s FROM r1, a1), "
+        "g1 AS (SELECT 'lineitem.l_orderkey' AS key_name, n AS n_keys, "
+        "tot AS total_rows, CAST(s AS DOUBLE) / (n * tot) AS gini "
+        "FROM a1, s1), "
+        "c2 AS (SELECT o_custkey AS k, count(*) AS sz FROM orders "
+        "GROUP BY 1), "
+        "a2 AS (SELECT count(*) AS n, sum(sz) AS tot FROM c2), "
+        "r2 AS (SELECT sz, row_number() OVER (ORDER BY sz) AS i FROM c2), "
+        "s2 AS (SELECT sum((2 * r2.i - a2.n - 1) * r2.sz) AS s FROM r2, a2), "
+        "g2 AS (SELECT 'orders.o_custkey' AS key_name, n AS n_keys, "
+        "tot AS total_rows, CAST(s AS DOUBLE) / (n * tot) AS gini "
+        "FROM a2, s2) "
+        "SELECT * FROM g1 UNION ALL SELECT * FROM g2"
+    )
+    sqls["sentence_stats"] = (
+        # same RE2 split, trim set { space, \t, \n, \r }, codepoint
+        # lengths; LEFT JOIN keeps docs with zero sentences
+        "WITH s AS (SELECT doc_id, "
+        "unnest(string_split_regex(text, '[.!?]+')) AS piece "
+        "FROM documents), "
+        "t AS (SELECT doc_id, length(trim(piece, "
+        "' ' || chr(9) || chr(10) || chr(13))) AS n FROM s), "
+        "a AS (SELECT doc_id, count(*) AS n_sents, sum(n) AS "
+        "total_sent_chars, max(n) AS max_sent_chars FROM t "
+        "WHERE n > 0 GROUP BY 1) "
+        "SELECT d.doc_id, coalesce(a.n_sents, 0) AS n_sents, "
+        "coalesce(a.total_sent_chars, 0) AS total_sent_chars, "
+        "coalesce(a.max_sent_chars, 0) AS max_sent_chars, "
+        "CASE WHEN a.n_sents IS NULL THEN 0.0 "
+        "ELSE CAST(a.total_sent_chars AS DOUBLE) / a.n_sents END "
+        "AS avg_sent_chars "
+        "FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id"
+    )
+    sqls["zipf_fit"] = (
+        # ranked-log OLS over the top-256 term frequencies (vocab_topk's
+        # split and tie-break); both sides finish from the same five
+        # sufficient sums
+        "WITH toks AS (SELECT unnest(list_filter(string_split_regex("
+        "lower(text), '\\s+'), x -> x <> '')) AS term FROM documents), "
+        "tf AS (SELECT term, count(*) AS tf FROM toks GROUP BY 1), "
+        "r AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, term) AS i "
+        "FROM tf), "
+        "t AS (SELECT ln(CAST(i AS DOUBLE)) AS x, ln(CAST(tf AS DOUBLE)) "
+        "AS y FROM r WHERE i <= 256), "
+        "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, "
+        "sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx, "
+        "sum(y * y) AS syy FROM t) "
+        "SELECT CAST(n AS BIGINT) AS n_ranks, "
+        "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope, "
+        "(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n "
+        "AS intercept, "
+        "CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN 1.0 "
+        "ELSE (n * sxy - sx * sy) * (n * sxy - sx * sy) / "
+        "((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS r2 FROM s"
     )
     sqls["mad_per_group"] = (
         # discrete median at 1-based rank ceil(n/2) (the engine's

@@ -797,3 +797,182 @@ def image_shard_plan(images_path: str, shard_bytes: int = 262144,
 
     df = counts.groupby("part").map_groups(assign, batch_format="pyarrow").to_pandas()
     return df.sort_values(["zkey", "image_id"]).reset_index(drop=True)
+
+
+def image_curate_manifest(images_path: str, shard_bytes: int = 262144,
+                          partitions: int = 32, zshift: int = 12) -> pd.DataFrame:
+    """The composed image-curation funnel — what a LAION-style pipeline
+    actually ships: quality gate (``image_filter_gate`` rules) → exact
+    content dedup (keep lexicographically-first per payload md5, the
+    ``image_dedup_exact`` key) → perceptual keep-best (most pixels per
+    phash group, the ``image_keep_best`` rule, group size reported as
+    ``n_dups``) → WebDataset shard layout (``image_shard_plan``'s z-order
+    running-byte cut), all in ONE dataflow.
+
+    Scale shape: the payload bytes are touched once, inside the first
+    map_batches (md5 + Arrow-offset sizing), and NEVER shuffle — every
+    later stage moves only (id, dims, hash, nbytes) rows.  Three coarse
+    hash shuffles (content-md5, phash, z-range), each followed by a
+    lexsort-and-run-mask partition kernel — no per-group Python anywhere —
+    and the only driver-sized structure is the per-z-range byte total
+    (pass 1 of the distributed prefix sum).  SQL-oracled as the chained
+    CTE funnel over the same fixture (stored dims + md5/window replay +
+    unrolled bit-interleave + running-sum window)."""
+    import hashlib
+    import zlib
+
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .. import storage
+
+    ds = storage.read_parquet_clean(
+        images_path,
+        columns=["image_id", "bytes", "caption", "w", "h", "phash"],
+    )
+
+    min_side = ImageFilterGate.MIN_SIDE
+    max_ar = ImageFilterGate.MAX_AR
+    cap_min, cap_max = ImageFilterGate.CAP_MIN, ImageFilterGate.CAP_MAX
+
+    def gate_and_key(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        ncap = np.array(
+            [len((c or "").split()) for c in t.column("caption").to_pylist()],
+            dtype=np.int64,
+        )
+        keep = (
+            (np.minimum(w, h) >= min_side)
+            & (w <= max_ar * h) & (h <= max_ar * w)
+            & (ncap >= cap_min) & (ncap <= cap_max)
+        )
+        nb = pc.cast(pc.binary_length(t.column("bytes").combine_chunks()), pa.int64())
+        md5s = [
+            hashlib.md5(b.hex().encode()).hexdigest()
+            for b in t.column("bytes").to_pylist()
+        ]
+        out = pa.table({
+            "part": pa.array(
+                [zlib.crc32(k.encode()) % partitions for k in md5s], pa.int32()),
+            "content_md5": pa.array(md5s, pa.string()),
+            "image_id": t.column("image_id"),
+            "w": pa.array(w), "h": pa.array(h),
+            "phash": t.column("phash"),
+            "nbytes": nb,
+        })
+        return out.filter(pa.array(keep))
+
+    def exact_first(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table({
+                "image_id": pa.array([], pa.string()),
+                "w": pa.array([], pa.int64()), "h": pa.array([], pa.int64()),
+                "phash": pa.array([], pa.int64()),
+                "nbytes": pa.array([], pa.int64()),
+                "part2": pa.array([], pa.int32()),
+            })
+        keys = np.asarray(g.column("content_md5").to_pylist(), dtype=str)
+        ids = np.asarray(g.column("image_id").to_pylist(), dtype=str)
+        order = np.lexsort((ids, keys))
+        first = np.zeros(len(ids), bool)
+        first[0] = True
+        first[1:] = keys[order][1:] != keys[order][:-1]
+        pick = order[first]
+        ph = g.column("phash").to_numpy(zero_copy_only=False).astype(np.int64)[pick]
+        return pa.table({
+            "image_id": pa.array(ids[pick].tolist(), pa.string()),
+            "w": pa.array(g.column("w").to_numpy(zero_copy_only=False)[pick]),
+            "h": pa.array(g.column("h").to_numpy(zero_copy_only=False)[pick]),
+            "phash": pa.array(ph),
+            "nbytes": pa.array(
+                g.column("nbytes").to_numpy(zero_copy_only=False)[pick]),
+            "part2": pa.array((ph & (partitions - 1)).astype(np.int32)),
+        })
+
+    def phash_best(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table({
+                "image_id": pa.array([], pa.string()),
+                "nbytes": pa.array([], pa.int64()),
+                "n_dups": pa.array([], pa.int64()),
+                "zkey": pa.array([], pa.int64()),
+                "gid": pa.array([], pa.int64()),
+                "part3": pa.array([], pa.int32()),
+            })
+        ph = g.column("phash").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = g.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = g.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = np.asarray(g.column("image_id").to_pylist(), dtype=str)
+        nb = g.column("nbytes").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, -(w * h), ph))
+        ph, w, h, ids, nb = ph[order], w[order], h[order], ids[order], nb[order]
+        first = np.ones(len(ph), bool)
+        first[1:] = ph[1:] != ph[:-1]
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(ph)))
+        wu, hu = w[first].astype(np.uint64), h[first].astype(np.uint64)
+        z = np.zeros(wu.size, np.uint64)
+        for b in range(16):
+            z |= ((wu >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b)
+            z |= ((hu >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b + 1)
+        zi = z.astype(np.int64)
+        gid = zi >> zshift
+        return pa.table({
+            "image_id": pa.array(ids[first].tolist(), pa.string()),
+            "nbytes": pa.array(nb[first]),
+            "n_dups": pa.array(sizes.astype(np.int64)),
+            "zkey": pa.array(zi),
+            "gid": pa.array(gid),
+            "part3": pa.array((gid % partitions).astype(np.int32)),
+        })
+
+    survivors = (
+        ds.map_batches(gate_and_key, batch_format="pyarrow", batch_size=64)
+        .groupby("part").map_groups(exact_first, batch_format="pyarrow")
+        .groupby("part2").map_groups(phash_best, batch_format="pyarrow")
+        .materialize()  # consumed twice (group totals + offset assignment)
+    )
+
+    gt = survivors.groupby("gid").aggregate(Sum("nbytes", alias_name="tot")).to_pandas()
+    gt = gt.sort_values("gid").reset_index(drop=True)
+    base = np.concatenate(([0], np.cumsum(gt["tot"].to_numpy(np.int64))[:-1]))
+    base_ref = ray.put(
+        {int(g): int(b) for g, b in zip(gt["gid"].to_numpy(np.int64), base)})
+
+    def assign(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table({
+                "image_id": pa.array([], pa.string()),
+                "zkey": pa.array([], pa.int64()),
+                "nbytes": pa.array([], pa.int64()),
+                "n_dups": pa.array([], pa.int64()),
+                "byte_offset": pa.array([], pa.int64()),
+                "shard": pa.array([], pa.int64()),
+            })
+        bases = ray.get(base_ref)
+        gid = g.column("gid").to_numpy(zero_copy_only=False).astype(np.int64)
+        z = g.column("zkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = np.asarray(g.column("image_id").to_pylist(), dtype=str)
+        nb = g.column("nbytes").to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = g.column("n_dups").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, z, gid))
+        gid, z, ids, nb, nd = gid[order], z[order], ids[order], nb[order], nd[order]
+        csum = np.cumsum(nb) - nb
+        new_run = np.ones(len(gid), bool)
+        new_run[1:] = gid[1:] != gid[:-1]
+        run_start = np.maximum.accumulate(np.where(new_run, csum, 0))
+        off = np.array([bases[int(x)] for x in gid[new_run]], dtype=np.int64)
+        run_id = np.cumsum(new_run) - 1
+        byte_offset = off[run_id] + (csum - run_start)
+        return pa.table({
+            "image_id": pa.array(ids.tolist(), pa.string()),
+            "zkey": pa.array(z), "nbytes": pa.array(nb),
+            "n_dups": pa.array(nd),
+            "byte_offset": pa.array(byte_offset),
+            "shard": pa.array(byte_offset // shard_bytes),
+        })
+
+    df = survivors.groupby("part3").map_groups(assign, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["zkey", "image_id"]).reset_index(drop=True)

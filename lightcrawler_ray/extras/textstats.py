@@ -666,3 +666,96 @@ def char_entropy(sf_dir: str) -> rd.Dataset:
         })
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def sentence_stats(sf_dir: str) -> rd.Dataset:
+    """Per-document sentence segmentation stats — the length-profile gate a
+    text-curation pipeline runs next to ``quality_scores``: sentence count,
+    total/max sentence length (codepoints) and mean length per doc (docs
+    whose sentences are all near-empty or enormous are extraction junk).
+
+    Purely within-doc → map_batches, ZERO shuffles, and fully vectorized:
+    ONE ``pc.split_pattern_regex`` per batch (RE2, same engine DuckDB
+    uses), Arrow-level trim/length, then segmented counts/sums/maxes via
+    ``np.bincount``/``np.maximum.reduceat`` over the repeat-generated
+    (already-sorted) parent indices — no per-doc Python.  Integer-exact
+    except the final total/count division, which both sides compute as the
+    same two-int double divide.  SQL-oracled (string_split_regex + trim +
+    group + left join keeps empty-sentence docs)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        nd = len(t)
+        pieces = pc.split_pattern_regex(t.column("text"), pattern="[.!?]+")
+        counts = pc.list_value_length(pieces).fill_null(0)
+        counts = counts.to_numpy(zero_copy_only=False).astype(np.int64)
+        parent = np.repeat(np.arange(nd, dtype=np.int64), counts)
+        flat = pc.list_flatten(pieces)
+        trimmed = pc.utf8_trim(flat, characters=" \t\n\r")
+        clens = pc.utf8_length(trimmed).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = clens > 0
+        parent, clens = parent[keep], clens[keep]
+        n = np.bincount(parent, minlength=nd).astype(np.int64)
+        tot = np.bincount(parent, weights=clens, minlength=nd).astype(np.int64)
+        mx = np.zeros(nd, np.int64)
+        if parent.size:
+            starts = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
+            mx[parent[starts]] = np.maximum.reduceat(clens, starts)
+        avg = np.where(n > 0, tot / np.maximum(n, 1), 0.0)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_sents": pa.array(n),
+            "total_sent_chars": pa.array(tot),
+            "max_sent_chars": pa.array(mx),
+            "avg_sent_chars": pa.array(avg, pa.float64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def zipf_fit(sf_dir: str, top_ranks: int = 256) -> pd.DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS of ln(frequency)
+    against ln(rank) for the top ``top_ranks`` terms — the slope (~−1 for
+    natural language) is the corpus-health check tokenizer training runs
+    first; a flat slope means boilerplate/templated text, a cliff means
+    spam flooding a few tokens.
+
+    Scale shape: identical to ``vocab_topk`` — per-batch term-frequency
+    partials (one row per distinct term per batch) before ONE
+    vocabulary-sized groupby; only the |vocab| merged table is sorted and
+    only ``top_ranks`` rows feed the fit, so the driver never sees
+    anything data-sized.  Fit from the five OLS sufficient sums; the oracle
+    replays the identical ranked-log sums in SQL (summation-order noise
+    ~1e-15, far under the comparator's 1e-6)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        tf: Counter = Counter()
+        for x in t.column("text").to_pylist():
+            tf.update((x or "").lower().split())
+        terms = sorted(tf)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array([tf[w] for w in terms], pa.int64()),
+        })
+
+    merged = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term").aggregate(_Sum("tf", alias_name="tf"))
+        .to_pandas()  # |vocab| rows — bounded by the language, not the data
+        .sort_values(["tf", "term"], ascending=[False, True], kind="stable")
+        .head(top_ranks)
+    )
+    n = float(len(merged))
+    x = np.log(np.arange(1, len(merged) + 1, dtype=np.float64))
+    y = np.log(merged["tf"].to_numpy(np.float64))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxy, sxx, syy = float((x * y).sum()), float((x * x).sum()), float((y * y).sum())
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    r2 = 1.0 if den == 0 else (n * sxy - sx * sy) * (n * sxy - sx * sy) / den
+    return pd.DataFrame([{"n_ranks": len(merged), "slope": slope,
+                          "intercept": intercept, "r2": r2}])

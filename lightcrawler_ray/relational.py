@@ -1967,3 +1967,65 @@ def robust_outliers(sf_dir: str) -> rd.Dataset:
         return t.filter(pa.array(keep))
 
     return ds.map_batches(gate, batch_format="pyarrow")
+
+
+def key_skew_gini(sf_dir: str) -> pd.DataFrame:
+    """Key-skew diagnostic for shuffle planning: the exact Gini coefficient
+    of the rows-per-key distribution for candidate partitioning keys
+    (``lineitem.l_orderkey``, ``orders.o_custkey``).  Gini ≈ 0 means
+    uniform group sizes (safe to hash-partition on that key); Gini → 1
+    means a few hot keys own the table — salt before any groupby/join on
+    it (the measurement ``skew_salted_join`` acts on).
+
+    Scale shape: per-batch ``np.unique`` partials collapse each block to
+    its distinct keys, ONE groupby(key) sum yields group sizes, then a
+    SECOND reduction folds the sizes into a {size → n_keys} histogram —
+    group sizes repeat heavily, so that table is tiny regardless of corpus
+    scale — and the exact rank-sum Gini is finished from the histogram
+    with integer arithmetic: for a run of f equal sizes spanning ranks
+    a..b, sum(2i−n−1) telescopes to f·((a+b)−(n+1)).  No global sort and
+    nothing data-sized ever reaches the driver.  SQL-oracled via the
+    row_number rank-sum window formula (tie rank assignment is
+    sum-invariant within equal sizes)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def _gini(table: str, key: str) -> dict:
+        ds = _pq(sf_dir, table, [key])
+
+        def key_partial(t: pa.Table) -> pa.Table:
+            k, c = np.unique(
+                t.column(key).to_numpy(zero_copy_only=False).astype(np.int64),
+                return_counts=True,
+            )
+            return pa.table({"k": pa.array(k), "c": pa.array(c.astype(np.int64))})
+
+        sizes = (
+            ds.map_batches(key_partial, batch_format="pyarrow")
+            .groupby("k").aggregate(_Sum("c", alias_name="sz"))
+        )
+
+        def size_partial(t: pa.Table) -> pa.Table:
+            s, f = np.unique(
+                t.column("sz").to_numpy(zero_copy_only=False), return_counts=True
+            )
+            return pa.table({"sz": pa.array(s.astype(np.int64)),
+                             "f": pa.array(f.astype(np.int64))})
+
+        hist = (
+            sizes.map_batches(size_partial, batch_format="pyarrow")
+            .groupby("sz").aggregate(_Sum("f", alias_name="f"))
+            .to_pandas()  # |distinct sizes| rows — tiny at any scale
+            .sort_values("sz").reset_index(drop=True)
+        )
+        sz = hist["sz"].to_numpy(np.int64)
+        f = hist["f"].to_numpy(np.int64)
+        n = int(f.sum())
+        tot = int((sz * f).sum())
+        b = np.cumsum(f)            # run end ranks (1-based)
+        a = b - f + 1               # run start ranks
+        s = int((sz * f * ((a + b) - (n + 1))).sum())
+        return {"key_name": f"{table}.{key}", "n_keys": n,
+                "total_rows": tot, "gini": s / (n * tot)}
+
+    rows = [_gini("lineitem", "l_orderkey"), _gini("orders", "o_custkey")]
+    return pd.DataFrame(rows)
