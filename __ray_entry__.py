@@ -712,6 +712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_transitions": analytics.pagerank_transitions,  # SQL-oracled (unrolled HUGEINT iterations)
         "funnel_steps": analytics.funnel_steps,              # SQL-oracled (chained-min replay)
         "retention_weekly": analytics.retention_weekly,      # SQL-oracled (self-match replay)
+        "ab_test_lift": analytics.ab_test_lift,              # SQL-oracled (HUGEINT Welch t)
         "cube_event_stats": analytics.cube_event_stats,      # SQL-oracled (GROUP BY CUBE)
         "ntile_spend": analytics.ntile_spend,                # SQL-oracled (row_number + ntile)
         "pareto_front_parts": analytics.pareto_front_parts,  # SQL-oracled (NOT EXISTS dominance)
@@ -2371,6 +2372,33 @@ def oracle_sql() -> dict[str, str]:
         "+ CAST(p.t3 IS NOT NULL AS BIGINT) AS stage "
         "FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) "
         "LEFT JOIN p USING (user_id)"
+    )
+    sqls["ab_test_lift"] = (
+        # per-arm HUGEINT sufficient sums → same double-op order as the
+        # engine's finalize (exact-int differences, one double division
+        # each, /100 at the end); arm = md5-low64(user_id) % 2, the
+        # train_split hash rule
+        "WITH e AS (SELECT event_type AS metric, "
+        "CAST(md5_number_lower(CAST(user_id AS VARCHAR)) % 2 AS BIGINT) "
+        "AS arm, CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+        "a AS (SELECT metric, arm, count(*) AS n, sum(cents) AS sy, "
+        "sum(cents * cents) AS syy FROM e GROUP BY 1, 2 "
+        "HAVING count(*) >= 2), "
+        "c AS (SELECT metric, n AS nc, sy AS syc, syy AS syyc FROM a "
+        "WHERE arm = 0), "
+        "t AS (SELECT metric, n AS nt, sy AS syt, syy AS syyt FROM a "
+        "WHERE arm = 1), "
+        "j AS (SELECT c.metric, nc, nt, "
+        "CAST(syc AS DOUBLE) / nc / 100 AS mean_c, "
+        "CAST(syt AS DOUBLE) / nt / 100 AS mean_t, "
+        "CAST(nc * syyc - syc * syc AS DOUBLE) / (nc * (nc - 1)) / 10000 "
+        "AS s2c, "
+        "CAST(nt * syyt - syt * syt AS DOUBLE) / (nt * (nt - 1)) / 10000 "
+        "AS s2t FROM c JOIN t ON c.metric = t.metric) "
+        "SELECT metric, nc AS n_c, nt AS n_t, mean_c, mean_t, "
+        "mean_t - mean_c AS lift_abs, "
+        "(mean_t - mean_c) / mean_c AS lift_rel, "
+        "(mean_t - mean_c) / sqrt(s2c / nc + s2t / nt) AS t_welch FROM j"
     )
     sqls["retention_weekly"] = (
         "WITH a AS (SELECT DISTINCT user_id, "

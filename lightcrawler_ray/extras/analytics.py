@@ -24,6 +24,7 @@ DuckDB replay (see ``__ray_entry__.oracle_sql``):
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -697,3 +698,78 @@ def trending_items(sf_dir: str, k: int = 10,
                             ascending=[False, True]).head(k).reset_index(drop=True)
     cand["rnk"] = np.arange(1, len(cand) + 1, dtype=np.int64)
     return cand
+
+
+def ab_test_lift(sf_dir: str) -> pd.DataFrame:
+    """A/B experiment readout over the event log: assign every user to a
+    deterministic arm (md5-low64(user_id) % 2 — the ``train_split`` hash
+    rule, so assignment is stable under repartitioning and needs no RNG
+    state), then per event_type report per-arm counts/means, absolute and
+    relative lift, and the Welch t statistic — the
+    experimentation-analytics primitive next to ``funnel_steps`` /
+    ``retention_weekly``.
+
+    Scale shape: identical to ``regression_by_group`` — the per-(metric,
+    arm) sufficient statistics (n, Σcents, Σcents² as two int64 limbs so
+    nothing overflows short of >10 PB) sum per batch inside map_batches,
+    ONE tiny groupby moves O(metrics × arms × blocks) rows, and the
+    finalize recombines exact Python ints with the same double-op order as
+    the DuckDB HUGEINT oracle — bit-identical, block-order independent.
+    Per-batch md5s are computed once per DISTINCT user in the batch
+    (np.unique + inverse), not per row."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        arms_u = np.array([
+            int.from_bytes(hashlib.md5(str(u).encode()).digest()[8:16], "little") % 2
+            for u in uniq
+        ], dtype=np.int64)
+        arm = arms_u[inv]
+        cents = np.rint(
+            t.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        yy = cents * cents
+        t2 = pa.table({
+            "metric": t["event_type"],
+            "arm": pa.array(arm),
+            "n": pa.array(np.ones(len(arm), np.int64)),
+            "sy": pa.array(cents),
+            "syy_hi": pa.array(yy >> 30), "syy_lo": pa.array(yy & ((1 << 30) - 1)),
+        })
+        g = pa.TableGroupBy(t2, ["metric", "arm"]).aggregate(
+            [(c, "sum") for c in ("n", "sy", "syy_hi", "syy_lo")]
+        )
+        return g.rename_columns(["metric", "arm", "n", "sy", "syy_hi", "syy_lo"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["metric", "arm"])
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sy", "syy_hi", "syy_lo")])
+        .to_pandas()  # O(metrics × 2) rows
+    )
+    sides: dict[str, dict[int, tuple[int, int, int]]] = {}
+    for r in agg.itertuples(index=False):
+        syy = (int(r.syy_hi) << 30) + int(r.syy_lo)
+        sides.setdefault(r.metric, {})[int(r.arm)] = (int(r.n), int(r.sy), syy)
+    out = []
+    for metric in sorted(sides):
+        arms = sides[metric]
+        if arms.get(0, (0,))[0] < 2 or arms.get(1, (0,))[0] < 2:
+            continue  # an arm missing or n<2 — variance undefined
+        (nc, syc, syyc), (nt, syt, syyt) = arms[0], arms[1]
+        # same double-op order as the oracle: exact-int differences →
+        # one double division each, /100 at the very end
+        mean_c = float(syc) / float(nc) / 100.0
+        mean_t = float(syt) / float(nt) / 100.0
+        s2_c = float(nc * syyc - syc * syc) / float(nc * (nc - 1)) / 10000.0
+        s2_t = float(nt * syyt - syt * syt) / float(nt * (nt - 1)) / 10000.0
+        se = math.sqrt(s2_c / float(nc) + s2_t / float(nt))
+        lift_abs = mean_t - mean_c
+        out.append((metric, nc, nt, mean_c, mean_t, lift_abs,
+                    lift_abs / mean_c, lift_abs / se))
+    return pd.DataFrame(out, columns=[
+        "metric", "n_c", "n_t", "mean_c", "mean_t",
+        "lift_abs", "lift_rel", "t_welch",
+    ])

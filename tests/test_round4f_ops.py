@@ -123,3 +123,29 @@ def test_image_curate_manifest_funnel_invariants(ray_session):
     # payload sizes match the source blobs
     sizes = dict(zip(src["image_id"], src["nb"]))
     assert all(int(n) == sizes[i] for i, n in zip(m["image_id"], nb))
+
+
+def test_ab_test_lift_matches_naive(ray_session):
+    from lightcrawler_ray.extras import analytics
+
+    got = analytics.ab_test_lift(SF_DIR).set_index("metric")
+    ev = pq.read_table(f"{SF_DIR}/events.parquet",
+                       columns=["user_id", "event_type", "value"]).to_pandas()
+    ev["arm"] = [
+        int.from_bytes(hashlib.md5(str(u).encode()).digest()[8:16], "little") % 2
+        for u in ev["user_id"]
+    ]
+    ev["v"] = np.rint(ev["value"].to_numpy() * 100) / 100.0
+    for metric, g in ev.groupby("event_type"):
+        c, t = g[g["arm"] == 0]["v"], g[g["arm"] == 1]["v"]
+        if len(c) < 2 or len(t) < 2:
+            assert metric not in got.index
+            continue
+        row = got.loc[metric]
+        assert row["n_c"] == len(c) and row["n_t"] == len(t)
+        assert row["mean_c"] == pytest.approx(c.mean(), rel=1e-12)
+        assert row["mean_t"] == pytest.approx(t.mean(), rel=1e-12)
+        lift = t.mean() - c.mean()
+        assert row["lift_abs"] == pytest.approx(lift, rel=1e-9)
+        se = np.sqrt(c.var(ddof=1) / len(c) + t.var(ddof=1) / len(t))
+        assert row["t_welch"] == pytest.approx(lift / se, rel=1e-9)
