@@ -394,11 +394,14 @@ HOST_FLOOR_URLS_PER_SEC = {8: 980.0, 32: 2800.0}
 # depth-4 legs (~390k URLs) have a different throughput profile (per-URL
 # cost identical but fixed head/tail amortized → higher URLs/s); floors are
 # calibrated from the first observed depth-4 calm windows and recorded in
-# BASELINE.md alongside the depth-3 ones.  UNTIL calibrated (0.0 = not yet),
-# depth-4 legs can NEVER be certified at-grade — `_floors`-based checks
-# treat an uncalibrated floor as host_degraded=True so an unknown-grade
+# BASELINE.md alongside the depth-3 ones.  Calibrated 2026-08-20 from the
+# first depth-4 calm window (three steal-quiet pairs back-to-back with
+# at-grade depth-3 pairs; legs 1,016-1,112 @8 / 3,406-3,667 @32 URLs/s,
+# SCALING_r04_deep.jsonl) — floors just under those minima, same rule the
+# depth-3 floors used.  An uncalibrated (0.0) floor fails closed:
+# `_below_floor` treats it as host_degraded=True so an unknown-grade
 # window cannot masquerade as a clean one.
-HOST_FLOOR_URLS_PER_SEC_D4 = {8: 0.0, 32: 0.0}
+HOST_FLOOR_URLS_PER_SEC_D4 = {8: 990.0, 32: 3350.0}
 
 
 def _floors(depth: int) -> dict:
@@ -410,6 +413,67 @@ def _below_floor(depth: int, ncpu: int, urls_per_sec: float) -> bool:
     (depth, width) is uncalibrated — 'can't certify at-grade' fails closed."""
     floor = _floors(depth).get(ncpu, 0.0)
     return floor <= 0.0 or urls_per_sec < floor
+
+
+def _cap_worker(kind: str, dur: float, q) -> None:
+    """One capacity-probe process: fixed CPU-bound (sha256 over 1 MB) or
+    memory-bandwidth-bound (64 MB numpy copy) loop for ``dur`` seconds;
+    puts its own throughput (MB/s of buffer processed) on ``q``."""
+    import hashlib
+    import numpy as np
+
+    t0 = time.perf_counter()
+    n = 0
+    if kind == "cpu":
+        buf = b"x" * (1 << 20)
+        while time.perf_counter() - t0 < dur:
+            hashlib.sha256(buf).digest()
+            n += 1
+        q.put(n / (time.perf_counter() - t0))
+    else:
+        a = np.zeros(64 << 20, dtype=np.uint8)
+        a[::4096] = 1  # fault the pages in before timing
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < dur:
+            b = a.copy()
+            n += int(b[0] >= 0)
+        q.put(n * 64 / (time.perf_counter() - t0))
+
+
+def host_capacity(widths=(8, 32), dur: float = 0.35) -> dict:
+    """Direct host-grade measurement, independent of our own job: aggregate
+    sha256 (CPU) and 64 MB-copy (memory-bandwidth) throughput at each
+    process width.  Steal only sees CPU confiscation; the r4 hunts showed a
+    second channel — shrinking AVAILABLE per-core memory bandwidth (mem_1
+    4.3 → 6.0 GB/s between degraded and calm windows while steal stayed
+    <0.1%) — that deflates crawl legs invisibly.  Recording these readings
+    next to every scaling leg makes a refused pair carry the evidence of
+    WHY it was refused and lets calm windows be recognized directly."""
+    import multiprocessing as mp
+
+    out: dict[str, float] = {}
+    for kind in ("cpu", "mem"):
+        for w in widths:
+            q = mp.Queue()
+            ps = [
+                mp.Process(target=_cap_worker, args=(kind, dur, q))
+                for _ in range(w)
+            ]
+            for p in ps:
+                p.start()
+            vals = [q.get() for _ in ps]
+            for p in ps:
+                p.join()
+            out[f"{kind}_{w}"] = round(sum(vals), 1)
+    lo, hi = min(widths), max(widths)
+    if hi > lo:
+        out[f"cpu_eff_{lo}_{hi}"] = round(
+            (out[f"cpu_{hi}"] / out[f"cpu_{lo}"]) / (hi / lo), 3
+        )
+        out[f"mem_eff_{lo}_{hi}"] = round(
+            (out[f"mem_{hi}"] / out[f"mem_{lo}"]) / (hi / lo), 3
+        )
+    return out
 
 
 def scaling(pairs: int = 3, until_quiet: int = 0, max_pairs: int = 12, depth: int = 3) -> None:
@@ -439,8 +503,10 @@ def scaling(pairs: int = 3, until_quiet: int = 0, max_pairs: int = 12, depth: in
         # before each leg: wait for any ongoing steal burst to pass (launch
         # gate only — the VERDICT on a pair is its measured in-window steal)
         pre8 = _wait_steal_quiet()
+        cap8 = host_capacity()
         r8 = _crawl_once(8, depth=depth)
         pre32 = _wait_steal_quiet()
+        cap32 = host_capacity()
         r32 = _crawl_once(32, depth=depth)
         # the crawl-window steal is the leg's pollution verdict (the timed
         # section); whole-leg steal_frac also rides in the raw leg JSON
@@ -460,6 +526,12 @@ def scaling(pairs: int = 3, until_quiet: int = 0, max_pairs: int = 12, depth: in
                 "steal_frac_32": nf32,
                 "busy_frac_8": r8.get("crawl_busy_frac"),
                 "busy_frac_32": r32.get("crawl_busy_frac"),
+                # host-grade evidence measured just before each leg (see
+                # host_capacity): cap_before_8/32 tie the leg to the
+                # window's AVAILABLE cpu + memory bandwidth, the channel
+                # the floor gate exists to detect
+                "cap_before_8": cap8,
+                "cap_before_32": cap32,
                 "quiet": nf8 < NEIGHBOR_QUIET_FRAC and nf32 < NEIGHBOR_QUIET_FRAC,
                 "depth": depth,
                 "host_degraded": (

@@ -36,3 +36,25 @@ def test_no_quiet_pair_label():
     out = bench.summarize_pairs([_pair(0.55, False, True), _pair(1.03, False, True)])
     assert "NO runtime-quiet" in out["headline_basis"]
     assert out["scaling_efficiency"] == 0.79
+
+
+def test_host_capacity_probe_shape():
+    # tiny widths/duration — shape + positivity, not absolute numbers
+    cap = bench.host_capacity(widths=(1, 2), dur=0.05)
+    assert cap["cpu_1"] > 0 and cap["mem_1"] > 0
+    # aggregate throughput at width 2 must at least match width 1 (two
+    # procs can't do less than one on a 32-core host)
+    assert cap["cpu_2"] >= cap["cpu_1"] * 0.8
+    assert cap["mem_2"] >= cap["mem_1"] * 0.8
+    assert 0 < cap["cpu_eff_1_2"]
+    assert 0 < cap["mem_eff_1_2"]
+
+
+def test_depth4_floors_calibrated_and_fail_closed():
+    # calibrated floors certify the banked calm legs and refuse deflated ones
+    assert not bench._below_floor(4, 8, 1016.0)
+    assert not bench._below_floor(4, 32, 3406.0)
+    assert bench._below_floor(4, 8, 900.0)
+    assert bench._below_floor(4, 32, 3000.0)
+    # unknown width still fails closed
+    assert bench._below_floor(4, 16, 99999.0)
