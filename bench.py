@@ -69,7 +69,12 @@ def bench_crawl(ncpu: int) -> dict:
         follow_mode=1,
         seen_shards=8,
         seen_mode=seen_mode,
-        fetch_concurrency=max(2, ncpu // 2),
+        # pool = 3/4 of the CPUs (splits/gate/rank/sinks pipeline on the
+        # rest).  Shipped at 75 after the 2026-08-20 wave-width A/B
+        # (BASELINE.md): vs the old 50%, +30% URLs/s at 8 CPUs and +20% at
+        # 32, with depth-4 scaling efficiency still over the 0.8 bar
+        # (0.810 median).  LCRAY_POOL_PCT remains the A/B hook.
+        fetch_concurrency=max(2, ncpu * int(os.environ.get("LCRAY_POOL_PCT", "75")) // 100),
         fetch_batch_size=256,
         # bench bodies are heavy (~90 KB) → even mid-size rounds benefit from
         # the pool; only the genuinely tiny head/tail rounds stay local
@@ -132,7 +137,7 @@ def bench_routed(ncpu: int) -> dict:
         routes=synth.ROUTED_ROUTES,
         synthesize_pagination=True,
         seen_shards=8,
-        fetch_concurrency=max(2, ncpu // 2),
+        fetch_concurrency=max(2, ncpu * int(os.environ.get("LCRAY_POOL_PCT", "75")) // 100),
         fetch_batch_size=256,
         local_round_threshold=256,
         snapshot_every=4,
@@ -387,21 +392,24 @@ NEIGHBOR_QUIET_FRAC = 0.02
 # A pair whose steal is quiet but whose legs sit below these floors is
 # host-degraded; its EFFICIENCY is biased down (stragglers tax the wide leg
 # more), so excluding such pairs can only lower-bound, never inflate, the
-# graded headline.  Floors = just under the calm-evening minima for this
-# fixture (8-CPU: 1,004-1,088 URLs/s; 32-CPU: 2,900-3,600).
-HOST_FLOOR_URLS_PER_SEC = {8: 980.0, 32: 2800.0}
+# graded headline.  Floors = just under the calm-window minima for this
+# fixture UNDER THE SHIPPED pool-75 config (recalibrated 2026-08-20 from
+# the wave-width A/B legs: 8-CPU 1,381-1,406 URLs/s; 32-CPU 4,061-4,436).
+# The pool-50-era floors were 980/2,800 against calm minima 1,004/2,900.
+HOST_FLOOR_URLS_PER_SEC = {8: 1340.0, 32: 3940.0}
 
 # depth-4 legs (~390k URLs) have a different throughput profile (per-URL
 # cost identical but fixed head/tail amortized → higher URLs/s); floors are
 # calibrated from the first observed depth-4 calm windows and recorded in
-# BASELINE.md alongside the depth-3 ones.  Calibrated 2026-08-20 from the
-# first depth-4 calm window (three steal-quiet pairs back-to-back with
-# at-grade depth-3 pairs; legs 1,016-1,112 @8 / 3,406-3,667 @32 URLs/s,
-# SCALING_r04_deep.jsonl) — floors just under those minima, same rule the
-# depth-3 floors used.  An uncalibrated (0.0) floor fails closed:
+# BASELINE.md alongside the depth-3 ones.  Recalibrated 2026-08-20 for the
+# shipped pool-75 config from three steal-quiet pairs in the round-4 calm
+# window (legs 1,297-1,367 @8 / 4,141-4,429 @32 URLs/s,
+# SCALING_r04_deep_pool75.jsonl) — floors just under those minima, same
+# rule the depth-3 floors used.  (Pool-50-era calibration: 990/3,350
+# against minima 1,016/3,406.)  An uncalibrated (0.0) floor fails closed:
 # `_below_floor` treats it as host_degraded=True so an unknown-grade
 # window cannot masquerade as a clean one.
-HOST_FLOOR_URLS_PER_SEC_D4 = {8: 990.0, 32: 3350.0}
+HOST_FLOOR_URLS_PER_SEC_D4 = {8: 1260.0, 32: 4020.0}
 
 
 def _floors(depth: int) -> dict:

@@ -51,10 +51,15 @@ def test_host_capacity_probe_shape():
 
 
 def test_depth4_floors_calibrated_and_fail_closed():
-    # calibrated floors certify the banked calm legs and refuse deflated ones
-    assert not bench._below_floor(4, 8, 1016.0)
-    assert not bench._below_floor(4, 32, 3406.0)
-    assert bench._below_floor(4, 8, 900.0)
-    assert bench._below_floor(4, 32, 3000.0)
+    # calibrated floors (shipped pool-75 config) certify the banked calm
+    # legs and refuse deflated ones
+    assert not bench._below_floor(4, 8, 1297.0)
+    assert not bench._below_floor(4, 32, 4141.0)
+    assert bench._below_floor(4, 8, 1100.0)
+    assert bench._below_floor(4, 32, 3600.0)
     # unknown width still fails closed
     assert bench._below_floor(4, 16, 99999.0)
+    # depth-3 floors match the pool-75 calm minima too
+    assert not bench._below_floor(3, 8, 1381.0)
+    assert not bench._below_floor(3, 32, 4061.0)
+    assert bench._below_floor(3, 32, 3500.0)
