@@ -32,14 +32,20 @@ class FetchWorker:
     """num_cpus=1: workers burn a real core each; without the reservation the
     split/sort tasks oversubscribe the node during the fetch phase (measured:
     24 unreserved workers + 32 task slots thrash instead of scaling).  Size
-    ``fetch_concurrency`` ≈ half the CPUs — the split-sink tasks pipeline on
-    the other half as fetch batches complete."""
+    ``fetch_concurrency`` ≈ 3/4 of the CPUs — the split-sink tasks pipeline
+    on the rest as fetch batches complete (wave-width A/B, BASELINE.md
+    2026-08-20: 75% reads +20-30% URLs/s over the earlier half-CPUs rule at
+    both 8 and 32 CPUs)."""
     def __init__(self, pages_ref, images_ref, fetch_kwargs: dict):
         from .fetch import make_fetcher
 
         self.impl = make_fetcher(pages_ref, images_ref, fetch_kwargs)
 
     def process(self, block: pa.Table, start: int, end: int) -> pa.Table:
+        # per-URL work is inherently row-wise (each row is an independent
+        # HTTP transaction); the row-dict conversion measures 1.1 ms per
+        # 256-row batch ≈ 0.09% of batch wall — not worth a zip-of-arrays
+        # rewrite (measured 2026-08-20, BASELINE.md round-4 notes)
         ob = OutBuilder()
         sl = block.slice(start, end - start)
         for fr in sl.select(_FRONTIER_COLS).to_pylist():
