@@ -2724,8 +2724,11 @@ def oracle_sql() -> dict[str, str]:
         "a1 AS (SELECT count(*) AS n, sum(sz) AS tot FROM c1), "
         "r1 AS (SELECT sz, row_number() OVER (ORDER BY sz) AS i FROM c1), "
         "s1 AS (SELECT sum((2 * r1.i - a1.n - 1) * r1.sz) AS s FROM r1, a1), "
+        # CAST: DuckDB sum() over BIGINT yields HUGEINT; the engine column
+        # is int64, and the driver hash is type-sensitive (r04 red row)
         "g1 AS (SELECT 'lineitem.l_orderkey' AS key_name, n AS n_keys, "
-        "tot AS total_rows, CAST(s AS DOUBLE) / (n * tot) AS gini "
+        "CAST(tot AS BIGINT) AS total_rows, "
+        "CAST(s AS DOUBLE) / (n * tot) AS gini "
         "FROM a1, s1), "
         "c2 AS (SELECT o_custkey AS k, count(*) AS sz FROM orders "
         "GROUP BY 1), "
@@ -2733,7 +2736,8 @@ def oracle_sql() -> dict[str, str]:
         "r2 AS (SELECT sz, row_number() OVER (ORDER BY sz) AS i FROM c2), "
         "s2 AS (SELECT sum((2 * r2.i - a2.n - 1) * r2.sz) AS s FROM r2, a2), "
         "g2 AS (SELECT 'orders.o_custkey' AS key_name, n AS n_keys, "
-        "tot AS total_rows, CAST(s AS DOUBLE) / (n * tot) AS gini "
+        "CAST(tot AS BIGINT) AS total_rows, "
+        "CAST(s AS DOUBLE) / (n * tot) AS gini "
         "FROM a2, s2) "
         "SELECT * FROM g1 UNION ALL SELECT * FROM g2"
     )

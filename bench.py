@@ -34,6 +34,21 @@ BENCH_GRAPH = dict(
 )
 
 
+def _pool_pct() -> int:
+    """Validated LCRAY_POOL_PCT (shipped default 75).  A malformed or
+    out-of-range value falls back to 75 with a stderr warning instead of
+    raising an uncaught ValueError inside a leg subprocess (ADVICE r4)."""
+    raw = os.environ.get("LCRAY_POOL_PCT", "75")
+    try:
+        v = int(raw)
+        if not 1 <= v <= 100:
+            raise ValueError(raw)
+        return v
+    except ValueError:
+        print(f"bench: invalid LCRAY_POOL_PCT={raw!r}, using 75", file=sys.stderr)
+        return 75
+
+
 def _quiet():
     from ray.data import DataContext
 
@@ -76,7 +91,7 @@ def bench_crawl(ncpu: int) -> dict:
         # (BASELINE.md): vs the old 50%, +30% URLs/s at 8 CPUs and +20% at
         # 32, with depth-4 scaling efficiency still over the 0.8 bar
         # (0.810 median).  LCRAY_POOL_PCT remains the A/B hook.
-        fetch_concurrency=max(2, ncpu * int(os.environ.get("LCRAY_POOL_PCT", "75")) // 100),
+        fetch_concurrency=max(2, ncpu * _pool_pct() // 100),
         fetch_batch_size=256,
         # bench bodies are heavy (~90 KB) → even mid-size rounds benefit from
         # the pool; only the genuinely tiny head/tail rounds stay local
@@ -139,7 +154,7 @@ def bench_routed(ncpu: int) -> dict:
         routes=synth.ROUTED_ROUTES,
         synthesize_pagination=True,
         seen_shards=8,
-        fetch_concurrency=max(2, ncpu * int(os.environ.get("LCRAY_POOL_PCT", "75")) // 100),
+        fetch_concurrency=max(2, ncpu * _pool_pct() // 100),
         fetch_batch_size=256,
         local_round_threshold=256,
         snapshot_every=4,
@@ -421,9 +436,15 @@ def _floors(depth: int) -> dict:
 
 def _below_floor(depth: int, ncpu: int, urls_per_sec: float) -> bool:
     """True when the leg is below its calm-window floor OR the floor for
-    (depth, width) is uncalibrated — 'can't certify at-grade' fails closed."""
+    (depth, width) is uncalibrated — 'can't certify at-grade' fails closed.
+
+    Floors are calibrated to the SHIPPED pool-75 config only; at any other
+    LCRAY_POOL_PCT (the A/B hook) every leg would be mislabeled
+    host_degraded, so an A/B run fails closed too (ADVICE r4) — A/B data is
+    tagged ``floors_uncalibrated`` by the scaling loop instead of silently
+    falling into the 'ALL host-degraded' summary bucket."""
     floor = _floors(depth).get(ncpu, 0.0)
-    return floor <= 0.0 or urls_per_sec < floor
+    return floor <= 0.0 or _pool_pct() != 75 or urls_per_sec < floor
 
 
 def _cap_worker(kind: str, dur: float, q) -> None:
@@ -461,8 +482,10 @@ def host_capacity(widths=(8, 32), dur: float = 0.35) -> dict:
     next to every scaling leg makes a refused pair carry the evidence of
     WHY it was refused and lets calm windows be recognized directly."""
     import multiprocessing as mp
+    import queue as queue_mod
 
     out: dict[str, float] = {}
+    failed = False
     for kind in ("cpu", "mem"):
         for w in widths:
             q = mp.Queue()
@@ -472,12 +495,29 @@ def host_capacity(widths=(8, 32), dur: float = 0.35) -> dict:
             ]
             for p in ps:
                 p.start()
-            vals = [q.get() for _ in ps]
+            # a bounded wait per result: if a probe worker dies (e.g.
+            # transient OOM during the 32-wide 64MB-copy burst, ~4 GB peak
+            # RSS) an unattended --scaling-until hunt must record the
+            # failure and move on, not hang forever on q.get() (ADVICE r4)
+            vals = []
+            for _ in ps:
+                try:
+                    vals.append(q.get(timeout=dur * 20 + 30))
+                except queue_mod.Empty:
+                    failed = True
+                    break
             for p in ps:
-                p.join()
-            out[f"{kind}_{w}"] = round(sum(vals), 1)
+                p.join(timeout=10)
+                if p.is_alive():
+                    p.terminate()
+                    p.join()
+                if p.exitcode not in (0, None):
+                    failed = True
+            out[f"{kind}_{w}"] = round(sum(vals), 1) if len(vals) == w else 0.0
+    if failed:
+        out["probe_failed"] = True
     lo, hi = min(widths), max(widths)
-    if hi > lo:
+    if hi > lo and out.get(f"cpu_{lo}") and out.get(f"mem_{lo}"):
         out[f"cpu_eff_{lo}_{hi}"] = round(
             (out[f"cpu_{hi}"] / out[f"cpu_{lo}"]) / (hi / lo), 3
         )
@@ -545,6 +585,11 @@ def scaling(pairs: int = 3, until_quiet: int = 0, max_pairs: int = 12, depth: in
                 "cap_before_32": cap32,
                 "quiet": nf8 < NEIGHBOR_QUIET_FRAC and nf32 < NEIGHBOR_QUIET_FRAC,
                 "depth": depth,
+                "pool_pct": _pool_pct(),
+                # floors are only calibrated for the shipped pool-75 config;
+                # at any other pool pct host_degraded fails closed and this
+                # tag says WHY (ADVICE r4)
+                "floors_uncalibrated": _pool_pct() != 75,
                 "host_degraded": (
                     _below_floor(depth, 8, r8["crawl_urls_per_sec"])
                     or _below_floor(depth, 32, r32["crawl_urls_per_sec"])
@@ -576,11 +621,19 @@ def summarize_pairs(trials: list[dict]) -> dict:
     )
     headline = round(statistics.median(t["scaling_efficiency"] for t in basis), 3)
     best = max(trials, key=lambda t: t["scaling_efficiency"])
+    # self-describe with the floors that actually gated these pairs: keyed
+    # by the run's depth (depth-4 is the default protocol — ADVICE r4 noted
+    # the old unconditional depth-3 dict mislabeled depth-4 output)
+    depth = trials[0].get("depth", 3) if trials else 3
     return {
         "scaling_efficiency": headline,
         "headline_basis": f"median of {len(basis)} " + label,
         "neighbor_quiet_frac": NEIGHBOR_QUIET_FRAC,
-        "host_floor_urls_per_sec": HOST_FLOOR_URLS_PER_SEC,
+        "depth": depth,
+        "host_floor_urls_per_sec": _floors(depth),
+        "host_floor_urls_per_sec_by_depth": {
+            "3": HOST_FLOOR_URLS_PER_SEC, "4": HOST_FLOOR_URLS_PER_SEC_D4,
+        },
         "best_pair": best,
         "pairs": trials,
     }

@@ -63,3 +63,34 @@ def test_depth4_floors_calibrated_and_fail_closed():
     assert not bench._below_floor(3, 8, 1381.0)
     assert not bench._below_floor(3, 32, 4061.0)
     assert bench._below_floor(3, 32, 3500.0)
+
+
+def test_below_floor_fails_closed_at_nonshipped_pool(monkeypatch):
+    # floors are calibrated for pool-75 only — an A/B run at another pool
+    # pct must never be certified at-grade (ADVICE r4)
+    monkeypatch.setenv("LCRAY_POOL_PCT", "50")
+    assert bench._below_floor(4, 32, 99999.0)
+    monkeypatch.setenv("LCRAY_POOL_PCT", "75")
+    assert not bench._below_floor(4, 32, 4141.0)
+
+
+def test_pool_pct_validation(monkeypatch):
+    monkeypatch.delenv("LCRAY_POOL_PCT", raising=False)
+    assert bench._pool_pct() == 75
+    monkeypatch.setenv("LCRAY_POOL_PCT", "62")
+    assert bench._pool_pct() == 62
+    for bad in ("abc", "0", "101", ""):
+        monkeypatch.setenv("LCRAY_POOL_PCT", bad)
+        assert bench._pool_pct() == 75  # malformed → shipped default, no raise
+
+
+def test_summarize_reports_floors_for_run_depth():
+    # a depth-4 run must self-describe with the depth-4 floors (ADVICE r4:
+    # the old unconditional depth-3 dict mislabeled default-protocol output)
+    d4 = [dict(_pair(0.84, True, False), depth=4)]
+    out = bench.summarize_pairs(d4)
+    assert out["depth"] == 4
+    assert out["host_floor_urls_per_sec"] == bench.HOST_FLOOR_URLS_PER_SEC_D4
+    assert out["host_floor_urls_per_sec_by_depth"]["3"] == bench.HOST_FLOOR_URLS_PER_SEC
+    d3 = [dict(_pair(0.84, True, False), depth=3)]
+    assert bench.summarize_pairs(d3)["host_floor_urls_per_sec"] == bench.HOST_FLOOR_URLS_PER_SEC
