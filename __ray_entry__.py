@@ -2684,9 +2684,12 @@ def oracle_sql() -> dict[str, str]:
         "FROM d), "
         "p AS (SELECT image_id, zkey, nbytes, "
         "sum(nbytes) OVER (ORDER BY zkey, image_id "
+        # CAST: window sum() over BIGINT yields HUGEINT (float64 in pandas)
+        # vs the engine's int64 — the r05 sweep TYPE gate
         "ROWS UNBOUNDED PRECEDING) - nbytes AS byte_offset FROM z) "
-        "SELECT image_id, zkey, nbytes, byte_offset, "
-        "byte_offset // 262144 AS shard FROM p"
+        "SELECT image_id, zkey, nbytes, "
+        "CAST(byte_offset AS BIGINT) AS byte_offset, "
+        "CAST(byte_offset // 262144 AS BIGINT) AS shard FROM p"
     )
     sqls["image_curate_manifest"] = (
         # the composed funnel: filter-gate rules (stored dims + caption
@@ -2712,8 +2715,9 @@ def oracle_sql() -> dict[str, str]:
         "p AS (SELECT image_id, zkey, nbytes, n_dups, "
         "sum(nbytes) OVER (ORDER BY zkey, image_id "
         "ROWS UNBOUNDED PRECEDING) - nbytes AS byte_offset FROM z) "
-        "SELECT image_id, zkey, nbytes, n_dups, byte_offset, "
-        "byte_offset // 262144 AS shard FROM p"
+        "SELECT image_id, zkey, nbytes, n_dups, "
+        "CAST(byte_offset AS BIGINT) AS byte_offset, "
+        "CAST(byte_offset // 262144 AS BIGINT) AS shard FROM p"
     )
     sqls["key_skew_gini"] = (
         # exact rank-sum Gini of the rows-per-key distribution; tie rank
@@ -2753,7 +2757,7 @@ def oracle_sql() -> dict[str, str]:
         "total_sent_chars, max(n) AS max_sent_chars FROM t "
         "WHERE n > 0 GROUP BY 1) "
         "SELECT d.doc_id, coalesce(a.n_sents, 0) AS n_sents, "
-        "coalesce(a.total_sent_chars, 0) AS total_sent_chars, "
+        "CAST(coalesce(a.total_sent_chars, 0) AS BIGINT) AS total_sent_chars, "
         "coalesce(a.max_sent_chars, 0) AS max_sent_chars, "
         "CASE WHEN a.n_sents IS NULL THEN 0.0 "
         "ELSE CAST(a.total_sent_chars AS DOUBLE) / a.n_sents END "

@@ -28,6 +28,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from ..functions import hashing
@@ -297,43 +298,95 @@ def phash_near_dups(images_path: str, max_hamming: int = 7,
     )
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.2) -> pd.DataFrame:
+def _triangle_cells(sub: int, n_salts: int) -> list[tuple[int, int]]:
+    """The ``n_salts`` ordered cells (i ≤ j) a doc in sub-block ``sub`` must
+    visit so every pair of sub-blocks meets in exactly one cell: row ``(·,
+    sub)`` up to the diagonal plus column ``(sub, ·)`` from it — the
+    standard triangle self-join decomposition.  A pair with sub-blocks
+    (a, b), a < b shares exactly cell (a, b); a same-sub pair shares all
+    ``n_salts`` cells and is charged to its diagonal cell (a, a) by the
+    salt filter in ``ngram_jaccard_pairs``."""
+    return [(i, sub) for i in range(sub)] + [(sub, j) for j in range(sub, n_salts)]
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.2, n_salts: int = 8,
+                        sample_rows: int = 4096, hot_frac: float = 0.02) -> pd.DataFrame:
     """Blocked exact n-gram Jaccard: pairs within the same ``source`` block
     (the coarse blocking key), word-3-gram shingle sets, jaccard ≥ threshold.
     SQL-oracled (DuckDB computes the identical shingle sets).
 
-    One shuffle on hash(source) % P; within each partition the pairwise
-    intersection sizes come from ONE exploded (source, shingle, doc_id)
-    self-merge — vectorized pandas, no per-pair Python set ops.  Hot-block
-    O(n²) caveat stands (data-dependent key); the LSH faces are the scale
-    path."""
+    Skew (VERDICT r4 #8): ``source`` is a data-dependent key — one hot
+    source used to land whole in a single partition and degrade to O(n²)
+    rows in one pandas merge.  Hot sources are now nominated from a bounded
+    driver sample (≥ ``hot_frac`` of ``sample_rows`` rows → at most
+    1/hot_frac sources, broadcast once via ``ray.put``) and triangle-salted:
+    each hot doc hashes to a sub-block and replicates its shingle rows to
+    the ``n_salts`` cells of :func:`_triangle_cells`, so every pair of
+    sub-blocks meets in exactly one cell and per-partition pair work drops
+    from n² to ~(2n/S)² per cell.  The salt filter (off-diagonal cells keep
+    only cross-sub pairs) makes coverage exactly-once, so salting changes
+    WHERE pairs meet, never the result — which the plain-SQL oracle
+    certifies.  Cold sources keep the old single-cell path.
+
+    One shuffle on hash(source, cell) % P; within each partition the
+    pairwise intersection sizes come from ONE exploded (source, cell,
+    shingle, doc_id) self-merge — vectorized pandas, no per-pair Python
+    set ops."""
     ds = _docs(sf_dir)
+    sample = ds.limit(sample_rows).select_columns(["source"]).to_pandas()
+    hot_min = max(2, int(len(sample) * hot_frac))
+    counts = sample["source"].value_counts()
+    hot = frozenset(str(s) for s, c in counts.items() if c >= hot_min)
+    hot_ref = ray.put(hot)
 
     def shingle_rows(t: pa.Table) -> pa.Table:
+        hotset = ray.get(hot_ref)
         out_doc, out_src, out_sh, out_sz = [], [], [], []
+        out_cell, out_salt, out_part = [], [], []
         for did, src, text in zip(
             t.column("doc_id").to_pylist(), t.column("source").to_pylist(),
             t.column("text").to_pylist(),
         ):
             w = text.split(" ")
             grams = {" ".join(w[i : i + 3]) for i in range(max(1, len(w) - 2))}
-            out_doc.extend([did] * len(grams))
-            out_src.extend([src] * len(grams))
-            out_sh.extend(grams)
-            out_sz.extend([len(grams)] * len(grams))
-        part = [zlib.crc32(s.encode()) % _PAIR_PARTITIONS for s in out_src]
-        return pa.table({"part": pa.array(part, pa.int32()),
+            if src in hotset:
+                sub = (did * 2654435761) % n_salts
+                cells = _triangle_cells(sub, n_salts)
+            else:
+                sub, cells = 0, [(0, 0)]
+            for ci, cj in cells:
+                cell = ci * n_salts + cj
+                out_doc.extend([did] * len(grams))
+                out_src.extend([src] * len(grams))
+                out_sh.extend(grams)
+                out_sz.extend([len(grams)] * len(grams))
+                out_cell.extend([cell] * len(grams))
+                out_salt.extend([sub] * len(grams))
+                out_part.extend(
+                    [zlib.crc32(f"{src}|{cell}".encode()) % _PAIR_PARTITIONS]
+                    * len(grams)
+                )
+        return pa.table({"part": pa.array(out_part, pa.int32()),
                          "source": pa.array(out_src, pa.string()),
+                         "cell": pa.array(out_cell, pa.int32()),
+                         "salt": pa.array(out_salt, pa.int32()),
                          "doc_id": pa.array(out_doc, pa.int64()),
                          "shingle": pa.array(out_sh, pa.string()),
                          "n_sh": pa.array(out_sz, pa.int64())})
 
     def part_pairs(g: pd.DataFrame) -> pa.Table:
-        m = g.merge(g, on=["source", "shingle"])
+        m = g.merge(g, on=["source", "cell", "shingle"])
         m = m[m["doc_id_x"] < m["doc_id_y"]]
         empty = pa.table({"doc_a": pa.array([], pa.int64()),
                           "doc_b": pa.array([], pa.int64()),
                           "jaccard": pa.array([], pa.float64())})
+        if m.empty:
+            return empty
+        # exactly-once coverage: an off-diagonal cell (i, j) holds docs of
+        # sub-blocks i and j; its within-sub pairs belong to the diagonal
+        # cells and are dropped here
+        diag = (m["cell"] // n_salts) == (m["cell"] % n_salts)
+        m = m[diag | (m["salt_x"] != m["salt_y"])]
         if m.empty:
             return empty
         inter = (
