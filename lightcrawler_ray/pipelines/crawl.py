@@ -121,7 +121,6 @@ class CrawlJob:
         # next-round filter tasks submitted against the in-flight round's
         # link refs (pure tasks — safe to speculate; the stateful gate is not)
         self._prefilter: dict | None = None
-        self._avg_links = 8.0  # links-per-URL estimate for coalesce sizing
         self.tail_collapses = 0  # dist rounds that gated down to the local tail
         # M9: until the first 200-content fetch, candidate filtering keeps
         # only redirect links (mode off => treat content as already found)
@@ -620,6 +619,39 @@ class CrawlJob:
             _mark(f"tail_collapse n={n_frontier}")
             self.tail_collapses += 1
             return self._local_tail(df, epoch, ed)
+        # re-coalesce tiny winner blocks (r5): a dedup-heavy gate after a
+        # huge round can leave hundreds of blocks with a handful of winners
+        # each (profile: 9,841 winners across 1,220 blocks ≈ 8/block) —
+        # each would become its own rank task and a sub-minimum fetch
+        # batch.  Contiguous groups keep (parent_seq, link_idx) order, so
+        # rank order is preserved; the merge task applies each block's
+        # winner mask and budget slice exactly as the rank task would have.
+        if len(blocks) > 2 * max(1, -(-n_frontier // _COALESCE_ROWS)):
+            groups: list[list[int]] = []
+            cur: list[int] = []
+            acc = 0
+            for b in range(len(blocks)):
+                cur.append(b)
+                acc += int(take[b])
+                if acc >= _COALESCE_ROWS or len(cur) >= 32:
+                    groups.append(cur)
+                    cur, acc = [], 0
+            if cur:
+                groups.append(cur)
+            new_blocks, new_take = [], []
+            for g in groups:
+                takes = [int(take[b]) for b in g]
+                nwin, flat = [], []
+                for b in g:
+                    win = [w for w in winner_mat[b] if w is not None]
+                    nwin.append(len(win))
+                    flat.append(blocks[b])
+                    flat.extend(win)
+                new_blocks.append(_merge_winner_blocks.remote(takes, nwin, *flat))
+                new_take.append(sum(takes))
+            blocks = new_blocks
+            winner_mat = [[] for _ in blocks]
+            take = np.asarray(new_take, dtype=np.int64)
         self.fetched += n_frontier
 
         frontier_dir = os.path.join(ed, "frontier")
@@ -658,11 +690,33 @@ class CrawlJob:
         nb = sum((c + bs - 1) // bs for c in take_l)
         split_refs: list = [None] * nb
         kc = self.content_seen.k
+        # speculate the NEXT round's filter + key extraction INCREMENTALLY:
+        # as each batch's split lands mid-wave, its link block goes straight
+        # into a _filter_extract task, so the filter compute for round N+1
+        # hides under round N's fetch wave on the otherwise-idle task CPUs.
+        # (r5: the round-4 profile showed the old post-wave speculation
+        # leaving a 5.4 s gate_counts wait at the next round's head — the
+        # filters for ~3.3M links all launched after the 49.6 s wave ended.)
+        # Pure tasks — safe to speculate; the stateful gate still waits for
+        # the next round.  Per-block granularity ≈ _COALESCE_ROWS anyway
+        # (256 URLs × ~12 links/URL), so no coalescing pass is needed.
+        # M9 guard unchanged: never speculate while redirect-only may apply.
+        speculate_next = self._content_found
+        pf_filt: list = [None] * nb
+        pf_keymat: list = [None] * nb
 
         def _on_batch_done(i: int, ref) -> None:
-            split_refs[i] = _split_sink.options(num_returns=8 + 3 * kc).remote(
+            rets = _split_sink.options(num_returns=8 + 3 * kc).remote(
                 ref, links_dir, i, kc
             )
+            split_refs[i] = rets
+            if speculate_next:
+                f = _filter_extract.options(num_returns=1 + k).remote(
+                    spec, self.robots_ref, k, -1, self._lazy_robots_handles,
+                    rets[7],  # this batch's link block
+                )
+                pf_filt[i] = f[0]
+                pf_keymat[i] = f[1:]
 
         self.fetch_pool.submit_dynamic(ranked, take_l, bs, on_done=_on_batch_done)
         cols = list(zip(*split_refs))
@@ -678,23 +732,10 @@ class CrawlJob:
             nb, img_metas, doc_metas, img_parts, doc_parts, att_parts
         )
 
-        # speculate the NEXT round's filter + key extraction against the
-        # link refs now, while this round's fetch wave is still running —
-        # pure tasks (the stateful gate waits for the next round), so an
-        # early abort (budget/rounds) wastes only idle task cycles.  This
-        # hides nearly all of the next round's prep under this round's W.
+        # the incremental speculation launched one filter per batch inside
+        # _on_batch_done; register the completed set for the next round
         link_refs_l = list(link_refs)
-        if self._content_found:  # M9: never speculate while redirect-only may apply
-            est_links = max(1, int(self._avg_links * n_frontier))
-            pf_grouped = _coalesce_groups(link_refs_l, est_links)
-            pf_filt, pf_keymat = [], []
-            for grp in pf_grouped:
-                rets = _filter_extract.options(num_returns=1 + k).remote(
-                    spec, self.robots_ref, k, -1,
-                    self._lazy_robots_handles, *grp
-                )
-                pf_filt.append(rets[0])
-                pf_keymat.append(rets[1:])
+        if speculate_next:
             self._prefilter = {
                 "key": tuple(r.hex() for r in link_refs_l),
                 "filt": pf_filt, "keymat": pf_keymat,
@@ -712,7 +753,6 @@ class CrawlJob:
         storage.mark_complete(frontier_dir)
         storage.mark_complete(links_dir)
         n_links = int(pc.sum(fetch_small.column("n_links")).as_py() or 0)
-        self._avg_links = max(1.0, n_links / max(1, n_frontier))
 
         img_dir = os.path.join(ed, "images")
         doc_dir = os.path.join(ed, "docs")
@@ -1095,6 +1135,30 @@ def _apply_winners(t: pa.Table, *winner_rows: np.ndarray) -> pa.Table:
 @ray.remote
 def _count_rows(t: pa.Table) -> int:
     return t.num_rows
+
+
+@ray.remote
+def _merge_winner_blocks(takes: list, nwin: list, *flat) -> pa.Table:
+    """Coalesce a contiguous group of winner blocks into ONE ranked-order
+    table: ``flat`` packs, per block, the link table followed by its
+    ``nwin[i]`` per-shard winner row arrays.  Winner masks preserve row
+    order and each block is sliced to its own budget take before concat,
+    so the result is exactly the concatenation the per-block rank tasks
+    would have produced."""
+    out = []
+    pos = 0
+    for tk, nw in zip(takes, nwin):
+        t = flat[pos]
+        ws = flat[pos + 1 : pos + 1 + nw]
+        pos += 1 + nw
+        if nw and t.num_rows:
+            mask = np.zeros(t.num_rows, dtype=bool)
+            for w in ws:
+                if w.size:
+                    mask[w] = True
+            t = t.filter(pa.array(mask))
+        out.append(t.slice(0, tk))
+    return pa.concat_tables(out)
 
 
 @ray.remote
