@@ -93,9 +93,13 @@ def html_to_lines(html: str, keep_img: bool = False, base_url: str = "") -> list
     import html as _h
 
     text = _h.unescape(text)
+    # _WS_LINE_RE matches only intra-line whitespace ([ \t　]+, never \n),
+    # so one pass over the whole text ≡ the per-line sub it replaces —
+    # and drops ~600 re.sub calls per document from the fetch hot path
+    text = _WS_LINE_RE.sub(" ", text.replace("\r", "\n"))
     lines = []
-    for ln in text.replace("\r", "\n").split("\n"):
-        ln = _WS_LINE_RE.sub(" ", ln).strip()
+    for ln in text.split("\n"):
+        ln = ln.strip()
         if ln:
             lines.append(ln)
     return lines
