@@ -112,15 +112,20 @@ def exclude_sections(html: str, strip_scripts: bool = True) -> str:
     return html
 
 
-def find_links(html: str, base_url: str, aggressive: bool = False) -> list[FoundLink]:
+def find_links(html: str, base_url: str, aggressive: bool = False,
+               stripped: str | None = None) -> list[FoundLink]:
     """M4 — 3-pass extraction, first-seen order, per-doc dedup by raw link.
 
-    The resolution base honors a ``<base href>`` tag when present (M7)."""
+    The resolution base honors a ``<base href>`` tag when present (M7).
+    ``stripped``: the caller's pre-computed ``exclude_sections(html)`` —
+    the fetch hot path shares one exclusion pass between find_links and
+    find_images instead of paying it twice per page."""
     bm = _BASE_RE.search(html)
     base = bm.group(2).strip() if bm else base_url
     if bm and ut.split_url(base) is None:  # relative base href
         base = ut.resolve(base_url, base) or base_url
-    stripped = exclude_sections(html)
+    if stripped is None:
+        stripped = exclude_sections(html)
     seen: set[str] = set()
     out: list[FoundLink] = []
 
@@ -143,13 +148,15 @@ def find_links(html: str, base_url: str, aggressive: bool = False) -> list[Found
     return out
 
 
-def find_images(html: str, base_url: str) -> list[tuple[str, str]]:
+def find_images(html: str, base_url: str,
+                stripped: str | None = None) -> list[tuple[str, str]]:
     """M25 — (canonical image url, caption) pairs from ``<img src alt>``.
 
     Runs after section exclusion (M5) like find_links, so ``<img>`` tags
     inside comments or script blocks cannot contribute (or overwrite)
-    captions — matching the reference's pre-pass order."""
-    html = exclude_sections(html)
+    captions — matching the reference's pre-pass order.  ``stripped``: a
+    pre-computed ``exclude_sections(html)`` shared with find_links."""
+    html = exclude_sections(html) if stripped is None else stripped
     out: list[tuple[str, str]] = []
     seen: set[str] = set()
     for m in _IMG_RE.finditer(html):

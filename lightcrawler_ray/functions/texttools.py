@@ -410,6 +410,14 @@ def main_content(html: str) -> str:
     lines = None
     if ps:
         p_len = len(_SQUASH_RE.sub("", "".join(ps)))
+        # provably-identical short-circuit (r5, fetch hot path): t_len (the
+        # squashed char count of html_to_lines output) can never exceed
+        # len(html) — tag stripping only removes characters and the td "|"
+        # separators replace longer close-tags — so p_len/len(html) ≥ 0.01
+        # already guarantees p_len/t_len ≥ 0.01 without paying the second
+        # full html_to_lines pass set over the document
+        if len(html) and p_len / len(html) >= 0.01:
+            return "\n".join(ps)
         lines = html_to_lines(html)
         t_len = len(_SQUASH_RE.sub("", "".join(lines)))
         if t_len and p_len / t_len >= 0.01:

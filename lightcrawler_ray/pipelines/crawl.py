@@ -322,7 +322,13 @@ class CrawlJob:
                 and self.bytes_total >= self.spec.traffic_limit_bytes
             ):
                 break
+        self.bench.start("final_drain")
         self._drain_pending()
+        self.bench.stop("final_drain")
+        if os.environ.get("LCRAY_PROFILE"):
+            import sys as _sys
+
+            print(f"    [job] phases: {self.bench.all()}", file=_sys.stderr, flush=True)
         return self.summary()
 
     def _resume_point(self) -> tuple[int, "rd.Dataset | pa.Table", int | None]:
@@ -932,11 +938,18 @@ class CrawlJob:
         if links is not None:  # local path: links still need their checkpoint
             storage.commit_table(links, os.path.join(ed, "links"))
             n_links = links.num_rows
-        _save_seen_snapshot(
-            os.path.join(ed, "seen.npz"),
-            {"seen": self.seen.snapshot(), "content": self.content_seen.snapshot(),
-             "hosts": self.sched.snapshot(), "docsim": self.docsim.snapshot()},
-        )
+        # honor the sparse-snapshot cadence here too (r5): the local/tail
+        # path used to gather + savez the FULL seen state synchronously on
+        # the driver at EVERY epoch — a width-independent cost the dist
+        # path already skips on non-snapshot epochs (resume re-enters at
+        # the last snapshotted epoch and re-crawls deterministically)
+        epoch = int(os.path.basename(ed).split("=")[1])
+        if epoch % max(1, self.spec.snapshot_every) == 0:
+            _save_seen_snapshot(
+                os.path.join(ed, "seen.npz"),
+                {"seen": self.seen.snapshot(), "content": self.content_seen.snapshot(),
+                 "hosts": self.sched.snapshot(), "docsim": self.docsim.snapshot()},
+            )
         _write_done(ed, {"next_seq": self.next_seq, "fetched": self.fetched,
                          "rows": rows, "links": n_links,
                          "bytes_total": self.bytes_total,

@@ -447,9 +447,12 @@ class SyntheticFetchExtract:
         # processing: pagination synthesis (list) and doc records (detail).
         is_list = not self.routes or not kinds or "list" in kinds
         html = htmltools.decode_body(body, ctype)
-        links = htmltools.find_links(html, url, aggressive=self.aggressive_links)
+        # one M5 exclusion pass shared by the link and image extractors
+        stripped = htmltools.exclude_sections(html)
+        links = htmltools.find_links(html, url, aggressive=self.aggressive_links,
+                                     stripped=stripped)
         # <img alt> text is the caption for image links found by the attr pass
-        alts = dict(htmltools.find_images(html, url))
+        alts = dict(htmltools.find_images(html, url, stripped=stripped))
         lb = ob.bufs["link"]
         l_url, l_raw, l_text = lb["url"], lb["link_raw"], lb["linktext"]
         l_ref, l_depth, l_red = lb["referer"], lb["depth"], lb["is_redirect"]
