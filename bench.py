@@ -92,7 +92,9 @@ def bench_crawl(ncpu: int) -> dict:
         # 32, with depth-4 scaling efficiency still over the 0.8 bar
         # (0.810 median).  LCRAY_POOL_PCT remains the A/B hook.
         fetch_concurrency=max(2, ncpu * _pool_pct() // 100),
-        fetch_batch_size=256,
+        # A/B hook for the cache-footprint experiment: each worker's live
+        # OutBuilder set is ~batch_size × ~25 KB of extracted payload
+        fetch_batch_size=int(os.environ.get("LCRAY_FBS", "256")),
         # bench bodies are heavy (~90 KB) → even mid-size rounds benefit from
         # the pool; only the genuinely tiny head/tail rounds stay local
         local_round_threshold=256,
@@ -410,24 +412,35 @@ NEIGHBOR_QUIET_FRAC = 0.02
 # host-degraded; its EFFICIENCY is biased down (stragglers tax the wide leg
 # more), so excluding such pairs can only lower-bound, never inflate, the
 # graded headline.  Floors = just under the calm-window minima for this
-# fixture UNDER THE SHIPPED pool-75 config (recalibrated 2026-08-20 from
-# the wave-width A/B legs plus two later steal-quiet full-bench legs:
-# 8-CPU 1,381-1,406 URLs/s; 32-CPU 3,773-4,436).  The pool-50-era floors
-# were 980/2,800 against calm minima 1,004/2,900.
-HOST_FLOOR_URLS_PER_SEC = {8: 1340.0, 32: 3700.0}
+# fixture UNDER THE SHIPPED pool-75 config and the ROUND-5 engine
+# (recalibrated 2026-08-20 after the r5 hot-path work made the r4 floors
+# 30-45% stale: the r5 calm depth-3 triplet read 8-CPU 1,934-2,183 and
+# 32-CPU 5,802-6,011 URLs/s — floors just under those minima).  History:
+# r4 pool-75 floors 1,340/3,700; pool-50-era 980/2,800 — raw pair JSONLs
+# keep their own basis.
+HOST_FLOOR_URLS_PER_SEC = {8: 1900.0, 32: 5700.0}
 
 # depth-4 legs (~390k URLs) have a different throughput profile (per-URL
-# cost identical but fixed head/tail amortized → higher URLs/s); floors are
-# calibrated from the first observed depth-4 calm windows and recorded in
-# BASELINE.md alongside the depth-3 ones.  Recalibrated 2026-08-20 for the
-# shipped pool-75 config from three steal-quiet pairs in the round-4 calm
-# window (legs 1,297-1,367 @8 / 4,141-4,429 @32 URLs/s,
-# SCALING_r04_deep_pool75.jsonl) — floors just under those minima, same
-# rule the depth-3 floors used.  (Pool-50-era calibration: 990/3,350
-# against minima 1,016/3,406.)  An uncalibrated (0.0) floor fails closed:
-# `_below_floor` treats it as host_degraded=True so an unknown-grade
-# window cannot masquerade as a clean one.
-HOST_FLOOR_URLS_PER_SEC_D4 = {8: 1260.0, 32: 4020.0}
+# cost identical but fixed head/tail amortized → higher URLs/s).
+# Recalibrated 2026-08-20 for the ROUND-5 engine from six steal-quiet
+# pairs (SCALING_r05 bank: quiet 8-legs 1,806-1,990, quiet 32-legs
+# 5,255-6,187 once the probe-degraded 5,116 leg is excluded) — floors
+# just under those minima, same rule as every prior calibration.
+# (r4 pool-75 floors: 1,260/4,020; pool-50-era 990/3,350.)  An
+# uncalibrated (0.0) floor fails closed: `_below_floor` treats it as
+# host_degraded=True so an unknown-grade window cannot masquerade as a
+# clean one.
+HOST_FLOOR_URLS_PER_SEC_D4 = {8: 1780.0, 32: 5200.0}
+
+# the engine-independent window gate (r5): throughput floors are
+# engine-relative and go stale the moment the engine speeds up (the r5
+# engine beats the r4 floors by 30-45%, so the r4 floors would certify
+# plainly degraded windows).  The host_capacity 64MB-copy probe measures
+# the deflation channel directly: calm windows read ~43-48 GB/s aggregate
+# at 32-wide, degraded ones ~32-36 (the r4-identified ~28% bandwidth
+# confiscation).  40 GB/s sits between the two observed bands; a pair
+# whose 32-leg launched below it is host_degraded regardless of floors.
+MEM32_CALM_FLOOR_MBS = 40000.0
 
 
 def _floors(depth: int) -> dict:
@@ -584,6 +597,9 @@ def scaling(pairs: int = 3, until_quiet: int = 0, max_pairs: int = 12, depth: in
                 "cap_before_8": cap8,
                 "cap_before_32": cap32,
                 "quiet": nf8 < NEIGHBOR_QUIET_FRAC and nf32 < NEIGHBOR_QUIET_FRAC,
+                # engine-independent window grade: the 32-leg launched into
+                # a bandwidth-confiscated window (see MEM32_CALM_FLOOR_MBS)
+                "mem_degraded": cap32.get("mem_32", 0.0) < MEM32_CALM_FLOOR_MBS,
                 "depth": depth,
                 "pool_pct": _pool_pct(),
                 # floors are only calibrated for the shipped pool-75 config;
@@ -593,6 +609,7 @@ def scaling(pairs: int = 3, until_quiet: int = 0, max_pairs: int = 12, depth: in
                 "host_degraded": (
                     _below_floor(depth, 8, r8["crawl_urls_per_sec"])
                     or _below_floor(depth, 32, r32["crawl_urls_per_sec"])
+                    or cap32.get("mem_32", 0.0) < MEM32_CALM_FLOOR_MBS
                 ),
                 "scaling_efficiency": round(
                     (r32["crawl_urls_per_sec"] / r8["crawl_urls_per_sec"]) / 4.0, 3

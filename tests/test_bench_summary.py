@@ -51,18 +51,24 @@ def test_host_capacity_probe_shape():
 
 
 def test_depth4_floors_calibrated_and_fail_closed():
-    # calibrated floors (shipped pool-75 config) certify the banked calm
-    # legs and refuse deflated ones
-    assert not bench._below_floor(4, 8, 1297.0)
-    assert not bench._below_floor(4, 32, 4141.0)
-    assert bench._below_floor(4, 8, 1100.0)
-    assert bench._below_floor(4, 32, 3600.0)
+    # calibrated floors (shipped pool-75 config, round-5 engine) certify
+    # the banked calm legs and refuse deflated ones
+    assert not bench._below_floor(4, 8, 1806.0)
+    assert not bench._below_floor(4, 32, 5255.0)
+    assert bench._below_floor(4, 8, 1500.0)
+    assert bench._below_floor(4, 32, 5116.0)  # the probe-degraded r5 leg
     # unknown width still fails closed
     assert bench._below_floor(4, 16, 99999.0)
-    # depth-3 floors match the pool-75 calm minima too
-    assert not bench._below_floor(3, 8, 1381.0)
-    assert not bench._below_floor(3, 32, 4061.0)
-    assert bench._below_floor(3, 32, 3500.0)
+    # depth-3 floors match the r5 calm minima too
+    assert not bench._below_floor(3, 8, 1934.0)
+    assert not bench._below_floor(3, 32, 5802.0)
+    assert bench._below_floor(3, 32, 5600.0)
+
+
+def test_mem_probe_gate_constant_between_observed_bands():
+    # the engine-independent window gate sits between the observed calm
+    # (43-48 GB/s) and degraded (32-36) 32-wide copy-bandwidth bands
+    assert 36000.0 < bench.MEM32_CALM_FLOOR_MBS < 43000.0
 
 
 def test_below_floor_fails_closed_at_nonshipped_pool(monkeypatch):
@@ -71,7 +77,7 @@ def test_below_floor_fails_closed_at_nonshipped_pool(monkeypatch):
     monkeypatch.setenv("LCRAY_POOL_PCT", "50")
     assert bench._below_floor(4, 32, 99999.0)
     monkeypatch.setenv("LCRAY_POOL_PCT", "75")
-    assert not bench._below_floor(4, 32, 4141.0)
+    assert not bench._below_floor(4, 32, 5255.0)
 
 
 def test_pool_pct_validation(monkeypatch):
