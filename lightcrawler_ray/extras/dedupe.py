@@ -567,11 +567,12 @@ def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.35,
         )  # (n_planes+1, n)
         reps = probes.shape[0]
         idx = np.tile(np.arange(len(ids)), reps)
+        mv = m[idx]
         return pa.table({
             "part": pa.array((probes.reshape(-1) % _PAIR_PARTITIONS).astype(np.int32)),
             "bucket": pa.array(probes.reshape(-1), pa.int64()),
             "vec_id": pa.array(ids[idx], pa.int64()),
-            "vec": pa.array(m[idx].tolist(), pa.list_(pa.float64())),
+            "vec": pa.FixedSizeListArray.from_arrays(pa.array(mv.reshape(-1)), mv.shape[1]),
         })
 
     def part_pairs(g: pd.DataFrame) -> pa.Table:
@@ -600,18 +601,24 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
     blocking."""
     from .. import storage
 
-    ds = storage.read_parquet_clean(f"{sf_dir}/embeddings.parquet")
+    ds = storage.read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
 
     def rows(t: pa.Table) -> pa.Table:
         labels = t.column("label").to_pylist()
         m = np.stack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
         lkey = np.array([zlib.crc32(str(x).encode()) for x in labels], dtype=np.uint32)
+        # FixedSizeList built from the flat numpy buffer — the old
+        # m.tolist() path built n×dim Python floats per batch (the r04
+        # watch-item regression on this query)
+        vec = pa.FixedSizeListArray.from_arrays(pa.array(m.reshape(-1)), m.shape[1])
         return pa.table({
             "part": pa.array((lkey % _PAIR_PARTITIONS).astype(np.int32)),
             "label": t.column("label"),
             "vec_id": t.column("vec_id"),
-            "vec": pa.array(m.tolist(), pa.list_(pa.float64())),
+            "vec": vec,
         })
 
     def part_pairs(g: pd.DataFrame) -> pa.Table:
