@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from collections import Counter
 
 import numpy as np
 
@@ -30,8 +31,14 @@ _MERSENNE = (1 << 61) - 1
 
 
 def squash_ws(text: str) -> str:
-    """M14 — whitespace+U+3000 squash applied before content hashing."""
-    return _WS_SQUASH.sub("", text)
+    """M14 — whitespace+U+3000 squash applied before content hashing.
+
+    ``str.split()`` splits on exactly the codepoints ``Py_UNICODE_ISSPACE``
+    accepts — the same predicate CPython's ``re`` uses for ``\\s`` on str
+    (and U+3000 is Unicode whitespace), so this equals
+    ``_WS_SQUASH.sub("", text)`` bit-for-bit at a fraction of the cost
+    (differential-tested in tests/test_texttools.py)."""
+    return "".join(text.split())
 
 
 def doc_id(content: str) -> str:
@@ -75,15 +82,16 @@ def simhash64(text: str) -> int:
     toks = _TOKEN_RE.findall(text.lower())
     if not toks:
         return 0
-    counts: dict[str, int] = {}
-    for t in toks:
-        counts[t] = counts.get(t, 0) + 1
+    counts = Counter(toks)  # C-speed counting (was a Python dict loop)
     hs = np.fromiter(map(_tok_hash, counts.keys()), dtype=np.uint64, count=len(counts))
     w = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-    votes = (bits * w[:, None]).sum(axis=0) * 2 - w.sum()
-    sig = (votes > 0).astype(np.uint64)
-    return int((sig << np.arange(64, dtype=np.uint64)).sum())
+    # bit j of hash i via unpackbits on the little-endian byte view — the
+    # (n,64) 0/1 matrix the old shift-broadcast built, without the n×64
+    # uint64 intermediate; votes = w·bits − (tot − w·bits) = 2·w·bits − tot
+    bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    votes = w @ bits.astype(np.int64)
+    sig = (votes * 2 - w.sum() > 0).astype(np.uint8)
+    return int(np.packbits(sig, bitorder="little").view(np.uint64)[0])
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:

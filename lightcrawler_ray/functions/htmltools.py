@@ -81,7 +81,7 @@ def decode_body(body: bytes, content_type: str = "") -> str:
     """M13 + M30 — gzip sniff/inflate (magic 1f 8b, the reference's
     decodeGZipContent, PHPCrawlerEncodingUtils.class.php:13-33), then
     charset sniff + decode to str (utf-8 default, GBK family handled)."""
-    if body[:2] == b"\x1f\x8b":
+    if bytes(body[:2]) == b"\x1f\x8b":  # bytes(): body may be a memoryview
         import gzip
 
         try:
@@ -97,9 +97,9 @@ def decode_body(body: bytes, content_type: str = "") -> str:
     if enc in ("gb2312", "gbk", "gb18030"):
         enc = "gb18030"
     try:
-        return body.decode(enc, errors="replace")
+        return str(body, enc, "replace")  # buffer-protocol decode (bytes or memoryview)
     except LookupError:
-        return body.decode("utf-8", errors="replace")
+        return str(body, "utf-8", "replace")
 
 
 def exclude_sections(html: str, strip_scripts: bool = True) -> str:

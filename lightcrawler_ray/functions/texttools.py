@@ -94,9 +94,13 @@ def html_to_lines(html: str, keep_img: bool = False, base_url: str = "") -> list
 
     text = _h.unescape(text)
     # _WS_LINE_RE matches only intra-line whitespace ([ \t　]+, never \n),
-    # so one pass over the whole text ≡ the per-line sub it replaces —
-    # and drops ~600 re.sub calls per document from the fetch hot path
-    text = _WS_LINE_RE.sub(" ", text.replace("\r", "\n"))
+    # so one pass over the whole text ≡ the per-line sub it replaces; the
+    # squash changes nothing unless a tab, ideographic space, or double
+    # space is present, so three C-speed scans skip the rebuild entirely
+    # for typical CJK text
+    text = text.replace("\r", "\n")
+    if "\t" in text or "　" in text or "  " in text:
+        text = _WS_LINE_RE.sub(" ", text)
     lines = []
     for ln in text.split("\n"):
         ln = ln.strip()
@@ -229,8 +233,19 @@ def p_texts(html: str) -> list[str]:
 
     html = _SCRIPT_STYLE_RE.sub(" ", html)
     out = []
+    # Each regex pass below runs only when it could change the fragment
+    # (fetch hot path: clean CJK <p> bodies carry no tags/entities and
+    # already-single spaces, so the common case is three C-speed scans and
+    # zero string rebuilds instead of three sub passes per paragraph).
     for m in _P_RE.finditer(html):
-        t = _WS_LINE_RE.sub(" ", _h.unescape(_TAG_RE.sub("", m.group(1)))).strip()
+        t = m.group(1)
+        if "<" in t:
+            t = _TAG_RE.sub("", t)
+        if "&" in t:
+            t = _h.unescape(t)
+        if "\t" in t or "　" in t or "  " in t:
+            t = _WS_LINE_RE.sub(" ", t)
+        t = t.strip()
         if t:
             out.append(t)
     return out
@@ -409,7 +424,10 @@ def main_content(html: str) -> str:
     ps = p_texts(html)
     lines = None
     if ps:
-        p_len = len(_SQUASH_RE.sub("", "".join(ps)))
+        # non-ws char count == len after \s+　 squash (str.split() splits on
+        # exactly the codepoints re's \s accepts for str, and 　 is Unicode
+        # whitespace) — counts without building the squashed string
+        p_len = sum(len(piece) for p in ps for piece in p.split())
         # provably-identical short-circuit (r5, fetch hot path): t_len (the
         # squashed char count of html_to_lines output) can never exceed
         # len(html) — tag stripping only removes characters and the td "|"
@@ -419,7 +437,7 @@ def main_content(html: str) -> str:
         if len(html) and p_len / len(html) >= 0.01:
             return "\n".join(ps)
         lines = html_to_lines(html)
-        t_len = len(_SQUASH_RE.sub("", "".join(lines)))
+        t_len = sum(len(piece) for ln in lines for piece in ln.split())
         if t_len and p_len / t_len >= 0.01:
             return "\n".join(ps)
     return line_block_density(lines if lines is not None else html_to_lines(html))

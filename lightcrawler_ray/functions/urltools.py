@@ -47,6 +47,14 @@ _UNRESERVED = set(
 )
 _PCT_RE = re.compile(r"%([0-9a-fA-F]{2})")
 
+# canonical-identity fast path: scheme://host[/path] with lowercase host,
+# no port/auth/query/fragment/%-escape/whitespace; path either absent or
+# ≥2 chars (a bare "/" is stripped by the slow path, so it must not match)
+_CANON_FAST_RE = re.compile(r"^https?://[a-z0-9][a-z0-9.-]*(?:/[^\s?#%]+)?$")
+
+# (base url, split_url(base)) — single-slot memo for resolve()'s per-page base
+_BASE_MEMO: tuple | None = None
+
 
 def _norm_pct(s: str) -> str:
     """RFC 3986 6.2.2.1/6.2.2.2: uppercase percent-escapes, decode unreserved."""
@@ -151,6 +159,16 @@ def canonicalize(url: str) -> str | None:
 
     Returns None for non-http(s) URLs.
     """
+    # Already-canonical fast path (provably identity, differential-tested):
+    # lowercase scheme+host, no port/auth/query/fragment/percent/whitespace,
+    # and a path that is absent or longer than a bare "/".  Dot segments
+    # ("." / ".." exactly) are excluded by the substring guards — "..." and
+    # ".x" segments are NOT dot segments and pass through unchanged on the
+    # slow path too.  The crawl hot path resolves most hrefs into exactly
+    # this shape, skipping the full parse/rebuild per link.
+    if _CANON_FAST_RE.match(url) and "/./" not in url and "/../" not in url \
+            and not url.endswith(("/.", "/..")):
+        return url
     url = _WS_RE.sub("", url).strip()
     p = split_url(url)
     if p is None or p["protocol"] not in ("http", "https"):
@@ -183,21 +201,34 @@ def resolve(base: str, link: str) -> str | None:
     """
     if link is None:
         return None
-    link = _html.unescape(link)
+    if "&" in link:  # html.unescape's own fast path, without the call
+        link = _html.unescape(link)
     link = _WS_RE.sub("", link).strip()
     if not link:
         return None
-    low = link.lower()
-    for s in _DROP_SCHEMES:
-        if low.startswith(s):
+    # every drop scheme and _SCHEME_RE match requires a ':' — one C scan
+    # sends scheme-less (relative) links straight to the resolution branches
+    if ":" in link:
+        if link.lower().startswith(_DROP_SCHEMES):
             return None
-    # strip fragment early (reference strips trailing #anchor, :247)
-    link = link.split("#", 1)[0]
-    if not link:
-        return None  # pure-fragment link points at the same doc
-    if _SCHEME_RE.match(link):
-        return canonicalize(link)
-    bp = split_url(base)
+        # strip fragment early (reference strips trailing #anchor, :247)
+        link = link.split("#", 1)[0]
+        if not link:
+            return None  # pure-fragment link points at the same doc
+        if _SCHEME_RE.match(link):
+            return canonicalize(link)
+    else:
+        link = link.split("#", 1)[0]
+        if not link:
+            return None
+    # per-page base memo: find_links resolves every relative href of a page
+    # against the same base, so parse it once (read-only downstream)
+    memo = _BASE_MEMO
+    if memo is not None and memo[0] == base:
+        bp = memo[1]
+    else:
+        bp = split_url(base)
+        globals()["_BASE_MEMO"] = (base, bp)
     if bp is None:
         return None
     scheme = bp["protocol"]

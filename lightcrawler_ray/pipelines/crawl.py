@@ -243,7 +243,7 @@ class CrawlJob:
             hp = h if port in (0, 80, 443) else f"{h}:{port}"
             status, _, body, _, _ = self._local_fetcher._fetch_raw(f"http://{hp}/robots.txt")
             if status == 200 and body:
-                rules = robotstxt.parse_robots_txt(body.decode("utf-8", "replace"))
+                rules = robotstxt.parse_robots_txt(str(body, "utf-8", "replace"))
                 if rules["disallow"] or rules["delay_ms"]:
                     out[h] = rules
         return out

@@ -157,7 +157,7 @@ class ScheduleShard:
 
         status, _, body, _, _ = self._fetcher._fetch_raw(f"http://{host}/robots.txt")
         if status == 200 and body:
-            rules = robotstxt.parse_robots_txt(body.decode("utf-8", "replace"))
+            rules = robotstxt.parse_robots_txt(str(body, "utf-8", "replace"))
             if rules["disallow"] or rules["delay_ms"]:
                 return rules
         return None
