@@ -22,6 +22,13 @@ import ray.data as rd
 from ..functions import avcodec, hashing, imagecodec
 
 
+def _payload_views(col) -> list:
+    """Zero-copy per-row views of a binary column (memoryview over the
+    Arrow buffer; None for nulls) — the payload never round-trips through
+    Python bytes on the decode hot path."""
+    return [memoryview(s.as_buffer()) if s.is_valid else None for s in col]
+
+
 class ImageDecodeStats:
     """Actor-pool stage: decode → per-image stats (mean RGB, recomputed
     phash).  ``__init__`` is where a real pipeline loads its codec/model
@@ -32,7 +39,7 @@ class ImageDecodeStats:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         means, phashes, dhashes, hists, ok = [], [], [], [], []
-        for blob in t.column("bytes").to_pylist():
+        for blob in _payload_views(t.column("bytes")):
             try:
                 px = self.decode(blob)
                 means.append([float(m) for m in px.reshape(-1, 3).mean(axis=0)])
@@ -67,7 +74,7 @@ class ImageResize:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         blobs, ws, hs = [], [], []
-        for blob, fmt in zip(t.column("bytes").to_pylist(), t.column("fmt").to_pylist()):
+        for blob, fmt in zip(_payload_views(t.column("bytes")), t.column("fmt").to_pylist()):
             px = imagecodec.decode(blob)
             gray_rgb = np.stack(
                 [_pool(px[:, :, c], self.side) for c in range(3)], axis=2
@@ -113,7 +120,7 @@ class AudioFeatures:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         srs, durs, rms, zcr, bands, ok = [], [], [], [], [], []
-        for blob in t.column("bytes").to_pylist():
+        for blob in _payload_views(t.column("bytes")):
             try:
                 pcm, sr = self.decode(blob)
                 x = pcm.astype(np.float64) / 32768.0
@@ -156,7 +163,7 @@ class VideoFrameSample:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         vids, idxs, ts, blobs, ws, hs = [], [], [], [], [], []
-        for vid, blob in zip(t.column("video_id").to_pylist(), t.column("bytes").to_pylist()):
+        for vid, blob in zip(t.column("video_id").to_pylist(), _payload_views(t.column("bytes"))):
             frames, fps = self.decode(blob)
             for i in range(0, len(frames), self.every_n):
                 vids.append(vid)
@@ -235,7 +242,7 @@ def image_dedup_exact(images_path: str) -> pd.DataFrame:
     def keys(t: pa.Table) -> pa.Table:
         ks = [
             hashlib.md5(b.hex().encode()).hexdigest()
-            for b in t.column("bytes").to_pylist()
+            for b in _payload_views(t.column("bytes"))
         ]
         part = [zlib.crc32(k.encode()) % _DEDUP_PARTITIONS for k in ks]
         return pa.table({
@@ -264,7 +271,7 @@ def image_pair_dedup(images_path: str) -> pd.DataFrame:
 
     def keys(t: pa.Table) -> pa.Table:
         ph = []
-        for b in t.column("bytes").to_pylist():
+        for b in _payload_views(t.column("bytes")):
             ph.append(str(hashing.phash64(imagecodec.decode(b))))
         caps = t.column("caption").to_pylist()
         part = [
@@ -356,7 +363,7 @@ class _DecodeDims:
 
     def dims(self, t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         ws, hs = [], []
-        for blob in t.column("bytes").to_pylist():
+        for blob in _payload_views(t.column("bytes")):
             px = self.decode(blob)
             hs.append(px.shape[0])
             ws.append(px.shape[1])
@@ -445,7 +452,7 @@ class ImageHistogram:
     def __call__(self, t: pa.Table) -> pa.Table:
         acc: dict[str, np.ndarray] = {}
         cnt: dict[str, int] = {}
-        for blob, fmt in zip(t.column("bytes").to_pylist(), t.column("fmt").to_pylist()):
+        for blob, fmt in zip(_payload_views(t.column("bytes")), t.column("fmt").to_pylist()):
             try:
                 h = hashing.hist16(self.decode(blob))
             except imagecodec.CodecError:
@@ -643,7 +650,7 @@ class VideoSceneCuts:
     def __call__(self, t: pa.Table) -> pa.Table:
         vids, idxs, sads = [], [], []
         for vid, blob in zip(t.column("video_id").to_pylist(),
-                             t.column("bytes").to_pylist()):
+                             _payload_views(t.column("bytes"))):
             frames, _ = self.decode(blob)
             d = np.abs(
                 frames[1:].astype(np.int32) - frames[:-1].astype(np.int32)
@@ -851,7 +858,7 @@ def image_curate_manifest(images_path: str, shard_bytes: int = 262144,
         nb = pc.cast(pc.binary_length(t.column("bytes").combine_chunks()), pa.int64())
         md5s = [
             hashlib.md5(b.hex().encode()).hexdigest()
-            for b in t.column("bytes").to_pylist()
+            for b in _payload_views(t.column("bytes"))
         ]
         out = pa.table({
             "part": pa.array(

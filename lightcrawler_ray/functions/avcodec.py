@@ -68,7 +68,7 @@ def encode_audio(pcm: np.ndarray, sr: int) -> bytes:
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
     """Decode to (mono int16 PCM, sample_rate).  Falls through to
     ``soundfile`` for real containers when available."""
-    if data[:4] == _AUD_MAGIC:
+    if bytes(data[:4]) == _AUD_MAGIC:  # buffer-safe
         sr = int.from_bytes(data[4:8], "little")
         n = int.from_bytes(data[8:12], "little")
         pcm = np.frombuffer(data[12 : 12 + 2 * n], dtype="<i2")
@@ -78,7 +78,7 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
     if HAVE_SOUNDFILE:  # pragma: no cover - not in this container
         wav, sr = soundfile.read(io.BytesIO(data), dtype="int16", always_2d=True)
         return wav[:, 0].copy(), int(sr)
-    raise CodecError(f"unknown audio container (magic {data[:4]!r})")
+    raise CodecError(f"unknown audio container (magic {bytes(data[:4])!r})")
 
 
 # ---------------------------------------------------------------- video
@@ -104,7 +104,7 @@ def encode_video(frames: np.ndarray, fps: int) -> bytes:
 def decode_video(data: bytes) -> tuple[np.ndarray, int]:
     """Decode to ((nframes, h, w, 3) uint8 RGB, fps).  Falls through to
     ``av`` (pyav/ffmpeg) for real containers when available."""
-    if data[:4] == _VID_MAGIC:
+    if bytes(data[:4]) == _VID_MAGIC:  # buffer-safe
         w = int.from_bytes(data[4:6], "little")
         h = int.from_bytes(data[6:8], "little")
         fps = int.from_bytes(data[8:10], "little")
@@ -120,7 +120,7 @@ def decode_video(data: bytes) -> tuple[np.ndarray, int]:
                 [f.to_ndarray(format="rgb24") for f in container.decode(stream)]
             )
             return frames, int(stream.average_rate or 0)
-    raise CodecError(f"unknown video container (magic {data[:4]!r})")
+    raise CodecError(f"unknown video container (magic {bytes(data[:4])!r})")
 
 
 # ------------------------------------------------- deterministic synthesis

@@ -64,15 +64,17 @@ def decode(data: bytes) -> np.ndarray:
 
     jpeg dequantizes to the quantization-bin midpoint (value*4 + 2), which is
     what bounds the per-channel error at ≤ 2 and keeps PSNR ≈ 46 dB."""
-    if len(data) < 11 or data[:2] != _MAGIC:
+    # bytes() on the 1-3 byte header slices keeps the function buffer-safe
+    # (callers may pass a zero-copy memoryview/pa.Buffer over plasma)
+    if len(data) < 11 or bytes(data[:2]) != _MAGIC:
         if HAVE_PIL:  # pragma: no cover
             import io
 
             return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
         raise CodecError("bad magic and no real codec available (PIL absent)")
-    fmt = _CODE_FMT.get(data[2:3])
+    fmt = _CODE_FMT.get(bytes(data[2:3]))
     if fmt is None:
-        raise CodecError(f"unknown fmt code {data[2:3]!r}")
+        raise CodecError(f"unknown fmt code {bytes(data[2:3])!r}")
     h = int.from_bytes(data[3:7], "little")
     w = int.from_bytes(data[7:11], "little")
     payload = data[11:]

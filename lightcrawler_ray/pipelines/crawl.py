@@ -963,8 +963,9 @@ class CrawlJob:
         content md5 as url_md5 for the content-seen gate."""
         if t.num_rows == 0:
             t = OUT_SCHEMA.empty_table()
-        md5s = [hashlib.md5(b or b"").hexdigest()
-                for b in t.column("image_bytes").to_pylist()]
+        # md5 straight off the Arrow buffers — no per-payload bytes copy
+        md5s = [hashlib.md5(s.as_buffer() if s.is_valid else b"").hexdigest()
+                for s in t.column("image_bytes")]
         return pa.table(
             {
                 "image_id": t.column("image_id"),
