@@ -491,15 +491,51 @@ def lang_id(text: str) -> str:
     return "other"
 
 
+# BMP lookup table for re's \w-minus-CJK punct class, built lazily once per
+# process: cell c == True iff chr(c) matches _PUNCT_RE ([^\w\s一-鿿]).  sre's
+# str \w is Py_UNICODE_ISALNUM-or-underscore and \s is Py_UNICODE_ISSPACE —
+# exactly chr(c).isalnum() / chr(c).isspace() — so the table is exact by
+# construction; astral codepoints (≥0x10000) fall back to the regex path.
+_PUNCT_BMP: np.ndarray | None = None
+
+
+def _punct_bmp() -> np.ndarray:
+    global _PUNCT_BMP
+    if _PUNCT_BMP is None:
+        t = np.ones(0x10000, dtype=bool)
+        for c in range(0x10000):
+            ch = chr(c)
+            if ch.isalnum() or ch == "_" or ch.isspace():
+                t[c] = False
+        t[0x4E00:0xA000] = False  # 一-鿿 (already alnum, kept for clarity)
+        _PUNCT_BMP = t
+    return _PUNCT_BMP
+
+
+_ALPHA_RE = re.compile(r"[a-zA-Z]+")
+
+
 def quality_score(text: str) -> float:
-    """length/punct/stopword-ratio quality heuristic in [0,1]."""
+    """length/punct/stopword-ratio quality heuristic in [0,1].
+    (Punct counting and the latin-words short-circuit run vectorized over
+    the sample's codepoint array — same values as the regex formulation,
+    differential-tested in tests/test_hotpath_equiv.py.)"""
     if not text:
         return 0.0
     n = len(text)
     len_score = min(n / 500.0, 1.0) * (1.0 if n < 50_000 else 0.5)
-    punct_ratio = len(_PUNCT_RE.findall(text[:5000])) / min(n, 5000)
+    sample = text[:5000]
+    cp = np.frombuffer(sample.encode("utf-32-le", "surrogatepass"), dtype=np.uint32)
+    if cp.size and int(cp.max()) >= 0x10000:  # astral chars: exact regex path
+        n_punct = len(_PUNCT_RE.findall(sample))
+        has_latin = bool(_ALPHA_RE.search(sample))
+    else:
+        n_punct = int(_punct_bmp()[cp].sum())
+        low = cp | np.uint32(0x20)
+        has_latin = bool(((low >= 0x61) & (low <= 0x7A) & (cp < 0x80)).any())
+    punct_ratio = n_punct / min(n, 5000)
     punct_score = 1.0 - min(punct_ratio * 3.0, 1.0)
-    words = [w.lower() for w in re.findall(r"[a-zA-Z]+", text[:5000])]
+    words = [w.lower() for w in _ALPHA_RE.findall(sample)] if has_latin else []
     if words:
         stop_ratio = sum(w in _STOPWORDS_EN for w in words) / len(words)
         stop_score = min(stop_ratio * 4.0, 1.0)

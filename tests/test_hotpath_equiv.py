@@ -93,6 +93,32 @@ def test_main_content_p_len_counts_nonspace_chars_exactly():
         assert sum(len(p) for p in s.split()) == len(_SQ.sub("", s))
 
 
+def _old_quality(text):
+    if not text:
+        return 0.0
+    n = len(text)
+    len_score = min(n / 500.0, 1.0) * (1.0 if n < 50_000 else 0.5)
+    punct_ratio = len(tt._PUNCT_RE.findall(text[:5000])) / min(n, 5000)
+    punct_score = 1.0 - min(punct_ratio * 3.0, 1.0)
+    words = [w.lower() for w in re.findall(r"[a-zA-Z]+", text[:5000])]
+    if words:
+        stop_ratio = sum(w in tt._STOPWORDS_EN for w in words) / len(words)
+        stop_score = min(stop_ratio * 4.0, 1.0)
+    else:
+        stop_score = 0.5
+    return round((len_score + punct_score + stop_score) / 3.0, 6)
+
+
+def test_quality_score_matches_reference_formulation():
+    rng = random.Random(29)
+    pool = "the and of a 中文。，！？x y_9 \t　«»éπ😀 \x00\ud800"
+    cases = ["", "the quick fox", "中文内容。测试！", "😀😀 astral only", "a" * 60000]
+    cases += ["".join(rng.choice(pool) for _ in range(rng.randrange(0, 120)))
+              for _ in range(4000)]
+    for c in cases:
+        assert _old_quality(c) == tt.quality_score(c), repr(c[:60])
+
+
 def _old_canonicalize(url):
     url = ut._WS_RE.sub("", url).strip()
     p = ut.split_url(url)
