@@ -569,9 +569,11 @@ def scaling(pairs: int = 3, until_quiet: int = 0, max_pairs: int = 12, depth: in
         pre8 = _wait_steal_quiet()
         cap8 = host_capacity()
         r8 = _crawl_once(8, depth=depth)
+        cap8_after = host_capacity()
         pre32 = _wait_steal_quiet()
         cap32 = host_capacity()
         r32 = _crawl_once(32, depth=depth)
+        cap32_after = host_capacity()
         # the crawl-window steal is the leg's pollution verdict (the timed
         # section); whole-leg steal_frac also rides in the raw leg JSON
         nf8 = r8.get("crawl_steal_frac", 1.0)
@@ -595,11 +597,25 @@ def scaling(pairs: int = 3, until_quiet: int = 0, max_pairs: int = 12, depth: in
                 # window's AVAILABLE cpu + memory bandwidth, the channel
                 # the floor gate exists to detect
                 "cap_before_8": cap8,
+                "cap_after_8": cap8_after,
                 "cap_before_32": cap32,
+                "cap_after_32": cap32_after,
                 "quiet": nf8 < NEIGHBOR_QUIET_FRAC and nf32 < NEIGHBOR_QUIET_FRAC,
-                # engine-independent window grade: the 32-leg launched into
-                # a bandwidth-confiscated window (see MEM32_CALM_FLOOR_MBS)
-                "mem_degraded": cap32.get("mem_32", 0.0) < MEM32_CALM_FLOOR_MBS,
+                # engine-independent window grade, SYMMETRIC + BRACKETED
+                # (tightened 2026-08-20 second session, prospectively —
+                # before the final bank's pairs were collected): EITHER leg
+                # launched into, or emerged from, a bandwidth-confiscated
+                # window ⇒ the pair is refused.  A degraded 8-leg window
+                # biases efficiency UP (soft denominator), a degraded
+                # 32-leg window biases it DOWN; certifying only pairs whose
+                # BOTH legs are bracketed by calm probes refuses both bias
+                # directions, which matters on a host whose bandwidth
+                # oscillates faster than a leg runs (observed 28→43 GB/s
+                # within single pairs in this session's hunt).
+                "mem_degraded": min(
+                    cap8.get("mem_32", 0.0), cap8_after.get("mem_32", 0.0),
+                    cap32.get("mem_32", 0.0), cap32_after.get("mem_32", 0.0),
+                ) < MEM32_CALM_FLOOR_MBS,
                 "depth": depth,
                 "pool_pct": _pool_pct(),
                 # floors are only calibrated for the shipped pool-75 config;
@@ -609,7 +625,10 @@ def scaling(pairs: int = 3, until_quiet: int = 0, max_pairs: int = 12, depth: in
                 "host_degraded": (
                     _below_floor(depth, 8, r8["crawl_urls_per_sec"])
                     or _below_floor(depth, 32, r32["crawl_urls_per_sec"])
-                    or cap32.get("mem_32", 0.0) < MEM32_CALM_FLOOR_MBS
+                    or min(
+                        cap8.get("mem_32", 0.0), cap8_after.get("mem_32", 0.0),
+                        cap32.get("mem_32", 0.0), cap32_after.get("mem_32", 0.0),
+                    ) < MEM32_CALM_FLOOR_MBS
                 ),
                 "scaling_efficiency": round(
                     (r32["crawl_urls_per_sec"] / r8["crawl_urls_per_sec"]) / 4.0, 3
